@@ -1,0 +1,418 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational operator library (SURVEY.md §2.3: scans, projection/filter,
+  * joins, aggregations, windows, sorts, set ops).
+  *
+  * Design stance (SURVEY.md §7.1): declare the logical plan with the
+  * DataFrame API and let Catalyst pick the physical strategy. The reference
+  * (`Worker/worker.py:72-208`) expresses all of these inside opaque
+  * map/reduce scripts with zero optimization; here every query is fully
+  * declarative, so predicate pushdown, column pruning, partial aggregation
+  * and join selection are free.
+  *
+  * Scale notes (100 TB posture):
+  *  - No `collect()` anywhere; every query is a single distributed plan.
+  *  - Small dimensions (region/nation/supplier) are broadcast — explicitly
+  *    where the stats wouldn't make it automatic.
+  *  - Aggregations are partial+final HashAggregate pairs (map-side combine,
+  *    which the reference lacks — SURVEY.md §4.1).
+  *  - Final `orderBy` on the small *result* of an aggregation is cheap; the
+  *    only global sorts over raw fact tables are the `sort_*` rows, which
+  *    Spark executes as range-partitioned sorts (sample + exchange), the
+  *    scalable equivalent of the reference's in-RAM `list.sort()`.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- scans ------------------------------------------------------------
+    // Columnar scan with projection pushdown: ReadSchema carries only the
+    // two selected columns (reference reads whole text chunks, O2).
+    "scan_parquet" -> ((s, d) =>
+      region(s, d).select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")),
+
+    // Delimited-text parsing with a declared schema (the reference's TSV
+    // convention, `mapper.py:3-23`): serialize rows to CSV lines, then parse
+    // back with `from_csv` — exercises the text->typed-row path end to end
+    // without leaving the distributed plan.
+    "scan_csv_schema" -> ((s, d) =>
+      region(s, d)
+        .select(concat_ws(",", col("r_regionkey"), col("r_name")).as("line"))
+        .select(from_csv(col("line"), lit("r_regionkey INT, r_name STRING"),
+          Map.empty[String, String].asJava).as("r"))
+        .select(col("r.r_regionkey").as("r_regionkey"),
+                col("r.r_name").as("r_name"))
+        .orderBy("r_regionkey")),
+
+    // JSON-lines field extraction (typed `from_json`, codegen-friendly).
+    "scan_json_lines" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("prop_k"))
+        .orderBy("event_id")),
+
+    // ---- projection / filter ---------------------------------------------
+    // σ+π with both pushed into the parquet scan (PushedFilters on
+    // l_quantity; ReadSchema = 4 columns). Reference equivalent: the arity
+    // filter + column pick inside `mapper.py:29-31`, applied post-read.
+    "project_filter" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_compound" -> ((s, d) =>
+      orders(s, d)
+        .filter(
+          (col("o_orderstatus") === "F" || col("o_orderpriority").like("1-%"))
+            && col("o_totalprice").between(1000, 150000)
+            && !col("o_orderpriority").isin("4-NOT SPECIFIED")
+            && col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+                col("o_orderpriority"))
+        .orderBy("o_orderkey")),
+
+    "project_expr" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // round at 6: the 2+2+2-decimal product is exact there, so the
+          // rounding never lands on a .5 boundary (Spark/DuckDB would
+          // disagree on boundary halves — SURVEY.md §7.5 item 5)
+          round((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            * (lit(1) + col("l_tax")), 6).as("charge"),
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 25, "mid")
+            .otherwise("big").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- joins ------------------------------------------------------------
+    // Equi inner join: at scale this is a shuffle hash / sort-merge join on
+    // l_orderkey; both sides shuffle once on the join key and AQE can
+    // convert to broadcast if the filtered side is small.
+    "join_inner" -> ((s, d) =>
+      lineitem(s, d).join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Broadcast hash join: supplier is a bounded dimension — broadcast it so
+    // the 100 TB fact side never shuffles. Plan-shape asserted in the spec.
+    "join_broadcast" -> ((s, d) =>
+      lineitem(s, d).join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+             count(lit(1)).as("n_items"))
+        .orderBy("s_name")),
+
+    "join_left" -> ((s, d) =>
+      customer(s, d).join(orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    "join_full" -> ((s, d) => {
+      val c = customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val p = supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("s_cnt"))
+      c.join(p, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+                col("c_cnt"), col("s_cnt"))
+        .orderBy("nk")
+    }),
+
+    // Existence joins: semi/anti never materialize the probe payload, so the
+    // build side is the only shuffled data — the scalable form of "IN".
+    "join_semi" -> ((s, d) =>
+      customer(s, d).join(
+          orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    "join_anti" -> ((s, d) =>
+      customer(s, d).join(orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // Non-equi band join. Spark plans BNLJ; the small supplier side is
+    // broadcast so the big side streams — the only scalable shape for a
+    // theta join without an interval index.
+    "join_theta_range" -> ((s, d) =>
+      customer(s, d).join(broadcast(supplier(s, d)),
+          col("c_acctbal").between(col("s_acctbal") - 10,
+                                   col("s_acctbal") + 10))
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy("s_suppkey", "c_custkey")),
+
+    // As-of join: latest order at-or-before each event's timestamp for the
+    // matching customer. Spark has no native as-of; the portable scalable
+    // form is equi-join on the entity key + window top-1 on the time axis
+    // (one shuffle on the key, no range explosion).
+    "join_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"))
+      val o = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"))
+      val j = e.join(o, col("user_id") === col("o_custkey")
+        && col("o_orderdate") <= col("ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      j.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
+    // ---- aggregations -----------------------------------------------------
+    // Flagship (SURVEY.md §2.2): grouped MAX + ordered presentation — the
+    // reference's entire example job (mapper.py + reducer.py + READ sort).
+    "agg_groupby_max" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(col("l_extendedprice")), 4).as("max_price"))
+        .orderBy("l_returnflag")),
+
+    "agg_multi" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          round(max(col("l_discount")), 4).as("max_disc"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_count_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")),
+
+    // HLL sketch — no exact oracle (approximate by design); the driver
+    // records a rows-only check and the spec bounds the error vs exact.
+    "agg_approx_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .orderBy("o_orderstatus")),
+
+    "agg_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+                 asc_nulls_first("l_linestatus"))),
+
+    "agg_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+                 asc_nulls_first("l_linestatus"))),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 4) AS sum_qty
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          |         l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- sorts / limits ---------------------------------------------------
+    // Global total order = the reference's READ sort (`client.py:105-108`),
+    // executed as a range-partitioned distributed sort instead of a
+    // single-process in-memory list.sort().
+    "sort_global" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    // ORDER BY + LIMIT k plans as TakeOrderedAndProject: each partition
+    // keeps a k-heap, only k rows per partition reach the driver-side merge.
+    "sort_limit_topk" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // ---- set operations ---------------------------------------------------
+    "set_union" -> ((s, d) => {
+      val a = orders(s, d).select(col("o_orderkey").as("k"),
+        lit("o").as("src"))
+      val b = lineitem(s, d).select(col("l_orderkey").as("k"),
+        lit("l").as("src"))
+      a.unionByName(b).orderBy("src", "k")
+    }),
+
+    "set_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "set_intersect" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("custkey"))
+        .intersect(customer(s, d).filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "set_except" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(orders(s, d).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"))
+  )
+
+  /** DuckDB-equivalent SQL per query (driver contract: column names match
+    * the Spark output exactly; explicit ORDER BY; NULLS FIRST pinned where
+    * Spark's asc-nulls-first differs from DuckDB's nulls-last default).
+    */
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_csv_schema" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_json_lines" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_compound" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderstatus = 'F' OR o_orderpriority LIKE '1-%')
+        |  AND o_totalprice BETWEEN 1000 AND 150000
+        |  AND NOT o_orderpriority IN ('4-NOT SPECIFIED')
+        |  AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+        |  CASE WHEN l_quantity < 10 THEN 'small'
+        |       WHEN l_quantity < 25 THEN 'mid' ELSE 'big' END AS bucket
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast" ->
+      """SELECT s_name, round(sum(l_extendedprice), 2) AS total_price,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """SELECT coalesce(c.nk, p.nk) AS nk, c_cnt, s_cnt
+        |FROM (SELECT c_nationkey AS nk, count(*) AS c_cnt
+        |      FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS s_cnt
+        |           FROM supplier GROUP BY 1) p ON c.nk = p.nk
+        |ORDER BY nk""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT s_suppkey, c_custkey
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "agg_groupby_max" ->
+      """SELECT l_returnflag, round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  min(l_shipdate) AS min_ship,
+        |  round(max(l_discount), 4) AS max_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "sort_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "set_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS k, 'o' AS src FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey AS k, 'l' AS src FROM lineitem)
+        |ORDER BY src, k""".stripMargin,
+    "set_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+        |ORDER BY custkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin
+  )
+
+  // java interop for the from_csv options map
+  private implicit class MapOps(m: Map[String, String]) {
+    def asJava: java.util.Map[String, String] = {
+      val j = new java.util.HashMap[String, String]()
+      m.foreach { case (k, v) => j.put(k, v) }
+      j
+    }
+  }
+}
