@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scalar function battery (SURVEY.md §2.3 `fn_*`).
+  *
+  * The reference delegates every scalar computation to user Python —
+  * `split`/`strip`/`float`/format (`mapper.py:28-31`, `reducer.py:21,36`).
+  * Here each family is a codegen'd built-in `Column` expression: no UDFs,
+  * no serialization boundary, everything stays inside whole-stage codegen
+  * (the "Functions, not UDFs" rule).
+  *
+  * Scale notes: all queries are narrow map-side transforms — zero shuffles
+  * except the final presentation orderBy; at 100 TB they pipeline directly
+  * over the scan.
+  */
+object Fn {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          upper(col("lang")).as("lang_up"),
+          substring(col("text"), 1, 12).as("head12"),
+          concat_ws("-", col("source"), col("lang")).as("src_lang"),
+          length(col("text")).as("len"),
+          trim(col("text")).substr(lit(1), lit(5)).as("head5"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          col("text").contains("spark").as("has_spark"),
+          element_at(split(col("text"), " "), 1).as("tok1"),
+          replace(col("source"), lit("src"), lit("origin")).as("origin"))
+        .orderBy("doc_id")),
+
+    "fn_date" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+          round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+          round(abs(col("l_tax") - 0.05), 4).as("tax_dev"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_quantity")).as("qty_floor"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          round(log(col("l_extendedprice") + 1), 6).as("ln_price"),
+          greatest(col("l_discount"), col("l_tax")).as("gmax"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_array" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"),
+          size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+          array_contains(split(col("text"), " "), "spark").as("has_spark"),
+          concat_ws("-", slice(array_sort(split(col("text"), " ")), 1, 3))
+            .as("first3"),
+          element_at(array_sort(split(col("text"), " ")),
+            size(split(col("text"), " "))).as("max_tok"),
+          aggregate(transform(split(col("text"), " "),
+              t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("tot_chars"))
+        .orderBy("doc_id")),
+
+    // Map construction + access. The oracle checks the *values* through
+    // plain SQL — DuckDB need not build a MAP to verify map semantics.
+    "fn_map" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+              lit("user"), col("user_id").cast("string")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("etype"),
+          element_at(col("m"), "user").as("euser"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy("event_id")),
+
+    "fn_json" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k_typed"),
+          get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT doc_id, upper(lang) AS lang_up, substr(text, 1, 12) AS head12,
+        |  concat_ws('-', source, lang) AS src_lang,
+        |  CAST(length(text) AS INTEGER) AS len,
+        |  substr(trim(text), 1, 5) AS head5,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  contains(text, 'spark') AS has_spark,
+        |  string_split(text, ' ')[1] AS tok1,
+        |  replace(source, 'src', 'origin') AS origin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |       AS INTEGER) AS days_since,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  round(abs(l_tax - 0.05), 4) AS tax_dev,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  l_orderkey % 7 AS key_mod,
+        |  round(ln(l_extendedprice + 1), 6) AS ln_price,
+        |  greatest(l_discount, l_tax) AS gmax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  array_to_string(list_sort(string_split(text, ' '))[1:3], '-') AS first3,
+        |  list_sort(string_split(text, ' '))[-1] AS max_tok,
+        |  CAST(list_sum([CAST(length(t) AS BIGINT) FOR t IN
+        |       string_split(text, ' ')]) AS BIGINT) AS tot_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id, event_type AS etype,
+        |  CAST(user_id AS VARCHAR) AS euser, 2 AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+        |  json_extract_string(props, '$.k') AS k_str
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Event-time windowing (SURVEY.md §2.3 `stream_*`).
+  *
+  * The reference is batch-only; these are the north-star streaming
+  * operators. Each window shape is expressed once over a plain DataFrame —
+  * `window`/`session_window` work identically in batch and streaming — so
+  * the batch form is DuckDB-checkable while `streamingTumbling` /
+  * `streamingDedup` below run the very same expressions under
+  * `readStream` with watermarks (exercised by the ScalaTest harness,
+  * SURVEY.md §5.2 item 5).
+  *
+  * Scale notes: tumbling/sliding aggregation is partial-aggregatable (the
+  * window start is just a computed group key), so map-side combine applies
+  * before the shuffle. Session windows shuffle once on user_id; Spark merges
+  * overlapping sessions per key in state — at 100 TB the key cardinality
+  * (users), not event count, bounds state size.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 10-minute windows per event_type.
+    "stream_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("sum_v"))
+        .orderBy("win_start", "event_type")),
+
+    // Sliding 10-minute windows every 5 minutes (each event lands in 2).
+    "stream_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n"))
+        .orderBy("win_start")),
+
+    // Session windows: 30-minute inactivity gap per user.
+    // session_window.start = first event ts in the session.
+    "stream_session" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(col("user_id"), col("session_window.start").as("sess_start"),
+                col("n"), col("sum_v"))
+        .orderBy("user_id", "sess_start")),
+
+    // Stateful dedup on event_id (batch form; streaming form with
+    // watermark in `streamingDedup`). event_ids are unique in the fixture,
+    // so the check is rows-only; the harness test feeds real duplicates.
+    "stream_stateful_dedup" -> ((s, d) =>
+      events(s, d)
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT win_start, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        |  FROM events)
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
+    // Gaps-and-islands: a session breaks when the gap since the previous
+    // event of the same user exceeds 30 minutes.
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '30 minutes'
+        |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n,
+        |  round(sum(value), 4) AS sum_v
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin
+    // stream_stateful_dedup: rows-only (keep-first choice is
+    // order-dependent; exercised deterministically in the harness test).
+  )
+
+  // ---- true Structured Streaming forms (harness-tested) -------------------
+
+  /** Tumbling-window count over a streaming source with a watermark:
+    * late rows beyond 10 minutes are dropped from state.
+    */
+  def streamingTumbling(input: DataFrame): DataFrame =
+    input
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Stateful streaming dedup on event_id with a watermark bounding state. */
+  def streamingDedup(input: DataFrame): DataFrame =
+    input
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Typed arbitrary-state op: running per-user event count via
+    * flatMapGroupsWithState (the `KeyValueGroupedDataset` custom-state
+    * surface the north star names).
+    */
+  def streamingRunningCount(spark: SparkSession,
+                            input: Dataset[(Long, java.sql.Timestamp)])
+      : Dataset[(Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Window functions (SURVEY.md §2.3 `win_*`).
+  *
+  * In the reference every "per-group, order-aware" computation is a
+  * hand-written streaming reducer over a sorted run (`reducer.py:16-40`,
+  * relying on `Worker/worker.py:179-183`'s partition sort). Spark's window
+  * operator is the declarative generalization: one shuffle on the partition
+  * key, one in-partition sort, then a streaming frame evaluation — same
+  * physical shape, but spillable (UnsafeExternalSorter) and codegen'd.
+  *
+  * Scale notes: all four queries shuffle exactly once, on the window
+  * partition key. Determinism: tie-broken total orders everywhere a
+  * `row_number` or ranking feeds the result (SURVEY.md §5.2 discipline).
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // rank / dense_rank / row_number per group. rank+dense_rank are
+    // tie-stable by definition; row_number gets a full tiebreak so the
+    // result is a pure function of the data.
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+                 col("l_linenumber"))
+      lineitem(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("l_returnflag"), col("rn"), col("rnk"), col("drnk"),
+                col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // Top-k per group — the scalable "greatest-n-per-group": no global
+    // sort, just one hash shuffle + per-partition heapless sort, and the
+    // filter drops everything past k before any further stage.
+    "win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+                col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running sum + moving average over an event-time frame per user.
+    "win_running" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = ord.rowsBetween(-3, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"),
+          round(sum(col("value")).over(cum), 4).as("run_sum"),
+          round(avg(col("value")).over(mov), 4).as("mov_avg"))
+        .orderBy("event_id")
+    }),
+
+    // lag/lead: inter-event deltas per user in microseconds (exact integer
+    // arithmetic — no float drift between engines).
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT l_returnflag, CAST(rn AS INTEGER) AS rn,
+        |  CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
+        |  l_orderkey, l_linenumber FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    row_number() OVER w AS rn
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+        |WHERE rn <= 50 ORDER BY l_returnflag, rn""".stripMargin,
+    "win_topk_per_group" ->
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey,
+        |  o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_running" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming harness tests (SURVEY.md §5.2 item 5): watermark +
+  * late-data semantics and stateful dedup are not DuckDB-observable, so they
+  * are exercised here with MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streamingTumbling counts per 10-minute window and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = ops.Streaming.streamingTumbling(
+      mem.toDF().toDF("ts", "event_type"))
+    val q = df.writeStream.format("memory").queryName("tumb")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((ts(1), "view"), (ts(2), "view"), (ts(11), "click"))
+      q.processAllAvailable()
+      // advance watermark far past 10:10, then feed a too-late row
+      mem.addData((ts(59), "view"))
+      q.processAllAvailable()
+      mem.addData((ts(5), "view")) // late beyond watermark: dropped
+      q.processAllAvailable()
+      val out = spark.table("tumb")
+        .groupBy("win_start", "event_type").agg(max("n").as("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2))).toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "view", 2L)),
+        s"late row must not bump the 10:00 window: $out")
+      assert(out.contains(("2024-01-01 10:10:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = ops.Streaming.streamingDedup(mem.toDF().toDF("event_id", "ts"))
+    val q = df.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3)), (3L, ts(4))) // 1 is a duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), ids.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streamingRunningCount keeps per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val ds = ops.Streaming.streamingRunningCount(spark, mem.toDS())
+    val q = ds.toDF("user_id", "n").writeStream.format("memory")
+      .queryName("runcount").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((7L, ts(1)), (7L, ts(2)), (8L, ts(3)))
+      q.processAllAvailable()
+      mem.addData((7L, ts(4)))
+      q.processAllAvailable()
+      val last = spark.table("runcount")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(last == Map(7L -> 3L, 8L -> 1L), last.toString)
+    } finally q.stop()
+  }
+
+  test("batch session_window matches the gaps-and-islands formulation") {
+    // same data, two formulations — the oracle-side SQL logic re-expressed
+    // on DataFrames must agree with session_window
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(50)), // gap 40min -> 2 sessions
+      (2L, ts(5))).toDF("user_id", "ts")
+    val sess = rows.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2))).toSet
+    assert(sess == Set(
+      (1L, "2024-01-01 10:00:00.0", 2L),
+      (1L, "2024-01-01 10:50:00.0", 1L),
+      (2L, "2024-01-01 10:05:00.0", 1L)), sess.toString)
+  }
+}
