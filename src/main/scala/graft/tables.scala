@@ -29,13 +29,16 @@ object Tables {
     * reader rejects. Read the nanos as long and truncate to micros —
     * exactly what DuckDB does when it loads the same file into its
     * microsecond TIMESTAMP — so both engines see identical instants.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session construction (Verify/Bench/SparkSpec builders) — a loader
+    * must never mutate session config as a plan-build side effect (racy
+    * across concurrent queries, leaks into unrelated reads).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     t(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

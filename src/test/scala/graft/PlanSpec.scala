@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 
 /** Plan-shape assertions (SURVEY.md §5.2 item 3): semantics that live in
@@ -10,12 +10,36 @@ import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
   * parquet scan, column pruning effective, limit+sort fused. These are the
   * 100 TB guarantees: each one is the difference between a plan that scales
   * and one that merely passes at sf0.001.
+  *
+  * AQE discipline (round-1 verdict): with adaptive execution on, the
+  * pre-execution plan is a single opaque `AdaptiveSparkPlan` leaf — every
+  * assertion here first MATERIALIZES the query, then unwraps
+  * `AdaptiveSparkPlanExec.executedPlan` and walks the real final plan.
+  * Asserting on the un-executed plan is vacuously true/false.
   */
 class PlanSpec extends SparkSpec {
 
-  private def physical(name: String): SparkPlan = {
+  /** Materialize through the noop sink, then return the final
+    * (post-adaptive) physical plan.
+    */
+  private def finalPlan(name: String): SparkPlan = {
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.queryExecution.executedPlan
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Collect from the final plan, recursing through reused/adaptive
+    * subtrees (AQE nests further AdaptiveSparkPlanExec under exchanges).
+    */
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collectWithSubqueries {
+      case q if pf.isDefinedAt(q) => Seq(pf(q))
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+    }.flatten
+    here
   }
 
   private def planString(name: String): String =
@@ -24,13 +48,11 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   test("join_broadcast plans a BroadcastHashJoin (fact side never shuffles)") {
-    val plan = physical("join_broadcast")
-    val hasBhj = plan.collectWithSubqueries {
+    val bhjs = collectAll(finalPlan("join_broadcast")) {
       case b: BroadcastHashJoinExec => b
-      case a: AdaptiveSparkPlanExec => a
-    }.nonEmpty
-    assert(hasBhj || planString("join_broadcast").contains("BroadcastHashJoin"),
-      s"expected broadcast hash join in:\n${planString("join_broadcast")}")
+    }
+    assert(bhjs.nonEmpty,
+      s"expected BroadcastHashJoinExec in final plan:\n${finalPlan("join_broadcast")}")
   }
 
   test("project_filter pushes the predicate into the parquet scan") {
@@ -61,8 +83,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the flagship aggregation") {
-    val s = planString("agg_groupby_max")
-    assert(s.contains("WholeStageCodegen"), s)
+    // AQE applies CollapseCodegenStages per query stage at materialization,
+    // outside `executedPlan` — the post-execution formatted explain is the
+    // only stable surface that shows the codegen spans. With AQE disabled
+    // for this one probe, the plan itself carries WholeStageCodegenExec.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = SparkEntry.queries("agg_groupby_max")(spark, sfDir)
+      val wsc = q.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec => w
+      }
+      assert(wsc.nonEmpty,
+        s"expected WholeStageCodegenExec in:\n${q.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("queries/oracleSql contract: every oracle key has a query") {
@@ -74,12 +108,13 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("single-shuffle windows: win_topk_per_group exchanges exactly once") {
-    val plan = physical("win_topk_per_group")
-    val exchanges = plan.collectWithSubqueries { case e: Exchange => e }
+  test("single-shuffle windows: win_topk_per_group exchanges at most twice") {
+    val shuffles = collectAll(finalPlan("win_topk_per_group")) {
+      case e: ShuffleExchangeLike => e
+    }
     // one shuffle for the window partition key; the final presentation
     // orderBy adds a range exchange — anything beyond 2 is a regression
-    assert(exchanges.size <= 2,
-      s"expected <=2 exchanges, got ${exchanges.size}:\n${planString("win_topk_per_group")}")
+    assert(shuffles.size <= 2 && shuffles.nonEmpty,
+      s"expected 1-2 shuffles, got ${shuffles.size}:\n${finalPlan("win_topk_per_group")}")
   }
 }
