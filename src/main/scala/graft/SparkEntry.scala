@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Fn.queries ++
-      ops.Streaming.queries
+      ops.Streaming.queries ++ ops.Text.queries ++ ops.Similarity.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -27,5 +27,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Fn.oracle ++
-      ops.Streaming.oracle
+      ops.Streaming.oracle ++ ops.Text.oracle ++ ops.Similarity.oracle
 }

@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text / LLM-data-pipeline operators over the `documents` table
+  * (SURVEY.md §2.3 north-star rows: dedup_*, text_*).
+  *
+  * The reference's only text machinery is "pipe lines through a user
+  * script" (`Worker/worker.py:72-101`); these are the operators a
+  * training-data pipeline actually runs at 100 TB — dedup, tokenization,
+  * TF-IDF, language ID, quality scoring, fingerprinting — each expressed
+  * as a declarative DataFrame program built purely from codegen'd
+  * built-ins (split / explode / higher-order array functions). No UDFs:
+  * every lambda below is a Catalyst `LambdaFunction`, so the whole pipeline
+  * stays inside whole-stage codegen and is oracle-checkable in DuckDB.
+  *
+  * Scale notes (100 TB posture):
+  *  - `dedup_exact` groups on a 256-bit content hash — the shuffle key is
+  *    32 bytes regardless of document size, and min/count partial-aggregate
+  *    map-side, so the shuffle carries one row per distinct hash per
+  *    partition, not the corpus.
+  *  - `dedup_near_minhash` NEVER forms all pairs: candidates come from a
+  *    self-join on (band, band-hash) buckets — O(collisions), not O(n²) —
+  *    then only candidates pay the exact-Jaccard verification. At 100 TB
+  *    add band salting for hot buckets (SURVEY.md §7.5 item 1) and cache
+  *    the shingle relation instead of recomputing it per join branch.
+  *  - `text_tokens_topn` is explode → partial-agg count → TakeOrdered:
+  *    the classic word-count; the shuffle carries (token, partial count).
+  *  - `text_tfidf` joins token counts to doc frequencies — both sides are
+  *    aggregates, orders of magnitude smaller than the corpus.
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Documents tokenized on single spaces (the corpus convention —
+    * `documents.text` is space-separated tokens, FIXTURES.md §B).
+    */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Word 3-gram shingle set (distinct), the unit of near-dup Jaccard. */
+  private def shingleCol: Column = {
+    val t = toks
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(t) - 3, lit(0))),
+      i => concat_ws(" ",
+        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+  }
+
+  private val MinhashK = 128 // signature length
+  private val Bands    = 16  // LSH bands ...
+  private val Rows     = 8   // ... of 8 rows: P(miss | jac=0.97) ≈ 3e-11
+
+  /** English stopword probe set for the language-ID heuristic. */
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+    "for", "with")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup on content hash, keep-first (minimum doc_id). The input
+    // corpus is documents ∪ a deterministic "re-crawl" of every 10th doc
+    // (re-tagged +10000) so the operator demonstrably drops real
+    // duplicates — the raw table is duplicate-free by construction.
+    "dedup_exact" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      base.unionByName(recrawl)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
+    // Signature: 128 minima of per-index xxhash64 over the shingle set;
+    // bands of 8 rows hashed to bucket keys; candidate pairs = bucket
+    // self-join; each candidate pays one exact Jaccard check (≥ 0.5).
+    // The oracle is brute-force all-pairs Jaccard — green iff LSH has no
+    // false negatives at the threshold (planted pairs sit at ≥ 0.97).
+    "dedup_near_minhash" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), shingleCol.as("shingles"))
+      val sig = sh.select(col("doc_id"), col("shingles"),
+        transform(sequence(lit(0), lit(MinhashK - 1)),
+          i => array_min(transform(col("shingles"), sg => xxhash64(i, sg))))
+          .as("sig"))
+      val bands = sig.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+            j => xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bhash")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .withColumn("jac",
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / size(array_union(col("sa"), col("sb"))), 4))
+        .filter(col("jac") >= 0.5)
+        .select(col("a"), col("b"), col("jac"))
+        .orderBy("a", "b")
+    }),
+
+    // Canonical word-count: global top-50 tokens with deterministic
+    // (count DESC, token) cut. Plans explode → partial+final HashAggregate
+    // → TakeOrderedAndProject.
+    "text_tokens_topn" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(toks).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
+    // Per-(doc, token) TF-IDF. N comes from a broadcast single-row
+    // aggregate (no driver-side .count() action in the operator path).
+    "text_tfidf" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("dfr"))
+      val n = documents(s, d)
+        .agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"),
+          round(col("tf") * log(col("n_docs") / col("dfr")), 4).as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // Language slice + per-language length stats over the typed lang tag.
+    "text_lang_filter" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("lang").isin("en", "es"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          sum(col("n_chars")).as("tot_chars"))
+        .orderBy("lang")),
+
+    // Language-ID heuristic: English stopword hit-ratio over the token
+    // stream (the n-gram-free fallback classifier a cleaning pipeline runs
+    // before model-based langid).
+    "text_langid" -> ((s, d) => {
+      val t = toks
+      documents(s, d)
+        .select(col("doc_id"), size(t).as("n_tok"),
+          size(filter(t, tk => tk.isInCollection(EnStop))).as("en_hits"))
+        .withColumn("stop_ratio",
+          round(col("en_hits").cast("double") / col("n_tok"), 4))
+        .withColumn("pred_lang",
+          when(col("en_hits").cast("double") / col("n_tok") >= 0.02, "en")
+            .otherwise("und"))
+        .select(col("doc_id"), col("n_tok"), col("en_hits"),
+          col("stop_ratio"), col("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token count, type/token ratio, and a bounded
+    // composite score — the filter signal for corpus cleaning.
+    "text_quality" -> ((s, d) => {
+      val t = toks
+      documents(s, d)
+        .select(col("doc_id"), size(t).as("n_tok"),
+          size(array_distinct(t)).as("n_uniq"))
+        .withColumn("uniq_ratio",
+          round(col("n_uniq").cast("double") / col("n_tok"), 4))
+        .withColumn("score",
+          round(least(col("n_tok").cast("double") / 80.0, lit(1.0)) * 0.5
+            + (col("n_uniq").cast("double") / col("n_tok")) * 0.5, 4))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: order-sensitive polynomial rolling hash over
+    // the token stream (seed 7, base 31, mod 1e9+7); token atom =
+    // ascii(first char)*131 + length. Pure integer arithmetic — identical
+    // in any engine — and a left fold, so token ORDER matters (unlike the
+    // shingle-set ops). The cheap O(n) near-dup prefilter.
+    "text_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(toks, tk => (ascii(tk) * 131 + length(tk)).cast("long")),
+            lit(7L),
+            (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  private def stopList: String = EnStop.map("'" + _ + "'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_near_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, greatest(len(t) - 1, 2))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(a.s || b.s)), 4) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM pairs WHERE jac >= 0.5 ORDER BY a, b""".stripMargin,
+    "text_tokens_topn" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0 GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfr FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf,
+        |  round(tf.tf * ln(n.n_docs / dfreq.dfr), 4) AS tfidf
+        |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
+    "text_lang_filter" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |FROM documents WHERE lang IN ('en', 'es')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+         |  CAST(len(list_filter(t, tk -> tk IN ($stopList))) AS INTEGER)
+         |    AS en_hits,
+         |  round(len(list_filter(t, tk -> tk IN ($stopList)))::DOUBLE
+         |        / len(t), 4) AS stop_ratio,
+         |  CASE WHEN len(list_filter(t, tk -> tk IN ($stopList)))::DOUBLE
+         |            / len(t) >= 0.02
+         |       THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+        |  CAST(len(list_distinct(t)) AS INTEGER) AS n_uniq,
+        |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS uniq_ratio,
+        |  round(least(len(t)::DOUBLE / 80.0, 1.0) * 0.5
+        |        + (len(list_distinct(t))::DOUBLE / len(t)) * 0.5, 4) AS score
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT,
+        |      [(ascii(tk) * 131 + length(tk))::BIGINT
+        |       for tk in string_split(text, ' ')]),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

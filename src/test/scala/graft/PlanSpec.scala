@@ -108,6 +108,15 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dedup_near_minhash candidates come from an equi-join, never a cartesian") {
+    val cart = collectAll(finalPlan("dedup_near_minhash")) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty,
+      "LSH candidate generation must join on (band, bhash) buckets — a " +
+        "cartesian product here is the O(n²) all-pairs plan that dies at scale")
+  }
+
   test("single-shuffle windows: win_topk_per_group exchanges at most twice") {
     val shuffles = collectAll(finalPlan("win_topk_per_group")) {
       case e: ShuffleExchangeLike => e
