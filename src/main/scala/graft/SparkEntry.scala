@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Fn.queries ++
-      ops.Streaming.queries ++ ops.Text.queries ++ ops.Similarity.queries
+      ops.Streaming.queries ++ ops.Text.queries ++ ops.Similarity.queries ++
+      ops.Mr.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -27,5 +28,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Fn.oracle ++
-      ops.Streaming.oracle ++ ops.Text.oracle ++ ops.Similarity.oracle
+      ops.Streaming.oracle ++ ops.Text.oracle ++ ops.Similarity.oracle ++
+      ops.Mr.oracle
 }

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The reference's arbitrary-user-code surface (SURVEY.md §2.3 rows
+  * `agg_streaming_fold`, `udf_scalar`, `udaf_typed`, `udtf_explode`,
+  * `pipe_script`, plus the `MrJob` facade of §3.3).
+  *
+  * YaMR's entire query model is "ship me a map script and a reduce script"
+  * (`Worker/worker.py:72-101` mapper exec, `:173-208` reducer exec). Spark
+  * subsumes each piece:
+  *  - streaming map over partitioned text  → `Dataset.flatMap` /
+  *    `rdd.pipe` (exact Hadoop-Streaming parity, external process)
+  *  - hash shuffle on first-comma key      → `repartition(W, $"k")`
+  *  - per-partition lexicographic sort     → `sortWithinPartitions`
+  *  - keyed streaming reduce over the run  → `mapPartitions` fold /
+  *    typed `Aggregator`
+  *
+  * Scale notes: `MrJob.run` is ONE shuffle (repartition+sortWithinPartitions
+  * is Spark's repartitionAndSortWithinPartitions shape: the sort happens in
+  * the shuffle read path, spillable via UnsafeExternalSorter — unlike the
+  * reference's whole-run in-RAM `list.sort()`, `Worker/worker.py:179-183`).
+  * The reduce is a constant-memory streaming fold per partition. Typed
+  * `Aggregator`s plan partial+final aggregation, so map-side combine —
+  * absent in the reference (SURVEY.md §4.1) — applies automatically.
+  */
+object Mr {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shuffle key of a map-output line: text before the FIRST comma
+    * (`Worker/worker.py:122`; keys containing commas truncate — compat).
+    */
+  def keyOf(line: String): String = line.takeWhile(_ != ',')
+
+  /** Hadoop-Streaming-shaped job, the reference's §3.3 pipeline:
+    * map each input line to 0..N "key,value" lines, hash-partition on the
+    * key into `reducers` runs, sort each run lexicographically on the WHOLE
+    * line (O5 semantics — groups equal keys contiguously because the
+    * "key," prefix determines order), then stream each sorted run through
+    * `reduceRun` exactly as the reference pipes it through the reducer
+    * script. Returns the reduce-output lines (un-merged; READ's global
+    * sort is the caller's presentation step, as in the reference).
+    */
+  def run(spark: SparkSession, lines: Dataset[String],
+          mapLine: String => IterableOnce[String],
+          reducers: Int,
+          reduceRun: Iterator[String] => Iterator[String]): Dataset[String] = {
+    import spark.implicits._
+    lines.flatMap(mapLine)
+      .map(l => (keyOf(l), l)).toDF("k", "line")
+      .repartition(reducers, col("k"))
+      .sortWithinPartitions("line")
+      .select("line").as[String]
+      .mapPartitions(reduceRun)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // The reducer contract as a typed fold (O6, `reducer.py:16-40`):
+    // order-dependent per-key streaming MAX via a typed Aggregator.
+    // Shares the flagship oracle — fold(max) ≡ groupBy.max.
+    "agg_streaming_fold" -> ((s, d) => {
+      import s.implicits._
+      val maxAgg = new Aggregator[Double, Double, Double] {
+        def zero: Double = Double.NegativeInfinity
+        def reduce(b: Double, a: Double): Double = math.max(b, a)
+        def merge(x: Double, y: Double): Double = math.max(x, y)
+        def finish(r: Double): Double = r
+        def bufferEncoder = Encoders.scalaDouble
+        def outputEncoder = Encoders.scalaDouble
+      }
+      lineitem(s, d)
+        .select($"l_returnflag".as[String], $"l_extendedprice".as[Double])
+        .groupByKey(_._1).mapValues(_._2).agg(maxAgg.toColumn.name("mx"))
+        .toDF("l_returnflag", "mx")
+        .select($"l_returnflag", round($"mx", 4).as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // User scalar function (the "mapper as a function", O3). A Scala UDF is
+    // an opaque box to Catalyst — no codegen, no pushdown through it — so
+    // the engine's rule is: native Column exprs first, UDF only for truly
+    // arbitrary user code. This entry exists to cover that surface.
+    "udf_scalar" -> ((s, d) => {
+      val prio = udf((p: String) => p.split("-")(0).trim.toInt)
+      orders(s, d)
+        .select(col("o_orderkey"), prio(col("o_orderpriority")).as("prio_num"))
+        .orderBy("o_orderkey")
+    }),
+
+    // User aggregate (the "reducer as a fold", O6) registered through
+    // functions.udaf and used like a built-in: sum of squares per group.
+    "udaf_typed" -> ((s, d) => {
+      import s.implicits._
+      val sumSq = new Aggregator[Double, Double, Double] {
+        def zero: Double = 0.0
+        def reduce(b: Double, a: Double): Double = b + a * a
+        def merge(x: Double, y: Double): Double = x + y
+        def finish(r: Double): Double = r
+        def bufferEncoder = Encoders.scalaDouble
+        def outputEncoder = Encoders.scalaDouble
+      }
+      val f = udaf(sumSq)
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(f(col("l_quantity")), 4).as("sum_qty_sq"))
+        .orderBy("l_returnflag")
+    }),
+
+    // 1→N row generator (a map script may emit 0..N lines per input line):
+    // positional tokenizer via the built-in generator — `posexplode` is the
+    // codegen'd form of a UDTF; `flatMap` is the typed escape hatch.
+    "udtf_explode" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token")
+        .filter(length(col("token")) > 0)
+        .orderBy("doc_id", "pos")),
+
+    // Full Hadoop-Streaming parity (O3): pipe partition lines through an
+    // external process over stdin/stdout — the reference's exact exec model
+    // (`Popen(['python', mapper], stdin=chunk)`, `Worker/worker.py:88-96`).
+    // The script is deterministic (pure line transform), so this entry is
+    // oracle-checkable, unlike arbitrary pipes (SURVEY.md §7.5 item 3).
+    "pipe_script" -> ((s, d) => {
+      import s.implicits._
+      val script = "import sys\n" +
+        "for line in sys.stdin:\n" +
+        "    print(line.strip().upper())"
+      val lines = nation(s, d)
+        .select(concat_ws(",", col("n_name"), col("n_nationkey")).as("line"))
+        .as[String]
+      lines.rdd.pipe(Seq("python3", "-c", script))
+        .toDF("line")
+        .orderBy("line")
+    }),
+
+    // Partition-local sort (O5, `Worker/worker.py:179-183`): W hash runs,
+    // each sorted on the key — the physical shape every MR reduce consumes.
+    // No global observable (rows-only driver check); the per-partition
+    // ordering + co-location contract is asserted in MrSpec.
+    "sort_within_partitions" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")),
+
+    // The canonical MR demo — word count — run THROUGH the MrJob facade:
+    // tokenize-map emits "token,1", the reduce run streams each sorted key
+    // group and counts. Oracle-gated: the facade must agree with SQL.
+    "mr_wordcount" -> ((s, d) => {
+      import s.implicits._
+      val lines = documents(s, d).select(col("text")).as[String]
+      val out = run(s, lines,
+        mapLine = _.split(" ").iterator.filter(_.nonEmpty).map(t => s"$t,1"),
+        reducers = 8,
+        reduceRun = runLines => new WordCountReduce(runLines))
+      out.map { l =>
+        val i = l.lastIndexOf(',')
+        (l.substring(0, i), l.substring(i + 1).toLong)
+      }.toDF("token", "n").orderBy("token")
+    })
+  )
+
+  /** Streaming per-key counter over a sorted run — the reducer-script
+    * contract (`reducer.py:16-40`): detect key changes, emit on boundary,
+    * constant memory.
+    */
+  private final class WordCountReduce(in: Iterator[String])
+      extends Iterator[String] {
+    private val buf = in.buffered
+    def hasNext: Boolean = buf.hasNext
+    def next(): String = {
+      val key = keyOf(buf.head)
+      var n = 0L
+      while (buf.hasNext && keyOf(buf.head) == key) {
+        buf.next(); n += 1
+      }
+      s"$key,$n"
+    }
+  }
+
+  val oracle: Map[String, String] = Map(
+    "agg_streaming_fold" ->
+      """SELECT l_returnflag, round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "udf_scalar" ->
+      """SELECT o_orderkey,
+        |  CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS prio_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "udaf_typed" ->
+      """SELECT l_returnflag, round(sum(l_quantity * l_quantity), 4)
+        |  AS sum_qty_sq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "udtf_explode" ->
+      """SELECT doc_id, pos, token FROM (
+        |  SELECT doc_id,
+        |    CAST(unnest(generate_series(0, len(t) - 1)) AS INTEGER) AS pos,
+        |    unnest(t) AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |WHERE length(token) > 0 ORDER BY doc_id, pos""".stripMargin,
+    "pipe_script" ->
+      """SELECT upper(n_name || ',' || CAST(n_nationkey AS VARCHAR)) AS line
+        |FROM nation ORDER BY line""".stripMargin,
+    "mr_wordcount" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0 GROUP BY token ORDER BY token""".stripMargin
+    // sort_within_partitions: rows-only (no global observable; per-partition
+    // ordering asserted in MrSpec).
+  )
+}

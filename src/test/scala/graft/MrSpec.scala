@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.compat.Flagship
+import graft.ops.Mr
+
+/** MR compat surface tests: the flagship golden-file byte-diff (SURVEY.md
+  * §5.2 item 2) and the partition-contract probes (§5.2 item 3).
+  */
+class MrSpec extends SparkSpec {
+
+  private def resourcePath(name: String): String =
+    getClass.getResource(s"/reference/$name").getPath
+
+  test("flagship MR job byte-matches the reference golden output") {
+    val got = Flagship.run(spark, resourcePath("data.txt"))
+    val goldenBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(resourcePath("data_part-00000.txt")))
+    val golden = new String(goldenBytes, java.nio.charset.StandardCharsets.UTF_8)
+    assert(got.mkString("", "\n", "\n") == golden,
+      s"flagship output diverged from golden:\n${got.mkString("\n")}")
+  }
+
+  test("flagship reproduces the documented quirks (Los row, float repr)") {
+    val got = Flagship.run(spark, resourcePath("data.txt"))
+    assert(got.contains("Los,164.5"), "stray-tab row must surface as location 'Los'")
+    assert(got.contains("San Francisco,388.3"), "float repr must be shortest (388.3, not 388.30)")
+    assert(got.size == 40)
+  }
+
+  test("sort_within_partitions: keys co-located and each partition ordered") {
+    import spark.implicits._
+    val df = SparkEntry.queries("sort_within_partitions")(spark, sfDir)
+    val probe = df
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val rows = it.toVector
+        val sorted = rows == rows.sortBy(identity)
+        Iterator((sorted, rows.map(_._1).distinct.toSet))
+      }
+      .collect()
+    assert(probe.forall(_._1), "every partition must be sorted on (key, line)")
+    // hash partitioning: no l_orderkey may appear in two partitions
+    val all = probe.flatMap(_._2)
+    assert(all.length == all.distinct.length,
+      "a key appearing in two partitions breaks the reduce contract")
+  }
+
+  test("MrJob: any valid partitioner yields identical final results (W-swappability)") {
+    import spark.implicits._
+    val lines = spark.createDataset(Seq(
+      "a\t1", "b\t2", "a\t3", "c\t4", "b\t5", "a\t6"))
+    def job(w: Int): Seq[String] = {
+      val out = Mr.run(spark, lines,
+        mapLine = l => { val f = l.split("\t"); Iterator(s"${f(0)},${f(1)}") },
+        reducers = w,
+        reduceRun = it => {
+          val b = it.buffered
+          new Iterator[String] {
+            def hasNext = b.hasNext
+            def next() = {
+              val k = Mr.keyOf(b.head)
+              var n = 0L
+              while (b.hasNext && Mr.keyOf(b.head) == k) { b.next(); n += 1 }
+              s"$k,$n"
+            }
+          }
+        })
+      out.orderBy("value").as[String].collect().toSeq
+    }
+    val expected = Seq("a,3", "b,2", "c,1")
+    assert(job(1) == expected && job(3) == expected && job(7) == expected,
+      "reduce results must be invariant to the partition count / hash fn " +
+        "(YaMR-1.pdf modular-hash requirement)")
+  }
+}
