@@ -36,18 +36,8 @@ object Relational {
       region(s, d).select(col("r_regionkey"), col("r_name"))
         .orderBy("r_regionkey")),
 
-    // Delimited-text parsing with a declared schema (the reference's TSV
-    // convention, `mapper.py:3-23`): serialize rows to CSV lines, then parse
-    // back with `from_csv` — exercises the text->typed-row path end to end
-    // without leaving the distributed plan.
-    "scan_csv_schema" -> ((s, d) =>
-      region(s, d)
-        .select(concat_ws(",", col("r_regionkey"), col("r_name")).as("line"))
-        .select(from_csv(col("line"), lit("r_regionkey INT, r_name STRING"),
-          Map.empty[String, String].asJava).as("r"))
-        .select(col("r.r_regionkey").as("r_regionkey"),
-                col("r.r_name").as("r_name"))
-        .orderBy("r_regionkey")),
+    // (scan_csv_schema moved to ops.IO: it now scans a real delimited file
+    // on disk — round-1 verdict item 10.)
 
     // JSON-lines field extraction (typed `from_json`, codegen-friendly).
     "scan_json_lines" -> ((s, d) =>
@@ -286,8 +276,6 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
-    "scan_csv_schema" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_json_lines" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -406,13 +394,4 @@ object Relational {
         |SELECT o_custkey AS custkey FROM orders
         |ORDER BY custkey""".stripMargin
   )
-
-  // java interop for the from_csv options map
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val j = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => j.put(k, v) }
-      j
-    }
-  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+/** Ingest/egress contracts (SURVEY.md §2.3 scans/sinks): the O1 chunking
+  * shape (W part-files) and the O2 text scan of the reference's own input.
+  */
+class IoSpec extends SparkSpec {
+
+  test("scan_text reads the reference data.txt (50 records, sorted)") {
+    val df = SparkEntry.queries("scan_text")(spark, sfDir)
+    val rows = df.collect().map(_.getString(0))
+    assert(rows.length == 50)
+    assert(rows.sameElements(rows.sorted), "READ presents lines in string order")
+    assert(rows.exists(_.contains("Las Vegas")))
+  }
+
+  test("sink_partitioned_text writes exactly W=3 part-files (O1 chunking)") {
+    SparkEntry.queries("sink_partitioned_text")(spark, sfDir).count()
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_io_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_text").toString
+    assert(ops.IO.partFileCount(dir) == 3,
+      s"expected 3 chunks ≡ 3 workers, got ${ops.IO.partFileCount(dir)}")
+  }
+
+  test("sink_parquet roundtrip preserves rows and schema") {
+    val df = SparkEntry.queries("sink_parquet")(spark, sfDir)
+    assert(df.count() == 5)
+    assert(df.schema.fieldNames.toSeq == Seq("r_regionkey", "r_name"))
+  }
+
+  test("scan_csv_schema scans a real delimited file with declared types") {
+    val df = SparkEntry.queries("scan_csv_schema")(spark, sfDir)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("r_regionkey", "int"), ("r_name", "string")))
+    assert(df.count() == 5)
+  }
+}
