@@ -22,14 +22,29 @@ object Windows {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // rank / dense_rank / row_number per group. rank+dense_rank are
-    // tie-stable by definition; row_number gets a full tiebreak so the
-    // result is a pure function of the data.
+    // rank / dense_rank / row_number per group, top-50. l_returnflag has
+    // ~3 distinct values, so a single window partitioned on it funnels the
+    // whole fact table into 3 sort tasks — a scale-killer at 100 TB
+    // (round-1 verdict). Two-phase top-k instead:
+    //   phase 1: local top-50 per (flag, input-partition) — the window key
+    //     has 3×P values, so the full-data shuffle spreads over all
+    //     reducers and each task sorts ~1/P of the data;
+    //   phase 2: the global flag-window runs over ≤ 50×P survivors.
+    // Lossless for all three ranks: the phase-1 cut uses the same total
+    // order, and a dropped row (a) can never reach the global top-50 and
+    // (b) ties on the full ORDER BY with no kept row, so rank()/
+    // dense_rank() of every surviving row are unchanged.
     "win_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
-                 col("l_linenumber"))
+      val ord: Array[org.apache.spark.sql.Column] = Array(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val localW = Window
+        .partitionBy(col("l_returnflag"), spark_partition_id())
+        .orderBy(ord: _*)
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
       lineitem(s, d)
+        .withColumn("lrn", row_number().over(localW))
+        .filter(col("lrn") <= 50)
+        .drop("lrn")
         .withColumn("rnk", rank().over(w))
         .withColumn("drnk", dense_rank().over(w))
         .withColumn("rn", row_number().over(w))

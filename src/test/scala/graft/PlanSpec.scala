@@ -117,6 +117,15 @@ class PlanSpec extends SparkSpec {
         "cartesian product here is the O(n²) all-pairs plan that dies at scale")
   }
 
+  test("join_asof plans as a union-stream window: no join node, no amplification") {
+    val joins = collectAll(finalPlan("join_asof")) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      "as-of must be the union+last(ignoreNulls) plan — a join node here " +
+        "re-introduces the O(events × orders-per-user) intermediate")
+  }
+
   test("single-shuffle windows: win_topk_per_group exchanges at most twice") {
     val shuffles = collectAll(finalPlan("win_topk_per_group")) {
       case e: ShuffleExchangeLike => e
