@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in partition-batched user code.
+  *
+  * The pattern a 100 TB media pipeline needs from the engine:
+  *  1. payloads travel as `BinaryType` columns inside ordinary rows —
+  *     columnar parquet stores them contiguously and column pruning means
+  *     metadata-only queries never read the bytes;
+  *  2. cheap facts (size, checksum, magic-number sniff) are codegen'd
+  *     expressions over the binary column — no user code, oracle-checkable;
+  *  3. the expensive step (decode / feature-extract) runs per PARTITION,
+  *     not per row, via `mapPartitions`, so a real implementation can
+  *     amortize a decoder/model handle across the batch — the JVM shape of
+  *     a vectorized (pandas-style) UDF.
+  *
+  * No media codecs ship in this environment, so `decodeStub` is a
+  * clearly-marked deterministic fake: it "decodes" a payload into
+  * (width, height, channel-mean) from the raw bytes. The Spark-side
+  * contract — schema, batching, partition amortization, determinism — is
+  * real and tested (MultimodalSpec); swapping the fake for libjpeg/ffmpeg
+  * changes only the function body.
+  *
+  * The corpus has no binary table, so payloads are derived at scan time:
+  * `documents.text` encoded as UTF-8 bytes stands in for an image blob.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A media row: opaque payload + the metadata a manifest would carry. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded features (the stub's output schema — what a real decoder
+    * would emit per image/frame).
+    */
+  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                                 mean_byte: Double)
+
+  /** Deterministic fake decode: width/height from payload length, channel
+    * mean over the raw bytes. STUB — stands in for an image decoder; the
+    * signature (bytes in, fixed-schema features out) is the contract.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
+    val n = payload.length
+    val w = math.max(1, n % 640)
+    val h = math.max(1, (n / 7) % 480)
+    val mean = if (n == 0) 0.0
+      else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+    (w, h, mean)
+  }
+
+  /** Partition-batched feature extraction: one decoder "handle" per
+    * partition (here a counter standing in for an acquired native
+    * resource), each row decoded through it — the mapInPandas/
+    * mapPartitions batch shape.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // a real pipeline acquires the decoder/model once per partition here
+      rows.map { r =>
+        val (w, h, mean) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, w, h, mean)
+      }
+    }
+  }
+
+  /** documents.text as UTF-8 payload bytes — the stand-in media scan. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Metadata over opaque payloads without user code: byte length and a
+    // content digest, both codegen'd and oracle-checked. Column pruning
+    // applies: a metadata-only projection never deserializes the blob
+    // downstream of the scan.
+    "mm_meta" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("digest"))
+        .orderBy("doc_id")),
+
+    // Partition-batched decode + feature extraction through the stub.
+    // Rows-only driver check (the fake decode is engine-local user code —
+    // exactly the class of op the oracle can't express); determinism and
+    // schema are asserted in MultimodalSpec.
+    "mm_decode_features" -> ((s, d) =>
+      extractFeatures(mediaTable(s, d)).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // (DuckDB's sha256 takes VARCHAR and hashes its UTF-8 bytes — the same
+    // bytes Spark's sha2(encode(text,'UTF-8'),256) digests.)
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // mm_decode_features: rows-only (stubbed decode is engine-local).
+  )
+}
