@@ -228,16 +228,16 @@ object Relational {
         .orderBy(asc_nulls_first("l_returnflag"),
                  asc_nulls_first("l_linestatus"))),
 
-    "agg_grouping_sets" -> ((s, d) => {
-      lineitem(s, d).createOrReplaceTempView("gs_lineitem")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |       round(sum(l_quantity), 4) AS sum_qty
-          |FROM gs_lineitem
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-          |ORDER BY l_returnflag ASC NULLS FIRST,
-          |         l_linestatus ASC NULLS FIRST""".stripMargin)
-    }),
+    // GROUPING SETS through the typed API (no session-global temp view —
+    // a query builder must not mutate shared session state).
+    "agg_grouping_sets" -> ((s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+                 asc_nulls_first("l_linestatus"))),
 
     // ---- sorts / limits ---------------------------------------------------
     // Global total order = the reference's READ sort (`client.py:105-108`),
