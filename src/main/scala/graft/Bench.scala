@@ -35,8 +35,14 @@ object Bench {
     try { materialize("agg_groupby_max"); materialize("win_topk_per_group") }
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
+    // SPARK_GRAFT_ONLY=q1,q2 limits the run for local iteration; the
+    // driver leaves it unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
       val t0 = System.nanoTime()
       val ok = try { materialize(name); true } catch {
         case e: Throwable =>

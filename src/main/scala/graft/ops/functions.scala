@@ -59,18 +59,19 @@ object Fn {
           greatest(col("l_discount"), col("l_tax")).as("gmax"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // tokens materialized once (withColumn boundary) — seven references to
+    // an inline split(text) would re-split the string per expression in
+    // the interpreted HOF path
     "fn_array" -> ((s, d) =>
       documents(s, d)
+        .withColumn("t", split(col("text"), " "))
         .select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_tok"),
-          size(array_distinct(split(col("text"), " "))).as("n_uniq"),
-          array_contains(split(col("text"), " "), "spark").as("has_spark"),
-          concat_ws("-", slice(array_sort(split(col("text"), " ")), 1, 3))
-            .as("first3"),
-          element_at(array_sort(split(col("text"), " ")),
-            size(split(col("text"), " "))).as("max_tok"),
-          aggregate(transform(split(col("text"), " "),
-              t => length(t).cast("long")),
+          size(col("t")).as("n_tok"),
+          size(array_distinct(col("t"))).as("n_uniq"),
+          array_contains(col("t"), "spark").as("has_spark"),
+          concat_ws("-", slice(array_sort(col("t")), 1, 3)).as("first3"),
+          element_at(array_sort(col("t")), size(col("t"))).as("max_tok"),
+          aggregate(transform(col("t"), t => length(t).cast("long")),
             lit(0L), (acc, x) => acc + x).as("tot_chars"))
         .orderBy("doc_id")),
 

@@ -30,10 +30,20 @@ import graft.Tables._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** vec_id + embedding widened to double + precomputed L2 norm. */
+  /** vec_id + embedding widened to double + precomputed L2 norm.
+    *
+    * The corpus is rebalanced across the cluster width before the
+    * CPU-dense pair compute: a small parquet table arrives as one split,
+    * and a broadcast-NLJ streams the probe side over *input* partitions —
+    * without the repartition the entire O(n·q·dim) dot-product work runs
+    * in a single task regardless of executor count.
+    */
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      // explicit count: AQE would coalesce this byte-small shuffle back to
+      // one task, serializing the compute-bound pair stage
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("nrm",
         sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
 

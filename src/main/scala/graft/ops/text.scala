@@ -39,14 +39,24 @@ object Text {
     */
   private def toks: Column = split(col("text"), " ")
 
-  /** Word 3-gram shingle set (distinct), the unit of near-dup Jaccard. */
-  private def shingleCol: Column = {
-    val t = toks
+  /** Documents with the token array MATERIALIZED as its own column. Every
+    * multi-reference consumer must read tokens through this projection:
+    * higher-order functions are interpreted (CodegenFallback), so a
+    * `split(text)` subtree referenced inside a lambda re-splits the string
+    * once per element — O(tokens²) per row. As a materialized attribute
+    * the split runs once per row and lambda references are array reads
+    * (CollapseProject keeps the boundary: it never duplicates non-cheap
+    * expressions into multiple consumers).
+    */
+  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("t", toks)
+
+  /** Word 3-gram shingle set (distinct) over a materialized token array. */
+  private def shingleCol(t: Column): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(t) - 3, lit(0))),
       i => concat_ws(" ",
         element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-  }
 
   private val MinhashK = 128 // signature length
   private val Bands    = 16  // LSH bands ...
@@ -79,8 +89,16 @@ object Text {
     // The oracle is brute-force all-pairs Jaccard — green iff LSH has no
     // false negatives at the threshold (planted pairs sit at ≥ 0.97).
     "dedup_near_minhash" -> ((s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), shingleCol.as("shingles"))
+      // Rebalance before the CPU-dense signature compute (128 hash passes
+      // over every shingle set): a one-split input would otherwise pin the
+      // whole minhash stage to a single task. The partition count is
+      // explicit — AQE coalesces size-based shuffles of a small byte
+      // footprint back to one task, which is exactly wrong for compute-
+      // bound stages.
+      val p = s.sparkContext.defaultParallelism
+      val sh = tokenizedDocs(s, d)
+        .repartition(p, col("doc_id"))
+        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
       val sig = sh.select(col("doc_id"), col("shingles"),
         transform(sequence(lit(0), lit(MinhashK - 1)),
           i => array_min(transform(col("shingles"), sg => xxhash64(i, sg))))
@@ -152,8 +170,8 @@ object Text {
     // stream (the n-gram-free fallback classifier a cleaning pipeline runs
     // before model-based langid).
     "text_langid" -> ((s, d) => {
-      val t = toks
-      documents(s, d)
+      val t = col("t")
+      tokenizedDocs(s, d)
         .select(col("doc_id"), size(t).as("n_tok"),
           size(filter(t, tk => tk.isInCollection(EnStop))).as("en_hits"))
         .withColumn("stop_ratio",
@@ -169,8 +187,8 @@ object Text {
     // Quality scoring: token count, type/token ratio, and a bounded
     // composite score — the filter signal for corpus cleaning.
     "text_quality" -> ((s, d) => {
-      val t = toks
-      documents(s, d)
+      val t = col("t")
+      tokenizedDocs(s, d)
         .select(col("doc_id"), size(t).as("n_tok"),
           size(array_distinct(t)).as("n_uniq"))
         .withColumn("uniq_ratio",
@@ -187,10 +205,10 @@ object Text {
     // in any engine — and a left fold, so token ORDER matters (unlike the
     // shingle-set ops). The cheap O(n) near-dup prefilter.
     "text_fingerprint" -> ((s, d) =>
-      documents(s, d)
+      tokenizedDocs(s, d)
         .select(col("doc_id"),
           aggregate(
-            transform(toks, tk => (ascii(tk) * 131 + length(tk)).cast("long")),
+            transform(col("t"), tk => (ascii(tk) * 131 + length(tk)).cast("long")),
             lit(7L),
             (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
         .orderBy("doc_id"))
