@@ -44,12 +44,13 @@ object Similarity {
       // explicit count: AQE would coalesce this byte-small shuffle back to
       // one task, serializing the compute-bound pair stage
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(graft.expr.VectorExprs.dot(col("v"), col("v"))))
 
+  // fused codegen'd dot product (graft.expr.DotProduct) — the HOF
+  // composition aggregate(zip_with(·,·,*),+) computes the same fold but
+  // interpreted, with an intermediate array per pair
   private def cosine(av: Column, bv: Column, an: Column, bn: Column): Column =
-    round(aggregate(zip_with(av, bv, (x, y) => x * y), lit(0.0),
-      (acc, x) => acc + x) / (an * bn), 4)
+    round(graft.expr.VectorExprs.dot(av, bv) / (an * bn), 4)
 
   val queries: Map[String, Q] = Map(
     // Brute-force top-5 cosine neighbors for every vector. The probe side

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.VectorExprs
+
+/** Custom Catalyst expression contracts: the fused dot product must agree
+  * bit-for-bit with the higher-order-function fold it replaces (same
+  * ascending summation order) and stay inside whole-stage codegen.
+  */
+class ExprSpec extends SparkSpec {
+
+  private def vecsDf = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  test("DotProduct(v, v) equals the interpreted HOF fold exactly") {
+    val df = vecsDf.select(
+      VectorExprs.dot(col("v"), col("v")).as("fused"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("hof"))
+    assert(df.filter(col("fused") =!= col("hof")).count() == 0,
+      "fused loop must fold in the same ascending order as the HOF")
+  }
+
+  test("DotProduct generates code (no CodegenFallback in the projection)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = vecsDf.select(VectorExprs.dot(col("v"), col("v")).as("d"))
+        .queryExecution.executedPlan
+      val hasWsc = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.nonEmpty
+      assert(hasWsc, s"dot_product fell out of codegen:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("DotProduct handles dimension mismatch and empty arrays") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0d, 2.0d), array(3.0d, 4.0d, 5.0d)),
+        |  (array(), array(1.0d)),
+        |  (CAST(null AS ARRAY<DOUBLE>), array(1.0d))
+        |AS t(a, b)""".stripMargin)
+    val out = df.select(VectorExprs.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) == 11.0)     // truncates to the shorter length
+    assert(out(1) == 0.0)      // empty → 0
+    assert(out(2) == null)     // null propagates
+  }
+}
