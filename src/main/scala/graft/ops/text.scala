@@ -99,9 +99,12 @@ object Text {
       val sh = tokenizedDocs(s, d)
         .repartition(p, col("doc_id"))
         .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
+      // fused codegen signature (graft.expr.MinHashSignature): each shingle
+      // hashed once, k permutation minima in one loop — the HOF form
+      // (transform(sequence, i -> array_min(transform(shingles, xxhash))))
+      // re-hashes every shingle k times, interpreted
       val sig = sh.select(col("doc_id"), col("shingles"),
-        transform(sequence(lit(0), lit(MinhashK - 1)),
-          i => array_min(transform(col("shingles"), sg => xxhash64(i, sg))))
+        graft.expr.MinHashExprs.minhashSignature(col("shingles"), MinhashK)
           .as("sig"))
       val bands = sig.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(Bands - 1)),

@@ -35,6 +35,27 @@ class ExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("MinHashSignature: k minima, deterministic, set-semantics") {
+    import graft.expr.MinHashExprs.minhashSignature
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a b c', 'b c d', 'c d e')),
+        |  (array('c d e', 'b c d', 'a b c')),
+        |  (array('x y z'))
+        |AS t(sh)""".stripMargin)
+    val sigs = df.select(minhashSignature(col("sh"), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1),
+      "signature must depend on the shingle SET, not its order")
+    assert(sigs(0) != sigs(2))
+    // minima can only decrease as the set grows
+    val subset = spark.sql("SELECT array('a b c') AS sh")
+      .select(minhashSignature(col("sh"), 16).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(sigs(0).zip(subset).forall { case (full, sub) => full <= sub })
+  }
+
   test("DotProduct handles dimension mismatch and empty arrays") {
     val df = spark.sql(
       """SELECT * FROM VALUES
