@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expr.{DotProduct, MinHashSignature}
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Two ways in:
+  *  - cluster-wide: `spark.sql.extensions=graft.GraftExtensions` applies
+  *    at session build (the `SparkSessionExtensions` plugin point);
+  *  - per-session: `GraftFunctions.register(spark)` injects into an
+  *    already-running session (what Verify/Bench/tests use).
+  *
+  * After either, `dot_product(a, b)` and `minhash_signature(shingles, k)`
+  * are plain SQL functions — the codegen'd expressions, not UDFs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] =
+    Map(
+      "dot_product" -> (
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "dot_product(a, b) takes two arrays")
+          DotProduct(args(0), args(1))
+        }),
+      "minhash_signature" -> (
+        new ExpressionInfo(classOf[MinHashSignature].getName,
+          "minhash_signature"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "minhash_signature(shingles, k) takes an array and a literal k")
+          MinHashSignature(args(0), intLit(args(1), "k"))
+        })
+    )
+
+  /** Register the function set into a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (info, builder)) =>
+      org.apache.spark.sql.GraftSqlBridge
+        .registerFunction(spark, name, info, builder)
+    }
+}

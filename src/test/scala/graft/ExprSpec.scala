@@ -56,6 +56,18 @@ class ExprSpec extends SparkSpec {
     assert(sigs(0).zip(subset).forall { case (full, sub) => full <= sub })
   }
 
+  test("custom expressions are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 11.0)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array('a b c', 'b c d'), 8) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+
   test("DotProduct handles dimension mismatch and empty arrays") {
     val df = spark.sql(
       """SELECT * FROM VALUES
