@@ -71,6 +71,22 @@ object Similarity {
         .orderBy("vec_id", "rn")
     }),
 
+    // Embedding-cosine near-dup: pairs whose rounded cosine clears the
+    // threshold. Test-scale plan is the broadcast pair sweep (corpus is
+    // bounded); the 100 TB path buckets first — exactly `sim_ann_ivf`'s
+    // cell restriction — before the pair compute. Filter runs on the
+    // ROUNDED value so both engines cut on identical numbers.
+    "dedup_near_embedding" -> ((s, d) => {
+      val a = vecs(s, d)
+      val b = broadcast(vecs(s, d).select(col("vec_id").as("b"),
+        col("v").as("bv"), col("nrm").as("bn")))
+      a.join(b, col("vec_id") < col("b"))
+        .select(col("vec_id").as("a"), col("b"),
+          cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("a", "b")
+    }),
+
     // IVF-style ANN: restrict the search to the query's own cell (label),
     // top-3 per query. Pairs form only within a cell after one shuffle on
     // the cell id — the plan shape that survives a 1000× corpus.
@@ -93,6 +109,18 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_near_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
+        |          / (a.nrm * b.nrm), 4) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
     "sim_topk_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v

@@ -128,6 +128,39 @@ object Text {
         .orderBy("a", "b")
     }),
 
+    // SimHash near-dup: one 64-bit fingerprint per document (codegen'd
+    // single pass over the shingle set), 4-bit band blocking for candidate
+    // pairs (16 equal-band buckets guarantee recall up to hamming 15 —
+    // pigeonhole), exact hamming verification via bit_count(xor). Same
+    // LSH-shaped plan as dedup_near_minhash with a 1-word signature: the
+    // cheaper filter a pipeline runs before MinHash. Rows-only driver
+    // check (the fingerprint hash isn't expressible in the oracle);
+    // TextSpec asserts it finds exactly the planted near-dup pairs.
+    "dedup_simhash" -> ((s, d) => {
+      val p = s.sparkContext.defaultParallelism
+      val fp = tokenizedDocs(s, d)
+        .repartition(p, col("doc_id"))
+        .select(col("doc_id"),
+          graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp"))
+      val bands = fp.select(col("doc_id"), col("fp"),
+          posexplode(array((0 until 16).map(j =>
+            shiftrightunsigned(col("fp"), j * 4).bitwiseAND(15)): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bval")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("x.fp").as("fa"),
+                col("y.doc_id").as("b"), col("y.fp").as("fb"))
+        .distinct()
+      cand
+        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+        .filter(col("hamming") <= 12)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy("a", "b")
+    }),
+
     // Canonical word-count: global top-50 tokens with deterministic
     // (count DESC, token) cut. Plans explode → partial+final HashAggregate
     // → TakeOrderedAndProject.
