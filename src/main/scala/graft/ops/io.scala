@@ -82,6 +82,30 @@ object IO {
         .orderBy("r_regionkey")
     }),
 
+    // Bucketed co-located join: both sides written bucketed (+bucket-
+    // sorted) on the join key, so the join needs NO shuffle on either
+    // side — at 100 TB this is the difference between re-shuffling the
+    // fact table every query and paying the layout cost once at ingest.
+    // PlanSpec asserts the join subtree is exchange-free.
+    "join_bucketed" -> ((s, d) => {
+      val sf = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val (ot, ct) = (s"g_orders_bkt_$sf", s"g_customer_bkt_$sf")
+      orders(s, d).write.mode("overwrite")
+        .option("path", tmpDir(d, "bkt_orders"))
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ot)
+      customer(s, d).write.mode("overwrite")
+        .option("path", tmpDir(d, "bkt_customer"))
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(ct)
+      s.table(ot).join(s.table(ct),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("tot"))
+        .orderBy("c_nationkey")
+    }),
+
     // W-chunked text sink (≡ O1 WRITE, `Client/client.py:147-191`): lines
     // written as exactly W part-files (repartition(W)), then read back and
     // re-typed. Doubles survive the text roundtrip exactly — the writer
@@ -107,6 +131,11 @@ object IO {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "sink_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "join_bucketed" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS tot
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "sink_partitioned_text" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin

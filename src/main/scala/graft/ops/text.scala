@@ -235,6 +235,20 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Token counting both ways a data pipeline does it: whitespace split
+    // and a BPE-ish regex ([a-z]+ | digit runs) — the cheap budget
+    // estimator run before real tokenization. Regex kept to a dialect
+    // both engines (Java regex / RE2) parse identically.
+    "text_token_count" -> ((s, d) =>
+      tokenizedDocs(s, d)
+        .select(col("doc_id"),
+          size(col("t")).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .as("n_re"),
+          round(col("n_chars").cast("double")
+            / size(col("t")), 4).as("chars_per_tok"))
+        .orderBy("doc_id")),
+
     // Document fingerprint: order-sensitive polynomial rolling hash over
     // the token stream (seed 7, base 31, mod 1e9+7); token atom =
     // ascii(first char)*131 + length. Pure integer arithmetic — identical
@@ -313,6 +327,15 @@ object Text {
         |  round(least(len(t)::DOUBLE / 80.0, 1.0) * 0.5
         |        + (len(list_distinct(t))::DOUBLE / len(t)) * 0.5, 4) AS score
         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(t) AS INTEGER) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
+        |    AS n_re,
+        |  round(n_chars::DOUBLE / len(t), 4) AS chars_per_tok
+        |FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS t
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -126,6 +126,27 @@ class PlanSpec extends SparkSpec {
         "re-introduces the O(events × orders-per-user) intermediate")
   }
 
+  test("join_bucketed: the join subtree reads bucketed layout, no shuffle") {
+    // at sf0.001 the dimension is broadcast-sized, which would bypass the
+    // bucket layout entirely — disable broadcast so the probe exercises
+    // the bucketed sort-merge path a 100 TB fact join would take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan("join_bucketed")
+      val joins = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a sort-merge join over buckets:\n$plan")
+      val shufflesBelowJoin = joins.flatMap(j => collectAll(j) {
+        case e: ShuffleExchangeLike => e
+      })
+      assert(shufflesBelowJoin.isEmpty,
+        "bucketed-on-key sides must join without re-shuffling — a shuffle " +
+          "below the join means the bucket layout was ignored")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("single-shuffle windows: win_topk_per_group exchanges at most twice") {
     val shuffles = collectAll(finalPlan("win_topk_per_group")) {
       case e: ShuffleExchangeLike => e
