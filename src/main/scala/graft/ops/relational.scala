@@ -180,6 +180,28 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Skew-safe salted join: the fact side's join key gains a deterministic
+    // salt (derived from the row, not random — replayable plans only), the
+    // dimension side is replicated once per salt value, and the join runs
+    // on (key, salt) — a hot key's rows spread over SALTS reducers instead
+    // of one. This is the manual form of AQE's skew-join split, needed
+    // when a key is hot EVERY run (AQE re-splits per query) or when the
+    // dimension must not broadcast. Result ≡ the unsalted join (oracle).
+    "join_salted" -> ((s, d) => {
+      val salts = 8
+      val e = events(s, d)
+        .select(col("event_id"), col("user_id"),
+          pmod(xxhash64(col("event_id")), lit(salts)).as("salt"))
+      val c = customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+      e.join(c, col("user_id") === col("c_custkey")
+          && e("salt") === c("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- aggregations -----------------------------------------------------
     // Flagship (SURVEY.md §2.2): grouped MAX + ordered presentation — the
     // reference's entire example job (mapper.py + reducer.py + READ sort).
@@ -354,6 +376,10 @@ object Relational {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "agg_groupby_max" ->
       """SELECT l_returnflag, round(max(l_extendedprice), 4) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
