@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
         "re-introduces the O(events × orders-per-user) intermediate")
   }
 
+  test("text_lang_filter prunes the text column from the scan") {
+    // metadata-only text query: at 100 TB reading the document bodies for
+    // a lang/length aggregate is the difference between KBs and the corpus
+    val s = planString("text_lang_filter")
+    val read = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("lang") && read.contains("n_chars") &&
+      !read.contains("text"), s"unpruned documents scan: $read")
+  }
+
   test("join_bucketed: the join subtree reads bucketed layout, no shuffle") {
     // at sf0.001 the dimension is broadcast-sized, which would bypass the
     // bucket layout entirely — disable broadcast so the probe exercises
