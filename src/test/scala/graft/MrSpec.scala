@@ -47,6 +47,44 @@ class MrSpec extends SparkSpec {
       "a key appearing in two partitions breaks the reduce contract")
   }
 
+  test("pipe parity: external python3 reduce == native fold through MrJob") {
+    import spark.implicits._
+    // the same word-count job, once with the JVM streaming fold and once
+    // with the reduce stage as a real external python3 process over the
+    // sorted run — Hadoop-Streaming parity beyond a fixed example script
+    val lines = spark.createDataset(Seq(
+      "x y z", "y z", "z z x", "w", "x y"))
+    val mapFn = (l: String) =>
+      l.split(" ").iterator.filter(_.nonEmpty).map(t => s"$t,1")
+    val native = Mr.run(spark, lines, mapFn, 3, it => {
+      val b = it.buffered
+      new Iterator[String] {
+        def hasNext = b.hasNext
+        def next() = {
+          val k = Mr.keyOf(b.head)
+          var n = 0L
+          while (b.hasNext && Mr.keyOf(b.head) == k) { b.next(); n += 1 }
+          s"$k,$n"
+        }
+      }
+    }).orderBy("value").as[String].collect().toSeq
+    val py =
+      """import sys
+        |cur, n = None, 0
+        |for line in sys.stdin:
+        |    k = line.strip().split(',')[0]
+        |    if cur is not None and k != cur:
+        |        print(f"{cur},{n}"); n = 0
+        |    cur = k; n += 1
+        |if cur is not None:
+        |    print(f"{cur},{n}")""".stripMargin
+    val piped = Mr.run(spark, lines, mapFn, 3,
+        it => it /* sort only; reduce via pipe below */)
+      .rdd.pipe(Seq("python3", "-c", py))
+      .toDS().orderBy("value").as[String].collect().toSeq
+    assert(native == piped, s"native=$native piped=$piped")
+  }
+
   test("MrJob: any valid partitioner yields identical final results (W-swappability)") {
     import spark.implicits._
     val lines = spark.createDataset(Seq(

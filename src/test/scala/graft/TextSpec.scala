@@ -20,6 +20,49 @@ class TextSpec extends SparkSpec {
       s"simhash/minhash disagree: only-simhash=${sh -- mh} only-minhash=${mh -- sh}")
   }
 
+  test("determinism: sketch/window queries return identical results on re-run") {
+    // the class of queries where nondeterminism hides (float ranking ties,
+    // hash candidate sets, window frames) — two plans, two executions,
+    // byte-identical rows required
+    val risky = Seq("dedup_near_minhash", "dedup_simhash", "sim_topk_cosine",
+      "sim_ann_ivf", "win_rank", "text_fingerprint", "stream_session")
+    risky.foreach { name =>
+      val a = SparkEntry.queries(name)(spark, sfDir).collect()
+      val b = SparkEntry.queries(name)(spark, sfDir).collect()
+      assert(a.sameElements(b), s"$name is nondeterministic across runs")
+    }
+  }
+
+  test("LSH recall law: a 1-token mutation of any doc is always caught") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant fresh near-dups: clone 5 docs with one token replaced, append
+    // with shifted ids, and require minhash to pair every clone with its
+    // source (jaccard of a 1-token edit over >=10 tokens clears 0.5)
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // ≥30 tokens so a 1-token edit (≤3 changed shingles) keeps jaccard
+    // comfortably above the 0.5 threshold: (s-3)/(s+3) with s≥28
+    val clones = base
+      .filter($"doc_id" % 100 === 7 && size(split($"text", " ")) >= 30)
+      .select(($"doc_id" + 50000).as("doc_id"),
+        concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
+          .as("text"),
+        $"lang", $"source", $"n_chars")
+    val n = clones.count()
+    assert(n >= 3)
+    val corpus = base.unionByName(clones)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_law").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_near_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = clones.select("doc_id").as[Long].collect()
+      .map(id => (id - 50000, id)).toSet
+    assert(expected.subsetOf(pairs),
+      s"LSH missed planted mutations: ${expected -- pairs}")
+  }
+
   test("dedup_exact keeps one representative per content group") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
