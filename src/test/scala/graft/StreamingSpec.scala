@@ -77,6 +77,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming file sink: windowed counts land in parquet exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = ops.Streaming.streamingTumbling(
+      mem.toDF().toDF("ts", "event_type"))
+    // file sinks require Append mode: a window emits once its watermark
+    // passes — the exactly-once production topology (checkpoint + sink log)
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), "view"), (ts(2), "view"), (ts(11), "click"))
+      q.processAllAvailable()
+      mem.addData((ts(59), "view")) // advances watermark, finalizes windows
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$root/out")
+        .select("win_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2))).toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "view", 2L)), out.toString)
+      assert(out.contains(("2024-01-01 10:10:00.0", "click", 1L)), out.toString)
+    } finally q.stop()
+  }
+
   test("batch session_window matches the gaps-and-islands formulation") {
     // same data, two formulations — the oracle-side SQL logic re-expressed
     // on DataFrames must agree with session_window
