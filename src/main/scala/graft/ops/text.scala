@@ -254,6 +254,8 @@ object Text {
     // ascii(first char)*131 + length. Pure integer arithmetic — identical
     // in any engine — and a left fold, so token ORDER matters (unlike the
     // shingle-set ops). The cheap O(n) near-dup prefilter.
+    "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
+
     "text_fingerprint" -> ((s, d) =>
       tokenizedDocs(s, d)
         .select(col("doc_id"),
@@ -266,7 +268,44 @@ object Text {
 
   private def stopList: String = EnStop.map("'" + _ + "'").mkString(", ")
 
+  /** The composed cleaning pipeline a training-data run executes end to
+    * end: verified near-dup pairs (the `dedup_near_minhash` plan) pick a
+    * survivor per pair (keep the lower doc_id), then a quality gate
+    * (≥ 20 tokens) trims the remainder, and the output is per-language
+    * corpus stats. One declarative plan — Catalyst fuses the stages — and
+    * one oracle: the same pipeline over brute-force pairs in SQL.
+    */
+  private def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val dropIds = queries("dedup_near_minhash")(s, d)
+      .select(col("b").as("doc_id")).distinct()
+    tokenizedDocs(s, d)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .filter(size(col("t")) >= 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, greatest(len(t) - 1, 2))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(a.s || b.s)), 4) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |drops AS (SELECT DISTINCT b AS doc_id FROM pairs WHERE jac >= 0.5)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |  AND len(string_split(text, ' ')) >= 20
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
