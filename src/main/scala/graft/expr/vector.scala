@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Summation order is ascending index — identical to the HOF fold it
   * replaces and to the DuckDB oracle's list order, so results are
-  * bit-identical and the oracle SQL is unchanged.
+  * bit-identical and the oracle SQL is unchanged. Null semantics also
+  * mirror the HOF exactly (a requirement for [[FuseDotProduct]] to be a
+  * valid rewrite): mismatched lengths or any null element yield NULL,
+  * the same poisoning `zip_with` padding + null-propagating `*`/`+`
+  * produce; an empty pair yields the fold's zero, 0.0.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -28,14 +32,20 @@ case class DotProduct(left: Expression, right: Expression)
   // widen floats first); analysis still type-checks children as arrays
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -45,10 +55,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -19,10 +19,12 @@ import graft.expr.{DotProduct, MinHashSignature}
   * are plain SQL functions — the codegen'd expressions, not UDFs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.expr.FuseDotProduct)
+  }
 }
 
 object GraftFunctions {

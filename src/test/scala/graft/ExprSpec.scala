@@ -68,17 +68,38 @@ class ExprSpec extends SparkSpec {
     assert(sig.length == 8)
   }
 
-  test("DotProduct handles dimension mismatch and empty arrays") {
+  test("DotProduct null semantics mirror the HOF idiom exactly") {
     val df = spark.sql(
       """SELECT * FROM VALUES
+        |  (array(1.0d, 2.0d), array(3.0d, 4.0d)),
         |  (array(1.0d, 2.0d), array(3.0d, 4.0d, 5.0d)),
-        |  (array(), array(1.0d)),
+        |  (array(CAST(null AS DOUBLE), 2.0d), array(3.0d, 4.0d)),
+        |  (CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)),
         |  (CAST(null AS ARRAY<DOUBLE>), array(1.0d))
         |AS t(a, b)""".stripMargin)
-    val out = df.select(VectorExprs.dot(col("a"), col("b")).as("d"))
+    val fused = df.select(VectorExprs.dot(col("a"), col("b")).as("d"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
-    assert(out(0) == 11.0)     // truncates to the shorter length
-    assert(out(1) == 0.0)      // empty → 0
-    assert(out(2) == null)     // null propagates
+    val hof = df.select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(fused.toSeq == hof.toSeq, s"fused=${fused.toSeq} hof=${hof.toSeq}")
+    assert(fused.toSeq == Seq(11.0, null, null, 0.0, null))
+  }
+
+  test("FuseDotProduct rewrites the HOF idiom into the fused expression") {
+    graft.expr.GraftOptimizations.install(spark)
+    val df = vecsDf.select(
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"),
+      s"expected the rule to fuse the HOF idiom:\n$optimized")
+    // and the rewrite computes the same numbers as the unfused plan
+    val fused = df.collect().map(_.getDouble(0))
+    val reference = vecsDf
+      .select(VectorExprs.dot(col("v"), col("v")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(fused.sorted.toSeq == reference.sorted.toSeq)
   }
 }

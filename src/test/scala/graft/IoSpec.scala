@@ -28,6 +28,20 @@ class IoSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("r_regionkey", "r_name"))
   }
 
+  test("malformed delimited rows drop under DROPMALFORMED (mapper.py arity semantics)") {
+    // the reference's mapper silently drops rows that don't parse into the
+    // declared arity (`mapper.py:29`); the engine's declarative equivalent
+    // is the CSV reader's mode — demonstrated against a file with a bad row
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.writeString(dir.resolve("part-0.tsv"),
+      "1\talpha\n2\tbeta\nnot_an_int\tgamma\n3\tdelta\n")
+    val df = spark.read
+      .schema("id INT, name STRING")
+      .option("sep", "\t").option("mode", "DROPMALFORMED")
+      .csv(dir.toString)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("scan_csv_schema scans a real delimited file with declared types") {
     val df = SparkEntry.queries("scan_csv_schema")(spark, sfDir)
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
