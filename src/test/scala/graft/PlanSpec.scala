@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracle entries without queries: $dangling")
   }
 
+  test("no module silently shadows another's query key") {
+    val maps = Seq(
+      ops.Relational.queries, ops.Windows.queries, ops.Fn.queries,
+      ops.Streaming.queries, ops.Text.queries, ops.Similarity.queries,
+      ops.Mr.queries, ops.IO.queries, ops.Multimodal.queries)
+    val total = maps.map(_.size).sum
+    assert(total == SparkEntry.queries.size,
+      "a duplicate key across modules would overwrite an operator in the " +
+        s"merged registry: per-module=$total merged=${SparkEntry.queries.size}")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
