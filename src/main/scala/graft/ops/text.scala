@@ -83,9 +83,10 @@ object Text {
     }),
 
     // Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
-    // Signature: 128 minima of per-index xxhash64 over the shingle set;
-    // bands of 8 rows hashed to bucket keys; candidate pairs = bucket
-    // self-join; each candidate pays one exact Jaccard check (≥ 0.5).
+    // Signature: 128 permutation minima over the shingle set (fused
+    // codegen expression); bands of 8 rows hashed to bucket keys;
+    // candidate pairs = bucket self-join; each candidate pays one exact
+    // Jaccard check (≥ 0.5).
     // The oracle is brute-force all-pairs Jaccard — green iff LSH has no
     // false negatives at the threshold (planted pairs sit at ≥ 0.97).
     "dedup_near_minhash" -> ((s, d) => {
