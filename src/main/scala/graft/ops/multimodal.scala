@@ -77,6 +77,40 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Resize stub: cap the payload at `maxBytes` by stride-sampling —
+    * stands in for image downscaling. Byte plumbing (not the resampling
+    * math) is the contract: output is a payload column again, so resize
+    * composes with every other media op.
+    */
+  def resize(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = r.payload.length
+      if (n <= maxBytes) r
+      else {
+        val stride = math.max(1, n / maxBytes)
+        MediaRow(r.doc_id,
+          r.payload.indices.collect {
+            case i if i % stride == 0 => r.payload(i)
+          }.take(maxBytes).toArray)
+      }
+    })
+  }
+
+  /** Frame-sample stub: split the payload into fixed-width "frames" and
+    * keep every `everyNth` — the video-keyframe access pattern. Emits
+    * (doc_id, frame_idx, frame bytes): a 1→N generator over binary.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, everyNth: Int)
+      : Dataset[(Long, Int, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % everyNth == 0 => (r.doc_id, idx, frame)
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Metadata over opaque payloads without user code: byte length and a
     // content digest, both codegen'd and oracle-checked. Column pruning

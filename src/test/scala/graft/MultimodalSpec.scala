@@ -35,6 +35,31 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.select(countDistinct($"doc_id")).as[Long].head() == n)
   }
 
+  test("resize caps payloads and composes back into the media pipeline") {
+    import spark.implicits._
+    val resized = Multimodal.resize(
+      Multimodal.mediaTable(spark, sfDir), maxBytes = 64)
+    assert(resized.collect().forall(_.payload.length <= 64))
+    // composition: features still extract from resized payloads
+    assert(Multimodal.extractFeatures(resized).count() ==
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("frameSample keeps every Nth fixed-width frame with its index") {
+    import spark.implicits._
+    val frames = Multimodal.frameSample(
+      Multimodal.mediaTable(spark, sfDir), frameBytes = 32, everyNth = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall { case (_, idx, f) =>
+      idx % 2 == 0 && f.length <= 32 })
+    // deterministic frame content: frame 0 is the payload's first 32 bytes
+    val doc0 = Multimodal.mediaTable(spark, sfDir)
+      .filter($"doc_id" === 0L).head().payload
+    val f0 = frames.find { case (id, idx, _) => id == 0L && idx == 0 }.get._3
+    assert(f0.sameElements(doc0.take(32)))
+  }
+
   test("metadata projection prunes the payload from the feature read") {
     // metadata-only query: the blob column must not survive into the
     // aggregate (column pruning over the derived payload)
