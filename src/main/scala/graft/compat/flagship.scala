@@ -19,6 +19,11 @@ import graft.ops.Mr
   *    algorithm for values in this range.
   *  - final presentation sorts WHOLE "key,value" lines lexicographically
   *    (`Client/client.py:105-108`), so "Los,…" < "Louisville,…".
+  *  - the reducer's key-change test is `if old_key and old_key != key`
+  *    (`reducer.py:33`): an EMPTY-STRING key is falsy, so its group is
+  *    never flushed and its running max leaks into the next key's group.
+  *    Replicated below (not present in data.txt, but byte-parity means
+  *    byte-parity).
   *
   * The clean-semantics engine ops live in `graft.ops`; this module exists
   * only for golden-diff parity with the reference artifact.
@@ -37,25 +42,37 @@ object Flagship {
     if (f.length == 6) Iterator(s"${f(2)},${f(4)}") else Iterator.empty
   }
 
-  /** reducer.py: streaming per-key MAX over a sorted run, with the
-    * init-0 / float-repr / skip-malformed quirks.
+  /** reducer.py: streaming per-key MAX over a sorted run — a faithful
+    * transliteration of the reference loop (`reducer.py:16-40`), quirks
+    * and all: init-0 max, skip-malformed, Python float repr, and the
+    * falsy-key branch (`if old_key and old_key != current_key`) under
+    * which an empty-string key's group is never flushed — its max and
+    * `updated` state carry into the next group.
+    *
+    * The output buffer holds one line per distinct key in the run (the
+    * reference materializes the entire sorted run in RAM before reducing,
+    * `Worker/worker.py:179-183`; this holds only the reduce OUTPUT).
     */
-  def reduceRun(in: Iterator[String]): Iterator[String] = new Iterator[String] {
-    private val it = in.flatMap { l =>
-      val p = l.split(",", -1)
-      if (p.length == 2) Iterator((p(0), p(1))) else Iterator.empty
-    }.buffered
-    def hasNext: Boolean = it.hasNext
-    def next(): String = {
-      val key = it.head._1
-      var maxV = 0.0
-      var updated = false
-      while (it.hasNext && it.head._1 == key) {
-        val v = it.next()._2.toDouble
+  def reduceRun(in: Iterator[String]): Iterator[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var maxV = 0.0
+    var updated = false
+    var oldKey: String = null
+    in.foreach { line =>
+      val p = line.trim.split(",", -1)
+      if (p.length == 2) {
+        val key = p(0)
+        if (oldKey != null && oldKey.nonEmpty && oldKey != key) {
+          out += s"$oldKey,${pyRepr(maxV, updated)}"
+          maxV = 0.0; updated = false
+        }
+        oldKey = key
+        val v = p(1).toDouble
         if (v > maxV) { maxV = v; updated = true }
       }
-      s"$key,${pyRepr(maxV, updated)}"
     }
+    if (oldKey != null) out += s"$oldKey,${pyRepr(maxV, updated)}"
+    out.iterator
   }
 
   /** Full job: WRITE(3 chunks) → map → shuffle → sort → reduce → READ

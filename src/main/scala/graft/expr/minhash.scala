@@ -36,14 +36,19 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
-      val base = XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var i = 0
-      while (i < k) {
-        val h = XXH64.hashLong(base, i.toLong)
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      // skip null elements: the engine pipeline never produces them, but
+      // minhash_signature is SQL-registered and user SQL can pass
+      // array('a', NULL) — a null contributes nothing to a set sketch
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val base = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(base, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -66,6 +71,7 @@ case class MinHashSignature(child: Expression, k: Int)
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |int $n = $a.numElements();
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j)) continue;  // null element: no set contribution
          |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
          |  long $base = $xxh.hashUnsafeBytes(
          |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);

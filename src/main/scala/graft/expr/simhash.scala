@@ -28,13 +28,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+      // skip null elements (same contract as MinHashSignature: a null
+      // feature contributes nothing; guards user SQL like
+      // simhash64(array('a', NULL)) against an opaque NPE)
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
       }
       j += 1
     }
@@ -58,6 +63,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int[] $votes = new int[64];
          |int $n = $a.numElements();
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j)) continue;  // null feature: no vote
          |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
          |  long $h = $xxh.hashUnsafeBytes(
          |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, MinHashSignature}
+import graft.expr.{DotProduct, MinHashSignature, SimHash64}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -15,8 +15,9 @@ import graft.expr.{DotProduct, MinHashSignature}
   *  - per-session: `GraftFunctions.register(spark)` injects into an
   *    already-running session (what Verify/Bench/tests use).
   *
-  * After either, `dot_product(a, b)` and `minhash_signature(shingles, k)`
-  * are plain SQL functions — the codegen'd expressions, not UDFs.
+  * After either, `dot_product(a, b)`, `minhash_signature(shingles, k)` and
+  * `simhash64(features)` are plain SQL functions — the codegen'd
+  * expressions, not UDFs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -49,6 +50,13 @@ object GraftFunctions {
           require(args.length == 2,
             "minhash_signature(shingles, k) takes an array and a literal k")
           MinHashSignature(args(0), intLit(args(1), "k"))
+        }),
+      "simhash64" -> (
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            "simhash64(features) takes one array<string>")
+          SimHash64(args(0))
         })
     )
 

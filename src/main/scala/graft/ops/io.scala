@@ -19,8 +19,10 @@ import graft.Tables._
   *
   * The sink entries are write→read-back roundtrips, so the driver's oracle
   * gate checks the FULL egress+ingest path, not just that a write didn't
-  * throw. Roundtrips run through shared deterministic temp dirs keyed by
-  * scale factor (concurrent sf runs never collide).
+  * throw. Roundtrips run through temp dirs keyed by (process, scale
+  * factor, suffix): the pid discriminator means two JVMs benching and
+  * verifying the SAME sf concurrently never overwrite each other's
+  * roundtrip files mid-read.
   *
   * Scale notes: text/csv/parquet writes are one distributed action with no
   * driver materialization; `repartition(W)` before a text write reproduces
@@ -30,11 +32,17 @@ import graft.Tables._
 object IO {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Copy a bundled classpath resource to a stable local path readable by
-    * `spark.read` (resources inside a jar have no file path).
+  /** Per-process discriminator for every temp path below: concurrent
+    * verify + bench JVMs on the same sf must not share writable paths.
+    */
+  private val procTag: String = ProcessHandle.current().pid().toString
+
+  /** Copy a bundled classpath resource to a stable process-local path
+    * readable by `spark.read` (resources inside a jar have no file path).
     */
   def materializedResource(name: String): String = {
-    val target = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_$name")
+    val target = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${procTag}_$name")
     val in = getClass.getResourceAsStream(s"/reference/$name")
     require(in != null, s"missing bundled resource /reference/$name")
     try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
@@ -44,7 +52,8 @@ object IO {
 
   private def tmpDir(sfDir: String, suffix: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_io_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + suffix)
+      "graft_io_" + procTag + "_" +
+        sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + suffix)
       .toString
 
   /** Number of part-files a directory sink produced (the O1 "chunks"). */

@@ -51,12 +51,34 @@ object Text {
   private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("t", toks)
 
-  /** Word 3-gram shingle set (distinct) over a materialized token array. */
-  private def shingleCol(t: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - 3, lit(0))),
-      i => concat_ws(" ",
-        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+  /** Word 3-gram shingle set (distinct) over a materialized token array.
+    *
+    * Documents with fewer than 3 tokens have NO 3-gram shingles, and the
+    * guard must be explicit: the offset arithmetic would otherwise read
+    * `element_at(t, i+2)`/`(i+3)` past the array end — a runtime
+    * INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default, never disabled
+    * here). The DuckDB oracle reaches the same empty set for short docs
+    * (out-of-range list index → NULL shingle → dropped by list_distinct),
+    * so both engines agree on `[]`.
+    *
+    * NULLABILITY MATTERS HERE: everything derived from the shingles feeds
+    * the banded self-join, and a nullable join key demotes the broadcast
+    * HashedRelation probe to its slow path (measured 5× on the 25M-pair
+    * simhash candidate join). `text` is nullable in the parquet schema, so
+    * both branches must erase nullability explicitly: the sequence bound
+    * goes through `greatest(·, 0)` (Greatest is non-nullable when any
+    * child is non-nullable — the `when` guard already excludes the < 3
+    * case, the `greatest` exists only for the static type), and the empty
+    * branch is a literal, not `array().cast(...)` (a Cast from NullType is
+    * force-nullable).
+    */
+  private[graft] def shingleCol(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(t) - 3, lit(0))),
+        i => concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(typedLit(Array.empty[String]))
 
   private val MinhashK = 128 // signature length
   private val Bands    = 16  // LSH bands ...
@@ -97,8 +119,17 @@ object Text {
       // footprint back to one task, which is exactly wrong for compute-
       // bound stages.
       val p = s.sparkContext.defaultParallelism
+      // Shingle-less docs (< 3 tokens) are excluded up front: they can't be
+      // near-dups under set Jaccard (0/0 is NaN, which Spark sorts ABOVE any
+      // threshold — a correctness trap, not just waste), and at scale every
+      // such doc would land in one identical-signature mega-bucket. The
+      // predicate is the cheap token-count proxy (≥3 tokens ⟺ ≥1 shingle)
+      // and sits BELOW the shingle projection: a filter on size(shingles)
+      // would be pushed down with the whole shingle expression substituted
+      // into it, computing every shingle set twice (measured 3×).
       val sh = tokenizedDocs(s, d)
         .repartition(p, col("doc_id"))
+        .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
       // fused codegen signature (graft.expr.MinHashSignature): each shingle
       // hashed once, k permutation minima in one loop — the HOF form
@@ -139,8 +170,13 @@ object Text {
     // TextSpec asserts it finds exactly the planted near-dup pairs.
     "dedup_simhash" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
+      // same shingle-less exclusion as dedup_near_minhash (cheap
+      // token-count proxy, below the shingle projection): every < 3-token
+      // doc would otherwise fingerprint to the identical all-zero simhash
+      // and form one mega-bucket of spurious hamming-0 pairs
       val fp = tokenizedDocs(s, d)
         .repartition(p, col("doc_id"))
+        .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp"))
       val bands = fp.select(col("doc_id"), col("fp"),
@@ -292,14 +328,18 @@ object Text {
     "pipeline_clean_corpus" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                   for i in range(1, greatest(len(t) - 1, 2))]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                     for i in range(1, len(t) - 1)])
+        |    ELSE [] END AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  ),
+        |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
         |pairs AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |    round(len(list_intersect(a.s, b.s))::DOUBLE
         |          / len(list_distinct(a.s || b.s)), 4) AS jac
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id),
         |drops AS (SELECT DISTINCT b AS doc_id FROM pairs WHERE jac >= 0.5)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -318,14 +358,18 @@ object Text {
     "dedup_near_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                   for i in range(1, greatest(len(t) - 1, 2))]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                     for i in range(1, len(t) - 1)])
+        |    ELSE [] END AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  ),
+        |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
         |pairs AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |    round(len(list_intersect(a.s, b.s))::DOUBLE
         |          / len(list_distinct(a.s || b.s)), 4) AS jac
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM pairs WHERE jac >= 0.5 ORDER BY a, b""".stripMargin,
     "text_tokens_topn" ->
       """SELECT token, count(*) AS n FROM (

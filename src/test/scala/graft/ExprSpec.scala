@@ -68,6 +68,20 @@ class ExprSpec extends SparkSpec {
     assert(sig.length == 8)
   }
 
+  test("sketch expressions tolerate null array elements from user SQL") {
+    GraftFunctions.register(spark)
+    // a null feature contributes nothing to a set sketch — same result as
+    // the array without it, and no NPE from either eval path
+    val r = spark.sql(
+      """SELECT minhash_signature(array('a', CAST(null AS STRING)), 8) AS mh,
+        |       minhash_signature(array('a'), 8) AS mh1,
+        |       simhash64(array('a', CAST(null AS STRING))) AS sh,
+        |       simhash64(array('a')) AS sh1""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getLong(2) == r.getLong(3))
+  }
+
   test("DotProduct null semantics mirror the HOF idiom exactly") {
     val df = spark.sql(
       """SELECT * FROM VALUES

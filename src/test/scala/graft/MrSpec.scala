@@ -28,6 +28,19 @@ class MrSpec extends SparkSpec {
     assert(got.size == 40)
   }
 
+  test("flagship reducer replicates the falsy-key quirk (reducer.py:33)") {
+    // `if old_key and old_key != current_key` is false for old_key == "",
+    // so the empty key's group is never flushed: its running max (5.0)
+    // leaks into the atlanta group, whose own 3.0 never exceeds it
+    val leaked = Flagship.reduceRun(
+      Iterator(",5.0", "atlanta,3.0", "boston,7.0")).toSeq
+    assert(leaked == Seq("atlanta,5.0", "boston,7.0"), leaked)
+    // and ordinary runs flush per key exactly as before
+    val plain = Flagship.reduceRun(
+      Iterator("a,1.5", "a,0.5", "b,2.5")).toSeq
+    assert(plain == Seq("a,1.5", "b,2.5"), plain)
+  }
+
   test("sort_within_partitions: keys co-located and each partition ordered") {
     import spark.implicits._
     val df = SparkEntry.queries("sort_within_partitions")(spark, sfDir)

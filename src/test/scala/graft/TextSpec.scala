@@ -63,6 +63,18 @@ class TextSpec extends SparkSpec {
       s"LSH missed planted mutations: ${expected -- pairs}")
   }
 
+  test("shingles: docs under 3 tokens yield an empty set, not an ANSI error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ANSI mode (Spark 4 default) turns an out-of-range element_at into a
+    // runtime error — the shingle window must be guarded, not clamped
+    val sizes = Seq("", "one", "one two", "one two three", "a b c d")
+      .toDF("text")
+      .select(size(ops.Text.shingleCol(split(col("text"), " "))).as("n"))
+      .as[Int].collect().toSeq
+    assert(sizes == Seq(0, 0, 0, 1, 2))
+  }
+
   test("dedup_exact keeps one representative per content group") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
