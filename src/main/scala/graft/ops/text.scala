@@ -80,9 +80,56 @@ object Text {
           element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
       .otherwise(typedLit(Array.empty[String]))
 
+  /** Character n-gram set (distinct) over the raw text — the
+    * tokenization-free near-dup signal ("n-gram Jaccard"): robust to
+    * whitespace/token drift that word shingles are blind to. Same guard
+    * and nullability discipline as [[shingleCol]]; `substr` clamps at the
+    * string end so only the empty-set branch needs the explicit guard.
+    */
+  private[graft] def charGramCol(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+        i => c.substr(i, lit(n)))))
+      .otherwise(typedLit(Array.empty[String]))
+
   private val MinhashK = 128 // signature length
   private val Bands    = 16  // LSH bands ...
   private val Rows     = 8   // ... of 8 rows: P(miss | jac=0.97) ≈ 3e-11
+
+  /** Banded MinHash-LSH near-dup pairs over a (doc_id, s: array<string>)
+    * relation — the one LSH pipeline both set representations (word
+    * 3-gram shingles, char 4-grams) run through:
+    * fused-codegen signature → `Bands` hashed band keys → bucket
+    * self-join candidates (O(collisions), never all-pairs) → exact
+    * Jaccard verification at `threshold`. Candidate recall at the
+    * threshold is the (1/Bands)^(1/Rows) s-curve — thresholds are chosen
+    * per representation so every true pair sits far above the knee.
+    */
+  private def lshJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val sig = sets.select(col("doc_id"), col("s"),
+      graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          j => xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bhash")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bhash") === col("y.bhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .withColumn("jac",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("jac"))
+      .orderBy("a", "b")
+  }
 
   /** English stopword probe set for the language-ID heuristic. */
   private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
@@ -130,34 +177,24 @@ object Text {
       val sh = tokenizedDocs(s, d)
         .repartition(p, col("doc_id"))
         .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
-      // fused codegen signature (graft.expr.MinHashSignature): each shingle
-      // hashed once, k permutation minima in one loop — the HOF form
-      // (transform(sequence, i -> array_min(transform(shingles, xxhash))))
-      // re-hashes every shingle k times, interpreted
-      val sig = sh.select(col("doc_id"), col("shingles"),
-        graft.expr.MinHashExprs.minhashSignature(col("shingles"), MinhashK)
-          .as("sig"))
-      val bands = sig.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-            j => xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bhash")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
-        .withColumn("jac",
-          round(size(array_intersect(col("sa"), col("sb"))).cast("double")
-            / size(array_union(col("sa"), col("sb"))), 4))
-        .filter(col("jac") >= 0.5)
-        .select(col("a"), col("b"), col("jac"))
-        .orderBy("a", "b")
+        .select(col("doc_id"), shingleCol(col("t")).as("s"))
+      lshJaccardPairs(sh, 0.5)
+    }),
+
+    // Near-dup pairs via character 4-gram Jaccard — the brief's "n-gram
+    // Jaccard" dedup method: the set representation is raw-text character
+    // windows, so it catches rewraps/retokenizations that word shingles
+    // miss. Same banded-LSH pipeline; threshold 0.8 (planted pairs sit at
+    // ≥ 0.93 in char-gram space, the next pair at 0.45 — and LSH recall at
+    // 0.93 with 16×8 bands is 1 - 2.5e-6). Oracle = brute-force char-gram
+    // Jaccard.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val p = s.sparkContext.defaultParallelism
+      val g = documents(s, d)
+        .repartition(p, col("doc_id"))
+        .filter(length(col("text")) >= 4) // cheap proxy: ≥4 chars ⟺ ≥1 gram
+        .select(col("doc_id"), charGramCol(col("text"), 4).as("s"))
+      lshJaccardPairs(g, 0.8)
     }),
 
     // SimHash near-dup: one 64-bit fingerprint per document (codegen'd
@@ -371,6 +408,21 @@ object Text {
         |          / len(list_distinct(a.s || b.s)), 4) AS jac
         |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM pairs WHERE jac >= 0.5 ORDER BY a, b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 4 THEN
+        |      list_distinct([substring(text, i, 4)
+        |                     for i in range(1, length(text) - 2)])
+        |    ELSE [] END AS s
+        |  FROM documents),
+        |gn AS (SELECT doc_id, s FROM g WHERE len(s) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(a.s || b.s)), 4) AS jac
+        |  FROM gn a JOIN gn b ON a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM pairs WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
     "text_tokens_topn" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -20,6 +20,15 @@ class TextSpec extends SparkSpec {
       s"simhash/minhash disagree: only-simhash=${sh -- mh} only-minhash=${mh -- sh}")
   }
 
+  test("dedup_ngram_jaccard agrees with the word-shingle near-dup set") {
+    // three independent set representations (word 3-gram, char 4-gram,
+    // simhash bits) must converge on the same planted pairs
+    val mh = pairs("dedup_near_minhash")
+    val ng = pairs("dedup_ngram_jaccard")
+    assert(ng == mh,
+      s"char-gram/word-shingle disagree: only-ngram=${ng -- mh} only-minhash=${mh -- ng}")
+  }
+
   test("determinism: sketch/window queries return identical results on re-run") {
     // the class of queries where nondeterminism hides (float ranking ties,
     // hash candidate sets, window frames) — two plans, two executions,
