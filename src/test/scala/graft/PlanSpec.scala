@@ -128,6 +128,29 @@ class PlanSpec extends SparkSpec {
         "cartesian product here is the O(n²) all-pairs plan that dies at scale")
   }
 
+  test("LSH band-join keys are non-nullable (fast HashedRelation path)") {
+    // a nullable key on the banded self-join demotes the broadcast probe
+    // to its slow path — measured 5× on the 25M-pair simhash candidate
+    // join. Nullability sneaks in through innocuous-looking exprs (a Cast
+    // from NullType, a size() over a nullable array), so pin it here.
+    Seq("dedup_simhash", "dedup_near_minhash", "dedup_ngram_jaccard")
+      .foreach { name =>
+        // the band join keys on (band, bhash|bval); the later verification
+        // joins key on doc_id alone (nullable in the parquet schema, fine)
+        val joins = collectAll(finalPlan(name)) {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if j.leftKeys.size >= 2 => j
+        }
+        assert(joins.nonEmpty, s"$name: expected the banded equi-join")
+        joins.foreach { j =>
+          val nullable = (j.leftKeys ++ j.rightKeys).filter(_.nullable)
+          assert(nullable.isEmpty,
+            s"$name: nullable band-join keys $nullable demote the " +
+              "HashedRelation probe to its slow path")
+        }
+      }
+  }
+
   test("join_asof plans as a union-stream window: no join node, no amplification") {
     val joins = collectAll(finalPlan("join_asof")) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
