@@ -1,10 +1,10 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the vector hot path (SURVEY.md §7.4).
   *
@@ -74,9 +74,87 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit random-hyperplane sign sketch over an array<double> vector
+  * (SimHash for the continuous case): plane j's component at dimension i
+  * is ±1 drawn from bit j of `xxhash64(i)` — deterministic, shared by
+  * every row, never materialized — and bit j of the sketch is the sign of
+  * `Σ_i v(i) · plane_j(i)`. Vectors at angle θ collide per bit with
+  * probability 1 − θ/π (Goemans–Williamson), so 4-bit bands of the sketch
+  * give an equi-joinable LSH bucket key for approximate nearest-neighbor
+  * search — the same candidate-generation shape as the text sketches.
+  *
+  * One codegen'd pass: per dimension one 8-byte hash + 64 signed
+  * accumulator updates; null elements contribute nothing (same contract
+  * as [[MinHashSignature]]).
+  */
+case class SignSketch64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_sketch64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Double](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getDouble(i)
+        val h = XXH64.hashLong(i.toLong, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += x else acc(j) -= x
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |double[] $acc = new double[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;  // null dim: no vote
+         |  double $x = $a.getDouble($i);
+         |  long $h = $xxh.hashLong((long) $i, 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $acc[$j] += $x; else $acc[$j] -= $x;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($acc[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Fused dot product over two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** 64-bit hyperplane sign sketch of an array<double> vector. */
+  def signSketch64(v: Column): Column =
+    GraftSqlBridge.column(SignSketch64(GraftSqlBridge.expression(v)))
 }

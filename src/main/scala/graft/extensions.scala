@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, MinHashSignature, SimHash64}
+import graft.expr.{DotProduct, MinHashSignature, SignSketch64, SimHash64}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -57,6 +57,13 @@ object GraftFunctions {
           require(args.length == 1,
             "simhash64(features) takes one array<string>")
           SimHash64(args(0))
+        }),
+      "sign_sketch64" -> (
+        new ExpressionInfo(classOf[SignSketch64].getName, "sign_sketch64"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            "sign_sketch64(vector) takes one array<double>")
+          SignSketch64(args(0))
         })
     )
 

@@ -87,6 +87,52 @@ object Similarity {
         .orderBy("a", "b")
     }),
 
+    // LSH-bucketed ANN — the hash-based alternative to the IVF cell
+    // restriction: a 64-bit hyperplane sign sketch per vector (codegen'd,
+    // graft.expr.SignSketch64), 8-bit bands as bucket keys, candidates
+    // only within a shared band bucket, then exact rounded cosine + top-3
+    // per query. Per-bit collision P is 1 − θ/π, so an 8-bit band passes
+    // near-orthogonal noise with P ≈ 0.5⁸ ≈ 0.4% (×8 bands ≈ 3% of all
+    // pairs — a 30× candidate cut) while a true near-dup at cos ≥ 0.95
+    // collides somewhere with P ≈ 0.99. The band width is the
+    // selectivity/recall dial: narrower bands (4-bit) chase moderate-cos
+    // neighbors but admit most of the corpus — at THAT point use
+    // `sim_ann_ivf`, which partitions by data clusters instead of hash
+    // geometry. Rows-only driver check (hash hyperplanes aren't
+    // expressible in the oracle); recall law in AccuracySpec.
+    "sim_ann_lsh" -> ((s, d) => {
+      val v = vecs(s, d)
+      // coalesce pins the sketch non-nullable: embedding is nullable in
+      // the parquet schema, and a nullable band key would demote the
+      // bucket join's HashedRelation probe to its slow path (PlanSpec)
+      val sk = v.select(col("vec_id"),
+        coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
+          .as("sk"))
+      val bands = sk.select(col("vec_id"),
+          posexplode(array((0 until 8).map(j =>
+            shiftrightunsigned(col("sk"), j * 8).bitwiseAND(255)): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bval")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bval") === col("y.bval") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
+        .distinct()
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      cand
+        .join(v.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(v.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+          col("nrm").as("bn")), "nbr_id")
+        .select(col("vec_id"), col("nbr_id"),
+          cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id"), col("rn"), col("nbr_id"), col("cos"))
+        .orderBy("vec_id", "rn")
+    }),
+
     // IVF-style ANN: restrict the search to the query's own cell (label),
     // top-3 per query. Pairs form only within a cell after one shuffle on
     // the cell id — the plan shape that survives a 1000× corpus.

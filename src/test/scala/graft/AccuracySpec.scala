@@ -8,6 +8,39 @@ import org.apache.spark.sql.functions._
   */
 class AccuracySpec extends SparkSpec {
 
+  test("sim_ann_lsh recall law: planted near-dups surface at rank 1") {
+    import spark.implicits._
+    // clones with one perturbed coordinate (cos ≈ 0.995 against the
+    // source): per-bit hyperplane collision P ≈ 0.97, so P(miss all 8
+    // 8-bit bands) ≈ (1 − 0.97⁸)⁸ ≈ 3e-6 — ANN must pair every clone
+    // with its source, at rank 1 (nothing else in the fixture tops
+    // cos ≈ 0.5). The fixture's own cos-0.5 "neighbors" are NOT the ANN
+    // contract: at θ ≈ 60° a sign sketch can't separate them from noise,
+    // which is exactly why the moderate-similarity regime belongs to
+    // sim_ann_ivf (data-cluster cells, not hash geometry).
+    val base = Tables.embeddings(spark, sfDir)
+    val clones = base.filter($"vec_id" % 100 === 3)
+      .select(($"vec_id" + 50000).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x))
+          .as("embedding"),
+        $"label")
+    val cloneIds = clones.select("vec_id").as[Long].collect().toSeq
+    assert(cloneIds.size >= 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_law").toString
+    base.select("vec_id", "embedding", "label").unionByName(clones)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rank1 = SparkEntry.queries("sim_ann_lsh")(spark, dir)
+      .filter($"rn" === 1).select($"vec_id", $"nbr_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cloneIds.foreach { cid =>
+      assert(rank1.get(cid).contains(cid - 50000),
+        s"clone $cid must retrieve its source at rank 1")
+      assert(rank1.get(cid - 50000).contains(cid),
+        s"source ${cid - 50000} must retrieve its clone at rank 1")
+    }
+  }
+
   test("agg_approx_distinct: HLL estimate within ±5% of exact per group") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpec {
     // to its slow path — measured 5× on the 25M-pair simhash candidate
     // join. Nullability sneaks in through innocuous-looking exprs (a Cast
     // from NullType, a size() over a nullable array), so pin it here.
-    Seq("dedup_simhash", "dedup_near_minhash", "dedup_ngram_jaccard")
+    Seq("dedup_simhash", "dedup_near_minhash", "dedup_ngram_jaccard",
+        "sim_ann_lsh")
       .foreach { name =>
         // the band join keys on (band, bhash|bval); the later verification
         // joins key on doc_id alone (nullable in the parquet schema, fine)

@@ -34,7 +34,8 @@ class TextSpec extends SparkSpec {
     // hash candidate sets, window frames) — two plans, two executions,
     // byte-identical rows required
     val risky = Seq("dedup_near_minhash", "dedup_simhash", "sim_topk_cosine",
-      "sim_ann_ivf", "win_rank", "text_fingerprint", "stream_session")
+      "sim_ann_ivf", "sim_ann_lsh", "dedup_ngram_jaccard", "win_rank",
+      "text_fingerprint", "stream_session")
     risky.foreach { name =>
       val a = SparkEntry.queries(name)(spark, sfDir).collect()
       val b = SparkEntry.queries(name)(spark, sfDir).collect()
