@@ -133,7 +133,26 @@ object Multimodal {
       extractFeatures(mediaTable(s, d)).toDF()
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_byte"), 4).as("mean_byte"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Resize through the media pipeline, gated on the SIZE contract (the
+    // stride math guarantees exactly min(n, maxBytes) bytes survive —
+    // byte content is stub-internal, the cap is the oracle-checkable law).
+    "mm_resize" -> ((s, d) =>
+      resize(mediaTable(s, d), maxBytes = 256).toDF()
+        .select(col("doc_id"), length(col("payload")).as("n_bytes"))
+        .orderBy("doc_id")),
+
+    // Frame sampling as a 1→N generator over binary: every 4th 64-byte
+    // frame with its index; the (index, frame-length) stream is fully
+    // determined by the payload length, so the oracle checks the whole
+    // generator shape including the short tail frame.
+    "mm_frames" -> ((s, d) =>
+      frameSample(mediaTable(s, d), frameBytes = 64, everyNth = 4)
+        .toDF("doc_id", "frame_idx", "frame")
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("n_bytes"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,7 +162,20 @@ object Multimodal {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_decode_features: rows-only (stubbed decode is engine-local).
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(least(octet_length(encode(text)), 256) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(least(64, len - i * 64) AS INTEGER) AS n_bytes
+        |FROM (SELECT doc_id, len,
+        |        unnest([i for i in range(0, (len + 63) // 64, 4)]) AS i
+        |      FROM d)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
