@@ -236,6 +236,27 @@ object Relational {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
         .orderBy("o_orderstatus")),
 
+    // Exact interpolated percentiles (p50/p90 per group): a sort-based
+    // aggregate whose linear-interpolation definition (rank = p·(n−1))
+    // DuckDB's quantile_cont shares exactly — oracle-gated.
+    "agg_percentile" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+        .orderBy("l_returnflag")),
+
+    // Sketch percentile (KLL/GK class): approximate by design — rows-only
+    // driver check; AccuracySpec bounds the RANK error of the returned
+    // value against the declared 1/accuracy guarantee.
+    "agg_approx_quantile" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("ap50"))
+        .orderBy("l_returnflag")),
+
     "agg_rollup" -> ((s, d) =>
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -396,6 +417,11 @@ object Relational {
     "agg_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

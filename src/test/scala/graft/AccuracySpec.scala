@@ -41,6 +41,22 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_quantile: returned value's true rank within the sketch guarantee") {
+    // percentile_approx(accuracy = 1000) guarantees rank error <= n/1000;
+    // assert the realized rank of the returned median against a 10x margin
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice")).cache()
+    try approx.foreach { case (flag, ap50) =>
+      val grp = li.filter(col("l_returnflag") === flag)
+      val n = grp.count().toDouble
+      val below = grp.filter(col("l_extendedprice") <= ap50).count().toDouble
+      assert(math.abs(below / n - 0.5) <= 0.01,
+        s"group $flag: approx median $ap50 sits at rank ${below / n}")
+    } finally li.unpersist()
+  }
+
   test("agg_approx_distinct: HLL estimate within ±5% of exact per group") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
