@@ -115,6 +115,20 @@ object IO {
         .orderBy("c_nationkey")
     }),
 
+    // JSON-lines sink + scan-back: the interchange egress beside parquet.
+    // The declared read schema keeps types through the roundtrip (JSON
+    // alone would widen ints) — and the driver gate checks the full
+    // write→read path, as for the other sinks.
+    "sink_json_lines" -> ((s, d) => {
+      val dir = tmpDir(d, "json")
+      nation(s, d).select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .write.mode("overwrite").json(dir)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(dir)
+        .orderBy("n_nationkey")
+    }),
+
     // W-chunked text sink (≡ O1 WRITE, `Client/client.py:147-191`): lines
     // written as exactly W part-files (repartition(W)), then read back and
     // re-typed. Doubles survive the text roundtrip exactly — the writer
@@ -140,6 +154,9 @@ object IO {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "sink_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "sink_json_lines" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "join_bucketed" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS tot

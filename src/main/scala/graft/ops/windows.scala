@@ -81,6 +81,20 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Distribution functions: percent_rank / cume_dist / ntile quartiles
+    // per group. The ORDER BY is tie-broken to a total order (unique
+    // o_orderkey) so all three are deterministic and engine-independent.
+    "win_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // lag/lead: inter-event deltas per user in microseconds (exact integer
     // arithmetic — no float drift between engines).
     "win_lag_lead" -> ((s, d) => {
@@ -123,6 +137,15 @@ object Windows {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_distribution" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_lag_lead" ->
       """SELECT event_id,
         |  lag(event_id, 1) OVER w AS prev_id,
