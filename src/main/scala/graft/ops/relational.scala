@@ -239,6 +239,11 @@ object Relational {
     // Exact interpolated percentiles (p50/p90 per group): a sort-based
     // aggregate whose linear-interpolation definition (rank = p·(n−1))
     // DuckDB's quantile_cont shares exactly — oracle-gated.
+    // SCALE NOTE: exact percentile buffers every group value in the
+    // aggregation state (O(|group|) memory, no map-side reduction) — it is
+    // the one agg here that does NOT survive a 100 TB group. That regime
+    // belongs to agg_approx_quantile: a fixed-size mergeable sketch with
+    // partial aggregation, at a declared rank-error bound.
     "agg_percentile" -> ((s, d) =>
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
