@@ -68,6 +68,25 @@ class ExprSpec extends SparkSpec {
     assert(sig.length == 8)
   }
 
+  test("SignSketch64: deterministic, sign-antisymmetric, SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT sign_sketch64(v) AS a, sign_sketch64(v) AS a2,
+        |       sign_sketch64(transform(v, x -> -x)) AS neg,
+        |       sign_sketch64(array(CAST(null AS DOUBLE), 1.0d)) AS withnull,
+        |       sign_sketch64(array(1.0d)) AS nonull
+        |FROM (SELECT array(0.3d, -1.2d, 0.7d, 2.1d, -0.4d) AS v)""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1), "sketch must be deterministic")
+    // plane votes flip sign with the vector, so every accumulator crosses
+    // zero: the negated vector's sketch is (close to) the bit complement
+    assert(java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(2)) >= 60,
+      "negated vector must flip (almost) every sign bit")
+    // a null dimension votes nothing; index alignment of the survivor
+    // differs from the 1-element array, so just assert it evaluates
+    assert(!r.isNullAt(3) && !r.isNullAt(4))
+  }
+
   test("sketch expressions tolerate null array elements from user SQL") {
     GraftFunctions.register(spark)
     // a null feature contributes nothing to a set sketch — same result as
