@@ -50,7 +50,9 @@ object Bench {
           errors ::= name; false
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      // failed queries keep a visibly negative marker even at ms precision
+      // (an instant analysis failure would otherwise print "-0.000")
+      name -> (if (ok) sec else -math.max(sec, 0.001))
     }
     // ms precision and no excess digits: the driver keeps only the TAIL of
     // the sbt log, so the whole JSON line must stay comfortably under its

@@ -1,10 +1,11 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Fused MinHash signature: k per-permutation minima over a shingle set in
   * one codegen'd pass.
@@ -27,6 +28,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
 
+  // SQL-registered: a non-string-array argument must fail ANALYSIS, not
+  // reach getUTF8String over arbitrary bytes at runtime
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<string>, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 

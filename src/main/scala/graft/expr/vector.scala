@@ -1,10 +1,11 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the vector hot path (SURVEY.md §7.4).
   *
@@ -28,8 +29,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are array<double> by construction (VectorExprs.dot call sites
-  // widen floats first); analysis still type-checks children as arrays
+  // SQL-registered: a non-double-array argument must fail ANALYSIS, not
+  // reach getDouble over arbitrary bytes at runtime (call sites widen
+  // float arrays explicitly before constructing the expression)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<double>, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
   override def nullable: Boolean = true
@@ -89,6 +99,11 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class SignSketch64(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_sketch64 requires array<double>, got ${other.catalogString}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_sketch64"
 

@@ -32,17 +32,32 @@ import graft.Tables._
 object IO {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Per-process discriminator for every temp path below: concurrent
-    * verify + bench JVMs on the same sf must not share writable paths.
+  /** One process-local root for every temp path below: the pid
+    * discriminator means concurrent verify + bench JVMs on the same sf
+    * never share writable paths, and the shutdown hook reclaims the whole
+    * tree so repeated rounds don't accumulate orphaned fixture copies in
+    * java.io.tmpdir (best-effort: a killed JVM leaves its root behind
+    * until the OS tmp reaper collects it).
     */
-  private val procTag: String = ProcessHandle.current().pid().toString
+  private lazy val procRoot: java.nio.file.Path = {
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_io_" + ProcessHandle.current().pid())
+    Files.createDirectories(root)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
 
   /** Copy a bundled classpath resource to a stable process-local path
     * readable by `spark.read` (resources inside a jar have no file path).
     */
   def materializedResource(name: String): String = {
-    val target = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${procTag}_$name")
+    val target = procRoot.resolve(name)
     val in = getClass.getResourceAsStream(s"/reference/$name")
     require(in != null, s"missing bundled resource /reference/$name")
     try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
@@ -51,10 +66,8 @@ object IO {
   }
 
   private def tmpDir(sfDir: String, suffix: String): String =
-    Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_io_" + procTag + "_" +
-        sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + suffix)
-      .toString
+    procRoot.resolve(
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + suffix).toString
 
   /** Number of part-files a directory sink produced (the O1 "chunks"). */
   def partFileCount(dir: String): Int =
