@@ -330,6 +330,32 @@ object Text {
     // shingle-set ops). The cheap O(n) near-dup prefilter.
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
 
+    // Stopword stripping — the cleaning transform between langid and
+    // tokenization in a corpus pipeline. The filtered array is
+    // materialized ONCE in its own projection (two consumers below —
+    // rejoined text and removal count — would otherwise each evaluate the
+    // interpreted filter lambda).
+    "text_stopword_strip" -> ((s, d) =>
+      tokenizedDocs(s, d)
+        .withColumn("kept", filter(col("t"), tk => !tk.isInCollection(EnStop)))
+        .select(col("doc_id"),
+          array_join(col("kept"), " ").as("clean_text"),
+          (size(col("t")) - size(col("kept"))).as("n_removed"))
+        .orderBy("doc_id")),
+
+    // Deterministic content-hash sampling: keep a doc iff
+    // xxhash64(doc_id) mod 100 < 10. Unlike Dataset.sample (whose draw
+    // depends on partition layout), the decision is a pure function of
+    // the KEY — the same 10% sample comes back on any cluster size, any
+    // partitioning, any rerun: the reproducibility a 100 TB pipeline
+    // needs to version its subsets. Rows-only driver check (DuckDB has no
+    // xxhash64); proportion/determinism laws in TextSpec.
+    "sample_hash" -> ((s, d) =>
+      documents(s, d)
+        .filter(pmod(xxhash64(col("doc_id")), lit(100)) < 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
     "text_fingerprint" -> ((s, d) =>
       tokenizedDocs(s, d)
         .select(col("doc_id"),
@@ -473,6 +499,14 @@ object Text {
         |FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS t
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "text_stopword_strip" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_filter(t, tk -> tk NOT IN ($stopList)), ' ')
+         |    AS clean_text,
+         |  CAST(len(t) - len(list_filter(t, tk -> tk NOT IN ($stopList)))
+         |    AS INTEGER) AS n_removed
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

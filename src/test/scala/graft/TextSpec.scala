@@ -85,6 +85,28 @@ class TextSpec extends SparkSpec {
     assert(sizes == Seq(0, 0, 0, 1, 2))
   }
 
+  test("sample_hash: ~10% rate, deterministic, partition-layout-invariant") {
+    import org.apache.spark.sql.functions._
+    val ids = SparkEntry.queries("sample_hash")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = Tables.documents(spark, sfDir).count()
+    // binomial(n, 0.1): 5σ band around the mean
+    val sd = math.sqrt(n * 0.1 * 0.9)
+    assert(math.abs(ids.size - 0.1 * n) <= 5 * sd + 1,
+      s"sample of ${ids.size}/$n outside the binomial band")
+    // the draw is a pure function of the key: identical on rerun AND
+    // under a different partition layout (unlike Dataset.sample)
+    val rerun = SparkEntry.queries("sample_hash")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rerun == ids)
+    val reshuffled = Tables.documents(spark, sfDir)
+      .repartition(7, col("lang"))
+      .filter(pmod(xxhash64(col("doc_id")), lit(100)) < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reshuffled == ids,
+      "hash sampling must not depend on partition layout")
+  }
+
   test("dedup_exact keeps one representative per content group") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
