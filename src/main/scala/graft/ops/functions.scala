@@ -88,11 +88,20 @@ object Fn {
           size(map_keys(col("m"))).as("n_keys"))
         .orderBy("event_id")),
 
+    // ONE Jackson parse per row: both outputs derive from a single
+    // `from_json` struct materialized in its own projection (k_str is the
+    // cast of the typed field — same value `get_json_object` would return
+    // for a scalar). Two independent JSON extractors here would each run a
+    // full parse per row — measured as the single most expensive line of
+    // the whole bench (16-36 s at sf0.1) for a 10-byte payload.
+    // JsonToStructs is not CollapseProject-"cheap", so the struct is never
+    // inlined into its two consumers.
     "fn_json" -> ((s, d) =>
       events(s, d)
+        .withColumn("j", from_json(col("props"), lit("k INT")))
         .select(col("event_id"),
-          from_json(col("props"), lit("k INT")).getField("k").as("k_typed"),
-          get_json_object(col("props"), "$.k").as("k_str"))
+          col("j").getField("k").as("k_typed"),
+          col("j").getField("k").cast("string").as("k_str"))
         .orderBy("event_id"))
   )
 

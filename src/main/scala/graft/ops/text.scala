@@ -23,9 +23,11 @@ import graft.Tables._
   *    partition, not the corpus.
   *  - `dedup_near_minhash` NEVER forms all pairs: candidates come from a
   *    self-join on (band, band-hash) buckets — O(collisions), not O(n²) —
-  *    then only candidates pay the exact-Jaccard verification. At 100 TB
-  *    add band salting for hot buckets (SURVEY.md §7.5 item 1) and cache
-  *    the shingle relation instead of recomputing it per join branch.
+  *    then only candidates pay the exact-Jaccard verification. Hot
+  *    buckets are salted into triangular block-pairs ([[saltedBandPairs]],
+  *    SURVEY.md §7.5 item 1) so one boilerplate mega-bucket cannot
+  *    serialize O(bucket²) work into a single task, and the set/signature
+  *    relation is persisted so it computes once, not per join branch.
   *  - `text_tokens_topn` is explode → partial-agg count → TakeOrdered:
   *    the classic word-count; the shuffle carries (token, partial count).
   *  - `text_tfidf` joins token counts to doc frequencies — both sides are
@@ -97,32 +99,107 @@ object Text {
   private val Bands    = 16  // LSH bands ...
   private val Rows     = 8   // ... of 8 rows: P(miss | jac=0.97) ≈ 3e-11
 
+  /** Bucket width beyond which the band self-join is salted. A natural
+    * corpus concentrates boilerplate (headers, licence blocks, empty-ish
+    * docs) into a handful of mega-buckets; without salting every pair in
+    * such a bucket lands in ONE join task — the O(n²) serial hotspot
+    * inside an otherwise-bucketed plan. Sized to the test corpus so the
+    * planted-skew law exercises the salted path; a production run dials
+    * this to ~10⁴.
+    */
+  private val HotBucket = 32
+  /** Sub-blocks a hot bucket is split into: pair work spreads across
+    * blocks·(blocks+1)/2 tasks at a ≤ (blocks+1)× row-replication cost
+    * paid ONLY by hot-bucket rows.
+    */
+  private val SaltBlocks = 8
+
+  /** All distinct unordered id pairs sharing a (band, bhash) bucket —
+    * the candidate stage every sketch-based dedup runs — with hot buckets
+    * salted into triangular block-pairs (the engine's `join_salted`
+    * pattern applied to a SELF-join).
+    *
+    * Input columns: `doc_id`, `band`, `bhash`. Each row in a bucket wider
+    * than [[HotBucket]] gets a deterministic block id `blk =
+    * xxhash64(doc_id) & ([[SaltBlocks]]-1)` (a bitmask, NOT pmod — Pmod is
+    * unconditionally nullable in Catalyst, and a nullable key would demote
+    * the band join's HashedRelation probe to its slow path, the discipline
+    * PlanSpec pins). A doc pair with blocks (a, b) is produced by exactly
+    * one join task keyed (band, bhash, min(a,b), max(a,b)): the x-side
+    * replicates a row with block r to tags (r, j) for j ≥ r, the y-side to
+    * tags (i, r) for i ≤ r, and the output is normalized with
+    * least/greatest + distinct — doc_id order is independent of block
+    * order, so the orientation cannot be a join predicate. Cold buckets
+    * keep a single (0, 0) tag: zero replication, same plan as the
+    * unsalted join.
+    */
+  private[ops] def saltedBandPairs(bands: DataFrame): DataFrame = {
+    val hot = bands.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("bw"))
+      .filter(col("bw") > HotBucket)
+      .select(col("band"), col("bhash"), lit(true).as("is_hot"))
+    // hot-bucket list is tiny by construction (distinct over-width keys) —
+    // broadcast, so tagging never shuffles the bands relation
+    val tagged = bands.join(broadcast(hot), Seq("band", "bhash"), "left")
+      .withColumn("blk",
+        when(col("is_hot").isNotNull,
+          xxhash64(col("doc_id")).bitwiseAND(lit(SaltBlocks - 1)).cast("int"))
+          .otherwise(lit(0)))
+    val x = tagged.select(col("doc_id").as("a"), col("band"), col("bhash"),
+      col("blk").as("pi"),
+      explode(
+        when(col("is_hot").isNotNull,
+          sequence(col("blk"), lit(SaltBlocks - 1)))
+          .otherwise(array(lit(0)))).as("pj"))
+    val y = tagged.select(col("doc_id").as("b"), col("band"), col("bhash"),
+      explode(
+        when(col("is_hot").isNotNull, sequence(lit(0), col("blk")))
+          .otherwise(array(lit(0)))).as("pi"),
+      col("blk").as("pj"))
+    x.as("x").join(y.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bhash") === col("y.bhash") &&
+        col("x.pi") === col("y.pi") &&
+        col("x.pj") === col("y.pj") &&
+        col("x.a") =!= col("y.b"))
+      .select(least(col("x.a"), col("y.b")).as("a"),
+        greatest(col("x.a"), col("y.b")).as("b"))
+      .distinct()
+  }
+
   /** Banded MinHash-LSH near-dup pairs over a (doc_id, s: array<string>)
     * relation — the one LSH pipeline both set representations (word
     * 3-gram shingles, char 4-grams) run through:
-    * fused-codegen signature → `Bands` hashed band keys → bucket
+    * fused-codegen signature → `Bands` hashed band keys → salted bucket
     * self-join candidates (O(collisions), never all-pairs) → exact
     * Jaccard verification at `threshold`. Candidate recall at the
     * threshold is the (1/Bands)^(1/Rows) s-curve — thresholds are chosen
     * per representation so every true pair sits far above the knee.
+    *
+    * The (doc_id, s, sig) relation is persisted MEMORY_AND_DISK: the set
+    * transform (O(len) interpreted HOF per row) and the 128-permutation
+    * signature dominate the cost, and the plan reads the relation from
+    * FOUR branches (x/y band sides, both verification joins) — uncached
+    * that compute ran 3-5×, the top two lines of the round-3/4 bench.
+    * The cache entry lives for the session (the returned plan is lazy, so
+    * there is no post-action unpersist point inside the operator); the
+    * Bench/Verify harnesses clear the cache between queries, and at
+    * production scale MEMORY_AND_DISK degrades to a disk-backed
+    * materialization — the same shape as a checkpoint before a reused
+    * subtree.
     */
   private def lshJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
     val sig = sets.select(col("doc_id"), col("s"),
-      graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK).as("sig"))
+        graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           j => xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bhash")
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bhash") === col("y.bhash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+    saltedBandPairs(bands)
+      .join(sig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
       .withColumn("jac",
         round(size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))), 4))
@@ -202,9 +279,13 @@ object Text {
     // pairs (16 equal-band buckets guarantee recall up to hamming 15 —
     // pigeonhole), exact hamming verification via bit_count(xor). Same
     // LSH-shaped plan as dedup_near_minhash with a 1-word signature: the
-    // cheaper filter a pipeline runs before MinHash. Rows-only driver
-    // check (the fingerprint hash isn't expressible in the oracle);
-    // TextSpec asserts it finds exactly the planted near-dup pairs.
+    // cheaper filter a pipeline runs before MinHash; shares the salted
+    // band self-join, so a boilerplate fingerprint mega-bucket spreads
+    // across block-pair tasks here too. The (doc_id, fp) relation is
+    // persisted (16 bytes/doc) so the shingle+fingerprint pass runs once,
+    // not once per join branch. Rows-only driver check (the fingerprint
+    // hash isn't expressible in the oracle); TextSpec asserts it finds
+    // exactly the planted near-dup pairs.
     "dedup_simhash" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       // same shingle-less exclusion as dedup_near_minhash (cheap
@@ -216,19 +297,15 @@ object Text {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp"))
-      val bands = fp.select(col("doc_id"), col("fp"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = fp.select(col("doc_id"),
           posexplode(array((0 until 16).map(j =>
             shiftrightunsigned(col("fp"), j * 4).bitwiseAND(15)): _*)))
         .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bval")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("x.fp").as("fa"),
-                col("y.doc_id").as("b"), col("y.fp").as("fb"))
-        .distinct()
-      cand
+        .withColumnRenamed("col", "bhash")
+      saltedBandPairs(bands)
+        .join(fp.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fp.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
         .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
         .filter(col("hamming") <= 12)
         .select(col("a"), col("b"), col("hamming"))
@@ -323,11 +400,8 @@ object Text {
             / size(col("t")), 4).as("chars_per_tok"))
         .orderBy("doc_id")),
 
-    // Document fingerprint: order-sensitive polynomial rolling hash over
-    // the token stream (seed 7, base 31, mod 1e9+7); token atom =
-    // ascii(first char)*131 + length. Pure integer arithmetic — identical
-    // in any engine — and a left fold, so token ORDER matters (unlike the
-    // shingle-set ops). The cheap O(n) near-dup prefilter.
+    // End-to-end corpus cleaning (near-dup drop → quality gate →
+    // per-language stats) — see [[cleanCorpus]] for the full story.
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
 
     // Stopword stripping — the cleaning transform between langid and
@@ -356,6 +430,11 @@ object Text {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")),
 
+    // Document fingerprint: order-sensitive polynomial rolling hash over
+    // the token stream (seed 7, base 31, mod 1e9+7); token atom =
+    // ascii(first char)*131 + length. Pure integer arithmetic — identical
+    // in any engine — and a left fold, so token ORDER matters (unlike the
+    // shingle-set ops). The cheap O(n) near-dup prefilter.
     "text_fingerprint" -> ((s, d) =>
       tokenizedDocs(s, d)
         .select(col("doc_id"),

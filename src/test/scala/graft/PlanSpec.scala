@@ -152,6 +152,20 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("LSH candidate joins carry the 4-part salted key (band, bhash, pi, pj)") {
+    // the skew guard is structural: the band self-join must key on the
+    // block-pair tags in ADDITION to the bucket, or a hot bucket would
+    // serialize O(bucket²) pair work into one task at 100 TB
+    Seq("dedup_near_minhash", "dedup_simhash").foreach { name =>
+      val wide = collectAll(finalPlan(name)) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.size >= 4 => j
+      }
+      assert(wide.nonEmpty,
+        s"$name: expected the salted band join keyed (band, bhash, pi, pj)")
+    }
+  }
+
   test("join_asof plans as a union-stream window: no join node, no amplification") {
     val joins = collectAll(finalPlan("join_asof")) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j

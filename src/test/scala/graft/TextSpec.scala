@@ -73,6 +73,46 @@ class TextSpec extends SparkSpec {
       s"LSH missed planted mutations: ${expected -- pairs}")
   }
 
+  test("hot-bucket law: a planted mega-bucket of identical docs is fully paired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 64 verbatim copies of one boilerplate doc — every band bucket they
+    // land in exceeds the HotBucket width, so candidate generation MUST go
+    // through the salted block-pair join; all 64·63/2 pairs at jac 1.0 are
+    // still required (salting redistributes work, never drops candidates),
+    // and the original corpus' planted near-dups must be unaffected.
+    val basePairs = pairs("dedup_near_minhash")
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val boiler = "the same boilerplate header text repeated verbatim in " +
+      "every crawl snapshot of this synthetic corpus fixture"
+    val n = 64
+    val planted = spark.range(n).select(
+      ($"id" + 90000L).as("doc_id"),
+      lit(boiler).as("text"),
+      lit("en").as("lang"),
+      lit("crawl").as("source"),
+      length(lit(boiler)).cast(base.schema("n_chars").dataType).as("n_chars"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_skew").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("dedup_near_minhash")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = (0 until n).map(_ + 90000L)
+    val wanted = (for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)).toSet
+    assert(wanted.subsetOf(got),
+      s"salted join dropped ${wanted.size - (wanted & got).size} of the " +
+        s"${wanted.size} mega-bucket pairs")
+    assert(basePairs.subsetOf(got),
+      s"planting a mega-bucket must not disturb unrelated pairs: " +
+        s"missing ${basePairs -- got}")
+    assert(got == wanted ++ basePairs,
+      s"unexpected extra pairs: ${got -- wanted -- basePairs}")
+  }
+
   test("shingles: docs under 3 tokens yield an empty set, not an ANSI error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
