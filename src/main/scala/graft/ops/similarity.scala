@@ -7,43 +7,59 @@ import graft.Tables._
 
 /** Similarity search over the `embeddings` table (`vec_id`,
   * `embedding: array<float>` dim-64, `label`) — SURVEY.md §2.3
-  * `sim_topk_cosine` + the IVF-style scale path.
+  * `sim_topk_cosine` + the ANN scale paths.
   *
-  * All vector arithmetic is Catalyst higher-order functions
-  * (`zip_with` dot product, `aggregate` norm) over doubles — float inputs
-  * are widened exactly, the fold order is the array order in both engines,
-  * and every cosine is rounded to 4 decimals BEFORE ranking so the two
-  * engines rank identical values (ranking on raw doubles would let a
-  * last-ulp summation difference flip a tie across engines).
+  * All vector arithmetic is Catalyst expressions over doubles — float
+  * inputs are widened exactly, the fold order is the array order in both
+  * engines, and every cosine is rounded to 4 decimals BEFORE ranking so
+  * the two engines rank identical values (ranking on raw doubles would
+  * let a last-ulp summation difference flip a tie across engines).
   *
-  * Scale notes (100 TB posture):
-  *  - `sim_topk_cosine` is the brute-force baseline: corpus × queries with
-  *    the bounded query side BROADCAST, so the corpus never shuffles — the
-  *    right shape when queries ≪ corpus. A full self-join at corpus scale
-  *    is intentionally NOT the contract; that's what the IVF variant is for.
+  * Scale notes (100 TB posture) — four plans, four cost envelopes:
+  *  - `sim_topk_cosine`: brute-force scoring of a BOUNDED probe set
+  *    ([[ProbeCount]] queries) against the full corpus. The probe side is
+  *    broadcast and stays constant-size as the corpus grows; the corpus
+  *    never shuffles and the pair stream is O(q·n) — linear in n.
+  *  - `dedup_near_embedding`: EXACT all-pairs — O(n²) compute by
+  *    definition. The plan's job is to distribute, not shrink, that work:
+  *    a triangular block decomposition ([[blockedPairs]]) shuffles each
+  *    row to its block-pair tasks, so no unbounded broadcast exists and
+  *    no single task owns the pair space. Sub-quadratic is what the two
+  *    ANN variants below are for.
   *  - `sim_ann_ivf` probes only the query's own cell (here: the
   *    pre-assigned `label`, standing in for a nearest-centroid assignment
   *    computed at ingest). One hash shuffle on the cell id co-locates each
   *    cell; pair formation is per-cell, so cost is Σ|cell|², not n².
   *    Recall is bounded by cell assignment quality, exactly as in IVF.
+  *  - `sim_ann_lsh` buckets by hyperplane-sign bands and shares the
+  *    hot-bucket-salted band self-join with the text dedups.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** vec_id + embedding widened to double + precomputed L2 norm.
-    *
-    * The corpus is rebalanced across the cluster width before the
-    * CPU-dense pair compute: a small parquet table arrives as one split,
-    * and a broadcast-NLJ streams the probe side over *input* partitions —
-    * without the repartition the entire O(n·q·dim) dot-product work runs
-    * in a single task regardless of executor count.
+  /** Bounded probe set for the brute-force baseline: the first
+    * `ProbeCount` vec_ids. The contract is "score a bounded query set
+    * against the full corpus" — q stays CONSTANT as n scales, so the
+    * broadcast build side and the q·n pair stream grow linearly with the
+    * corpus, never quadratically. A deterministic id-prefix keeps the
+    * subset oracle-expressible (`WHERE vec_id < 100` in DuckDB).
+    */
+  private val ProbeCount = 100
+
+  /** Blocks for the exact all-pairs decomposition: pair work spreads over
+    * blocks·(blocks+1)/2 shuffle tasks at a ≤ (blocks+1)× replication
+    * cost. Dial to ~cluster-width on a real deployment.
+    */
+  private val PairBlocks = 8
+
+  /** vec_id + embedding widened to double + precomputed L2 norm. No
+    * repartition here: each consumer rebalances on ITS join/compute key
+    * (a shared vec_id exchange was pure overhead for the cell- and
+    * block-keyed plans — measured as a 3× regression on `sim_ann_ivf`).
     */
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      // explicit count: AQE would coalesce this byte-small shuffle back to
-      // one task, serializing the compute-bound pair stage
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("nrm", sqrt(graft.expr.VectorExprs.dot(col("v"), col("v"))))
 
   // fused codegen'd dot product (graft.expr.DotProduct) — the HOF
@@ -52,14 +68,50 @@ object Similarity {
   private def cosine(av: Column, bv: Column, an: Column, bn: Column): Column =
     round(graft.expr.VectorExprs.dot(av, bv) / (an * bn), 4)
 
+  /** Every unordered vector pair exactly once, via triangular block
+    * decomposition — the distributed form of an exact all-pairs sweep.
+    * Each row gets a deterministic block `blk = xxhash64(vec_id) &
+    * (PairBlocks-1)`; a pair with blocks (a ≤ b) is produced by the one
+    * shuffle task keyed (a, b): the x-side replicates a row with block r
+    * to tags (r, j) for j ≥ r, the y-side to tags (i, r) for i ≤ r.
+    * Same-block pairs surface in both orientations — callers normalize
+    * with least/greatest + distinct (cosine is symmetric, so the measure
+    * is identical either way). No broadcast anywhere: both sides shuffle
+    * on the (pi, pj) tag, so the plan survives a corpus that dwarfs
+    * executor memory.
+    */
+  private def blockedPairs(v: DataFrame): DataFrame = {
+    val tagged = v.withColumn("blk",
+      xxhash64(col("vec_id")).bitwiseAND(lit(PairBlocks - 1)).cast("int"))
+    val x = tagged.select(col("vec_id"), col("v"), col("nrm"),
+      col("blk").as("pi"),
+      explode(sequence(col("blk"), lit(PairBlocks - 1))).as("pj"))
+    val y = tagged.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+      col("nrm").as("bn"),
+      explode(sequence(lit(0), col("blk"))).as("pi"),
+      col("blk").as("pj"))
+    x.as("x").join(y.as("y"),
+        col("x.pi") === col("y.pi") && col("x.pj") === col("y.pj") &&
+        col("x.vec_id") =!= col("y.nbr_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.v").as("v"),
+        col("x.nrm").as("nrm"), col("y.nbr_id").as("nbr_id"),
+        col("y.bv").as("bv"), col("y.bn").as("bn"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // Brute-force top-5 cosine neighbors for every vector. The probe side
-    // is broadcast (bounded query set); the corpus side streams.
+    // Brute-force top-5 cosine neighbors for each of the ProbeCount probe
+    // vectors. The probe side is broadcast (bounded by construction — the
+    // plan pin is the pushed vec_id range filter on the broadcast branch);
+    // the corpus side streams, rebalanced so the O(q·n·dim) dot-product
+    // work spreads across the cluster instead of the input split count.
     "sim_topk_cosine" -> ((s, d) => {
+      val p = s.sparkContext.defaultParallelism
       val corpus = vecs(s, d)
-      val probes = broadcast(vecs(s, d)
+        .repartition(p, col("vec_id"))
         .select(col("vec_id").as("nbr_id"), col("v").as("bv"),
-                col("nrm").as("bn")))
+          col("nrm").as("bn"))
+      val probes = broadcast(vecs(s, d).filter(col("vec_id") < ProbeCount)
+        .select(col("vec_id"), col("v"), col("nrm")))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
       corpus.join(probes, col("vec_id") =!= col("nbr_id"))
@@ -71,54 +123,60 @@ object Similarity {
         .orderBy("vec_id", "rn")
     }),
 
-    // Embedding-cosine near-dup: pairs whose rounded cosine clears the
-    // threshold. Test-scale plan is the broadcast pair sweep (corpus is
-    // bounded); the 100 TB path buckets first — exactly `sim_ann_ivf`'s
-    // cell restriction — before the pair compute. Filter runs on the
-    // ROUNDED value so both engines cut on identical numbers.
-    "dedup_near_embedding" -> ((s, d) => {
-      val a = vecs(s, d)
-      val b = broadcast(vecs(s, d).select(col("vec_id").as("b"),
-        col("v").as("bv"), col("nrm").as("bn")))
-      a.join(b, col("vec_id") < col("b"))
-        .select(col("vec_id").as("a"), col("b"),
+    // Embedding-cosine near-dup: every pair whose rounded cosine clears
+    // the threshold — EXACT all-pairs, distributed via the triangular
+    // block shuffle (no broadcast side, no single-task pair space). The
+    // filter runs on the ROUNDED value so both engines cut on identical
+    // numbers; same-block double-orientation rows collapse under
+    // least/greatest + distinct before presentation.
+    "dedup_near_embedding" -> ((s, d) =>
+      blockedPairs(vecs(s, d))
+        .select(col("vec_id"), col("nbr_id"),
           cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
         .filter(col("cos") >= 0.45)
-        .orderBy("a", "b")
-    }),
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"), col("cos"))
+        .distinct()
+        .orderBy("a", "b")),
 
     // LSH-bucketed ANN — the hash-based alternative to the IVF cell
     // restriction: a 64-bit hyperplane sign sketch per vector (codegen'd,
     // graft.expr.SignSketch64), 8-bit bands as bucket keys, candidates
-    // only within a shared band bucket, then exact rounded cosine + top-3
-    // per query. Per-bit collision P is 1 − θ/π, so an 8-bit band passes
+    // only within a shared band bucket (through the same hot-bucket-salted
+    // self-join as the text dedups — a degenerate sketch bucket spreads
+    // across block-pair tasks), then exact rounded cosine + top-3 per
+    // query. Per-bit collision P is 1 − θ/π, so an 8-bit band passes
     // near-orthogonal noise with P ≈ 0.5⁸ ≈ 0.4% (×8 bands ≈ 3% of all
     // pairs — a 30× candidate cut) while a true near-dup at cos ≥ 0.95
     // collides somewhere with P ≈ 0.99. The band width is the
     // selectivity/recall dial: narrower bands (4-bit) chase moderate-cos
     // neighbors but admit most of the corpus — at THAT point use
     // `sim_ann_ivf`, which partitions by data clusters instead of hash
-    // geometry. Rows-only driver check (hash hyperplanes aren't
-    // expressible in the oracle); recall law in AccuracySpec.
+    // geometry. The (vec_id, sk) sketch relation is persisted (16
+    // bytes/row) so the sign-sketch pass runs once across the band and
+    // verification branches. Rows-only driver check (hash hyperplanes
+    // aren't expressible in the oracle); recall law in AccuracySpec.
     "sim_ann_lsh" -> ((s, d) => {
-      val v = vecs(s, d)
+      val p = s.sparkContext.defaultParallelism
+      // rebalance BEFORE the sketch: a one-split parquet input would pin
+      // the codegen'd sketch pass to a single task
+      val v = vecs(s, d).repartition(p, col("vec_id"))
       // coalesce pins the sketch non-nullable: embedding is nullable in
       // the parquet schema, and a nullable band key would demote the
       // bucket join's HashedRelation probe to its slow path (PlanSpec)
       val sk = v.select(col("vec_id"),
-        coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
-          .as("sk"))
-      val bands = sk.select(col("vec_id"),
+          coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
+            .as("sk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = sk.select(col("vec_id").as("doc_id"),
           posexplode(array((0 until 8).map(j =>
             shiftrightunsigned(col("sk"), j * 8).bitwiseAND(255)): _*)))
         .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bval")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.bval") === col("y.bval") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
-        .distinct()
+        .withColumnRenamed("col", "bhash")
+      // unordered collision pairs → both orientations (top-k is per query)
+      val uo = Text.saltedBandPairs(bands)
+      val cand = uo.select(col("a").as("vec_id"), col("b").as("nbr_id"))
+        .union(uo.select(col("b").as("vec_id"), col("a").as("nbr_id")))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
       cand
@@ -134,10 +192,12 @@ object Similarity {
     }),
 
     // IVF-style ANN: restrict the search to the query's own cell (label),
-    // top-3 per query. Pairs form only within a cell after one shuffle on
-    // the cell id — the plan shape that survives a 1000× corpus.
+    // top-3 per query. Pairs form only within a cell after ONE shuffle on
+    // the cell id (the a-side pre-partitions on it; no vestigial vec_id
+    // exchange) — the plan shape that survives a 1000× corpus.
     "sim_ann_ivf" -> ((s, d) => {
-      val a = vecs(s, d)
+      val p = s.sparkContext.defaultParallelism
+      val a = vecs(s, d).repartition(p, col("label"))
       val b = vecs(s, d).select(col("label").as("blabel"),
         col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
       val w = Window.partitionBy(col("vec_id"))
@@ -177,7 +237,8 @@ object Similarity {
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
         |    round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
         |          / (a.nrm * b.nrm), 4) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100),
         |r AS (SELECT vec_id, nbr_id, cos,
         |        row_number() OVER (PARTITION BY vec_id
         |          ORDER BY cos DESC, nbr_id) AS rn

@@ -108,6 +108,33 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Sliding-window count over a streaming source — the same expressions
+    * as the batch `stream_sliding` under a watermark: a window emits (in
+    * Append mode) once the watermark passes its end, late rows beyond 10
+    * minutes are dropped from state. Each event still lands in 2 windows;
+    * state holds only open windows, bounded by watermark delay ÷ slide.
+    */
+  def streamingSliding(input: DataFrame): DataFrame =
+    input
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Session windows (30-minute gap) per user over a streaming source —
+    * the batch `stream_session` expressions under a watermark. Spark
+    * merges overlapping session state per key as events arrive; a session
+    * finalizes (Append mode) when the watermark passes its close. State is
+    * bounded by open sessions per key, not event count.
+    */
+  def streamingSession(input: DataFrame): DataFrame =
+    input
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n"))
+
   /** Stateful streaming dedup on event_id with a watermark bounding state. */
   def streamingDedup(input: DataFrame): DataFrame =
     input

@@ -166,6 +166,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_topk_cosine broadcasts only the bounded probe side") {
+    // the brute-force baseline's 100 TB contract: the broadcast build side
+    // is the PROBE SET, bounded by the pushed vec_id range filter — the
+    // corpus side streams and is never collected to the driver or
+    // broadcast. An unbounded broadcast here is the plan that OOMs first
+    // at scale.
+    val s = planString("sim_topk_cosine")
+    assert(s.contains("LessThan(vec_id,100)"),
+      s"probe bound must reach the broadcast-side scan as a pushed filter:\n$s")
+    val bcasts = collectAll(finalPlan("sim_topk_cosine")) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => b
+    }
+    assert(bcasts.nonEmpty, "probe side must be broadcast")
+  }
+
+  test("dedup_near_embedding pairs via the blocked equi-join, never a cartesian") {
+    // exact all-pairs is O(n^2) compute by definition; the plan's job is
+    // to DISTRIBUTE it: the pair sweep is an equi-join on the (pi, pj)
+    // block tags — nothing in the operator mandates a broadcast, so at
+    // corpus scale (where stats rule out broadcasting) both sides shuffle
+    // on the tags and no single task owns the pair space. (At test scale
+    // AQE is free to broadcast the few-MB replicated side — that is the
+    // optimizer working, not the operator demanding it.)
+    val plan = finalPlan("dedup_near_embedding")
+    val cart = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "block tags must make the pair sweep an equi-join")
+    val pairJoins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.size >= 2 => j
+    }
+    assert(pairJoins.nonEmpty, "expected the (pi, pj) blocked pair join")
+  }
+
   test("join_asof plans as a union-stream window: no join node, no amplification") {
     val joins = collectAll(finalPlan("join_asof")) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j

@@ -104,6 +104,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSliding: finalized windows match the batch form exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = ops.Streaming.streamingSliding(mem.toDF().toDF("ts", "event_type"))
+    // Append mode: a window emits exactly once, when the watermark passes
+    // its END — the exactly-once contract a downstream file sink needs
+    val q = df.writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = Seq((ts(1), "view"), (ts(2), "view"), (ts(11), "click"))
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      mem.addData((ts(59), "view")) // watermark → 10:49, finalizes base windows
+      q.processAllAvailable()
+      val streamed = spark.table("slide")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      // batch/stream parity: the same rows through the batch expressions
+      val batch = base.toDF("ts", "event_type")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream=$streamed batch=$batch — finalized sliding windows must " +
+          "agree with the batch formulation")
+      // every event lands in exactly 2 of the 5-minute-slide windows
+      assert(batch.toSeq.map(_._2).sum == 2L * base.size)
+    } finally q.stop()
+  }
+
+  test("streamingSession: finalized sessions match the batch form; open ones held back") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = ops.Streaming.streamingSession(mem.toDF().toDF("user_id", "ts"))
+    val q = df.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = Seq(
+        (1L, ts(0)), (1L, ts(10)), // one session (merged in state)
+        (1L, ts(50)),              // gap 40 min → second session
+        (2L, ts(5)))
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      mem.addData((3L, ts(59))) // watermark → 10:49
+      q.processAllAvailable()
+      val streamed = spark.table("sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2))).toSet
+      // batch form over the same rows: sessions whose close (last event +
+      // 30 min gap) precedes the 10:49 watermark must have been emitted,
+      // later ones must still be open in state
+      val batch = base.toDF("user_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n"))
+        .collect()
+      val watermark = ts(49)
+      val (closed, open) = batch.partition(_.getTimestamp(2).before(watermark))
+      assert(closed.nonEmpty && open.nonEmpty, "fixture must exercise both")
+      val closedSet = closed.map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert(streamed == closedSet,
+        s"stream=$streamed batchClosed=$closedSet — finalized sessions " +
+          "must agree with the batch session_window formulation")
+      val openSet = open.map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert((streamed & openSet).isEmpty,
+        "sessions still inside the watermark must not have been emitted")
+    } finally q.stop()
+  }
+
   test("batch session_window matches the gaps-and-islands formulation") {
     // same data, two formulations — the oracle-side SQL logic re-expressed
     // on DataFrames must agree with session_window
