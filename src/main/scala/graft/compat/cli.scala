@@ -1,0 +1,137 @@
+package graft.compat
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Mr
+
+/** The reference's user-facing CLI surface (`Client/client.py:46-71`):
+  * `-w` write, `-r` read, `-mr` map-reduce — completed here as a thin
+  * `main` over the engine's operators, so a user of the reference can run
+  * the same three commands against this library.
+  *
+  *   -w  <file> [W]                    split into W contiguous line chunks
+  *   -r  <file>                        merge chunks, sort lines, print
+  *   -mr <file> <mapper> <reducer> [W] pipe-map, shuffle, sort, pipe-reduce
+  *
+  * Shape mapping (SURVEY.md §3.3): the reference's worker fleet + HTTP
+  * chunk transfer IS Spark's storage/shuffle layer, so "write" is a
+  * partitioned text sink (W part-files ≡ W worker chunks, the directory
+  * listing ≡ the master's manifest), "read" is the O2 merge+sort
+  * presentation, and "mr" is the Hadoop-Streaming pipeline — external
+  * map/reduce scripts over stdin/stdout via `rdd.pipe`, hash shuffle on
+  * the first-comma key, per-run lexicographic sort — exactly the
+  * reference's exec model (`Worker/worker.py:88-96,173-208`) with the
+  * in-RAM run sort replaced by Spark's spillable shuffle sort.
+  *
+  * Chunking parity: the reference splits CONTIGUOUSLY by line count
+  * (`Client/client.py:147-191` via `Split.bylinecount`), so `-w` range
+  * partitions on a line index rather than hashing — chunk i holds lines
+  * [i·⌈n/W⌉, (i+1)·⌈n/W⌉), byte-compatible with the reference layout.
+  */
+object ClientCli {
+
+  /** Hadoop-Streaming job with EXTERNAL scripts — the generic `-mr` form
+    * of [[Mr.run]] (which takes Scala functions): each partition's lines
+    * stream through the mapper command's stdin/stdout, shuffle into
+    * `reducers` runs hash-partitioned on the first-comma key, sort each
+    * run on the whole line, then stream each sorted run through the
+    * reducer command. `rdd.pipe` launches one process per partition — the
+    * reference's one-reducer-per-run contract.
+    */
+  def runScripts(spark: SparkSession, lines: Dataset[String],
+                 mapperCmd: Seq[String], reducers: Int,
+                 reducerCmd: Seq[String]): Dataset[String] = {
+    import spark.implicits._
+    val mapped = spark.createDataset(lines.rdd.pipe(mapperCmd))
+    val runs = mapped.map(l => (Mr.keyOf(l), l)).toDF("k", "line")
+      .repartition(reducers, col("k"))
+      .sortWithinPartitions("line")
+      .select("line").as[String]
+    spark.createDataset(runs.rdd.pipe(reducerCmd))
+  }
+
+  /** `-w`: split into W contiguous line chunks under `<file>_chunks/`.
+    * zipWithIndex is one extra pass to learn partition sizes; the range
+    * partition on the line index reproduces the reference's contiguous
+    * `bylinecount` split, which a hash repartition would not.
+    */
+  def write(spark: SparkSession, file: String, workers: Int): String = {
+    import spark.implicits._
+    val out = file + "_chunks"
+    val lines = spark.read.textFile(file)
+    val n = lines.count()
+    val per = math.max(1L, (n + workers - 1) / workers)
+    lines.rdd.zipWithIndex()
+      .map { case (l, i) => ((i / per).toInt, l) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = workers
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values.toDS()
+      .write.mode("overwrite").text(out)
+    out
+  }
+
+  /** `-r`: merge every chunk, sort WHOLE lines lexicographically (the
+    * reference's presentation contract, `Client/client.py:105-108`), save
+    * the merged artifact beside the chunks, return the sorted lines.
+    */
+  def read(spark: SparkSession, file: String): Seq[String] = {
+    import spark.implicits._
+    val sorted = spark.read.textFile(file + "_chunks")
+      .orderBy("value").as[String].collect().toSeq
+    val base = Paths.get(file).getFileName.toString
+    val (stem, ext) = base.lastIndexOf('.') match {
+      case -1 => (base, "")
+      case i  => (base.substring(0, i), base.substring(i))
+    }
+    val target = Paths.get(file).toAbsolutePath.getParent
+      .resolve(s"${stem}_part-00000$ext")
+    Files.write(target, sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    sorted
+  }
+
+  /** `-mr`: write must have run first (reads the chunk layout), pipes
+    * through the user scripts, saves reduce runs under `<file>_mr/` and
+    * the merged `_part-00000` artifact via [[read]]'s contract.
+    */
+  def mapReduce(spark: SparkSession, file: String, mapper: String,
+                reducer: String, workers: Int): String = {
+    val lines = spark.read.textFile(file + "_chunks")
+    val reduced = runScripts(spark, lines,
+      Seq("python3", mapper), workers, Seq("python3", reducer))
+    val out = file + "_mr_chunks"
+    reduced.write.mode("overwrite").text(out)
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft-client").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try args.toList match {
+      case "-w" :: file :: rest =>
+        val w = rest.headOption.map(_.toInt).getOrElse(3)
+        println(s"WRITE COMPLETE: ${write(spark, file, w)} ($w chunks)")
+      case "-r" :: file :: Nil =>
+        read(spark, file).foreach(println)
+      case "-mr" :: file :: mapper :: reducer :: rest =>
+        val w = rest.headOption.map(_.toInt).getOrElse(3)
+        val dir = mapReduce(spark, file, mapper, reducer, w)
+        val merged = read(spark, dir.stripSuffix("_chunks"))
+        println("MAP REDUCE TASK COMPLETE")
+        println(s"RUNS: $dir  MERGED: ${merged.size} lines")
+      case _ =>
+        System.err.println(
+          "usage: ClientCli -w <file> [W] | -r <file> | " +
+            "-mr <file> <mapper.py> <reducer.py> [W]")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -98,6 +98,10 @@ object Text {
   private val MinhashK = 128 // signature length
   private val Bands    = 16  // LSH bands ...
   private val Rows     = 8   // ... of 8 rows: P(miss | jac=0.97) ≈ 3e-11
+  /** Slack between the Jaccard threshold and the signature-estimate
+    * prefilter cut — > 3σ of the estimate at k=128 (see lshJaccardPairs).
+    */
+  private val EstMargin = 0.15
 
   /** Bucket width beyond which the band self-join is salted. A natural
     * corpus concentrates boilerplate (headers, licence blocks, empty-ish
@@ -197,12 +201,37 @@ object Text {
           j => xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bhash")
-    saltedBandPairs(bands)
+    // Signature-estimate prefilter: band collisions overshoot badly on a
+    // real corpus (measured 29,665 candidates for 25 true pairs at sf0.1 —
+    // boilerplate-heavy buckets), and every candidate would otherwise pay
+    // the exact set intersect AND a shuffle of both full gram arrays. The
+    // MinHash estimate (fraction of equal signature positions, E[est] =
+    // jaccard) costs 128 long-compares per pair over the already-cached
+    // signatures; only est-survivors join the big set arrays for the
+    // exact verify. The margin keeps the filter lossless in practice:
+    // sd(est) = sqrt(t(1-t)/128) ≤ 0.045, so 0.15 is a > 3σ allowance —
+    // a true pair AT the threshold clears it with P ≈ 1 − 1e-4, and every
+    // fixture/planted pair sits ≥ 0.13 above threshold where the miss
+    // probability vanishes (< 1e-15).
+    val estOk = saltedBandPairs(bands)
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
+      .withColumn("est",
+        aggregate(zip_with(col("ga"), col("gb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
+      .filter(col("est") >= threshold - EstMargin)
+      .select(col("a"), col("b"))
+    // |A∪B| = |A|+|B|−|A∩B|: the union NEVER materializes — array_union
+    // would allocate an |A|+|B| array per candidate just to take its size
+    // (the sets are already distinct, so the identity is exact)
+    estOk
       .join(sig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
       .join(sig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac",
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb"))), 4))
+        round(col("ni").cast("double")
+          / (size(col("sa")) + size(col("sb")) - col("ni")), 4))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
       .orderBy("a", "b")
