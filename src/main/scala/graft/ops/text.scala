@@ -136,8 +136,22 @@ object Text {
     * order, so the orientation cannot be a join predicate. Cold buckets
     * keep a single (0, 0) tag: zero replication, same plan as the
     * unsalted join.
+    *
+    * `carry` columns (small, per-doc — e.g. an 8-byte fingerprint) ride
+    * through the join and come out as `<c>_a`/`<c>_b`, swapped
+    * consistently with the id normalization. `prune` runs on the joined
+    * pairs BEFORE the distinct: for an unselective blocking (simhash's
+    * 4-bit bands produce 12.7M raw collisions for 260 true pairs at
+    * sf0.1) filtering on the carried payload first means the distinct
+    * shuffle sees thousands of rows, not millions. Carry only cheap
+    * payloads — a 1 KB minhash signature would multiply the band-join
+    * shuffle instead; those verifications join the persisted signature
+    * relation AFTER the distinct.
     */
-  private[ops] def saltedBandPairs(bands: DataFrame): DataFrame = {
+  private[ops] def saltedBandPairs(bands: DataFrame,
+                                   carry: Seq[String] = Nil,
+                                   prune: DataFrame => DataFrame = identity)
+      : DataFrame = {
     val hot = bands.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("bw"))
       .filter(col("bw") > HotBucket)
@@ -149,26 +163,34 @@ object Text {
         when(col("is_hot").isNotNull,
           xxhash64(col("doc_id")).bitwiseAND(lit(SaltBlocks - 1)).cast("int"))
           .otherwise(lit(0)))
-    val x = tagged.select(col("doc_id").as("a"), col("band"), col("bhash"),
-      col("blk").as("pi"),
+    val x = tagged.select(col("doc_id").as("xid") +: col("band") +:
+      col("bhash") +: col("blk").as("pi") +:
       explode(
         when(col("is_hot").isNotNull,
           sequence(col("blk"), lit(SaltBlocks - 1)))
-          .otherwise(array(lit(0)))).as("pj"))
-    val y = tagged.select(col("doc_id").as("b"), col("band"), col("bhash"),
+          .otherwise(array(lit(0)))).as("pj") +:
+      carry.map(c => col(c).as(c + "_x")): _*)
+    val y = tagged.select(col("doc_id").as("yid") +: col("band") +:
+      col("bhash") +:
       explode(
         when(col("is_hot").isNotNull, sequence(lit(0), col("blk")))
-          .otherwise(array(lit(0)))).as("pi"),
-      col("blk").as("pj"))
-    x.as("x").join(y.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bhash") === col("y.bhash") &&
-        col("x.pi") === col("y.pi") &&
-        col("x.pj") === col("y.pj") &&
-        col("x.a") =!= col("y.b"))
-      .select(least(col("x.a"), col("y.b")).as("a"),
-        greatest(col("x.a"), col("y.b")).as("b"))
-      .distinct()
+          .otherwise(array(lit(0)))).as("pi") +:
+      col("blk").as("pj") +:
+      carry.map(c => col(c).as(c + "_y")): _*)
+    val joined = x.as("x").join(y.as("y"),
+      col("x.band") === col("y.band") &&
+      col("x.bhash") === col("y.bhash") &&
+      col("x.pi") === col("y.pi") &&
+      col("x.pj") === col("y.pj") &&
+      col("x.xid") =!= col("y.yid"))
+    val fwd = col("x.xid") < col("y.yid")
+    val normalized = joined.select(
+      least(col("x.xid"), col("y.yid")).as("a") +:
+      greatest(col("x.xid"), col("y.yid")).as("b") +:
+      carry.flatMap(c => Seq(
+        when(fwd, col(s"x.${c}_x")).otherwise(col(s"y.${c}_y")).as(c + "_a"),
+        when(fwd, col(s"y.${c}_y")).otherwise(col(s"x.${c}_x")).as(c + "_b"))): _*)
+    prune(normalized).distinct()
   }
 
   /** Banded MinHash-LSH near-dup pairs over a (doc_id, s: array<string>)
@@ -327,16 +349,21 @@ object Text {
         .select(col("doc_id"),
           graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = fp.select(col("doc_id"),
+      // 4-bit bands are pigeonhole-complete for hamming ≤ 15 but barely
+      // selective (each band splits the corpus into only 16 buckets →
+      // 12.7M raw collisions at sf0.1) — so the 8-byte fingerprint rides
+      // THROUGH the band join and the hamming cut runs before the
+      // distinct: the wide shuffle sees the few thousand survivors, not
+      // the collision stream
+      val bands = fp.select(col("doc_id"), col("fp"),
           posexplode(array((0 until 16).map(j =>
             shiftrightunsigned(col("fp"), j * 4).bitwiseAND(15)): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bhash")
-      saltedBandPairs(bands)
-        .join(fp.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
-        .join(fp.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
-        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
-        .filter(col("hamming") <= 12)
+      saltedBandPairs(bands, carry = Seq("fp"),
+          prune = _.withColumn("hamming",
+              bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+            .filter(col("hamming") <= 12))
         .select(col("a"), col("b"), col("hamming"))
         .orderBy("a", "b")
     }),
