@@ -148,7 +148,7 @@ object Text {
     * shuffle instead; those verifications join the persisted signature
     * relation AFTER the distinct.
     */
-  private[ops] def saltedBandPairs(bands: DataFrame,
+  private[graft] def saltedBandPairs(bands: DataFrame,
                                    carry: Seq[String] = Nil,
                                    prune: DataFrame => DataFrame = identity)
       : DataFrame = {

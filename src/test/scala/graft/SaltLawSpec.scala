@@ -1,0 +1,48 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+/** Property law for the hot-bucket-salted band self-join: for ANY band
+  * layout — including buckets far past the HotBucket width, the exact
+  * regime where the triangular block-pair replication engages — the
+  * salted join must produce EXACTLY the unordered collision pairs of the
+  * naive self-join. The triangle scheme earned this law: its first draft
+  * silently dropped pairs whose doc_id order opposed their block order,
+  * a bug only a skewed instance exposes.
+  */
+object SaltLawSpec extends Properties("saltedBandPairs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6) // each case runs Spark jobs
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // doc ids drawn with collisions-by-construction impossible (distinct
+  // below); band values concentrated so some (band, bhash) buckets exceed
+  // the HotBucket width of 32 and most do not
+  private val genDoc = Gen.chooseNum(0L, 400L)
+  private val genBand = Gen.chooseNum(0, 2)
+  private val genHash = Gen.frequency(
+    6 -> Gen.const(7L),          // the mega-bucket value
+    3 -> Gen.chooseNum(0L, 3L),  // mid-size buckets
+    2 -> Gen.chooseNum(10L, 200L)) // cold sparse buckets
+  private val genRow = for {
+    d <- genDoc; b <- genBand; h <- genHash
+  } yield (d, b, h)
+  private val genBands = Gen.chooseNum(40, 160)
+    .flatMap(n => Gen.listOfN(n, genRow)).map(_.distinct)
+
+  property("salted == naive self-join pairs, any skew") =
+    Prop.forAll(genBands) { rows =>
+      val bands = rows.toDF("doc_id", "band", "bhash")
+      val got = ops.Text.saltedBandPairs(bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        (d1, b1, h1) <- rows; (d2, b2, h2) <- rows
+        if b1 == b2 && h1 == h2 && d1 < d2
+      } yield (d1, d2)).toSet
+      Prop(got == naive) :| s"missing=${naive -- got} extra=${got -- naive}"
+    }
+}
