@@ -3,7 +3,6 @@ package graft.compat
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 import graft.ops.Mr
 
 /** The reference's user-facing CLI surface (`Client/client.py:46-71`):
@@ -45,10 +44,7 @@ object ClientCli {
                  reducerCmd: Seq[String]): Dataset[String] = {
     import spark.implicits._
     val mapped = spark.createDataset(lines.rdd.pipe(mapperCmd))
-    val runs = mapped.map(l => (Mr.keyOf(l), l)).toDF("k", "line")
-      .repartition(reducers, col("k"))
-      .sortWithinPartitions("line")
-      .select("line").as[String]
+    val runs = Mr.sortedRuns(spark, mapped, reducers)
     spark.createDataset(runs.rdd.pipe(reducerCmd))
   }
 
@@ -63,11 +59,17 @@ object ClientCli {
     val lines = spark.read.textFile(file)
     val n = lines.count()
     val per = math.max(1L, (n + workers - 1) / workers)
+    // repartitionAndSortWithinPartitions, not partitionBy: a multi-split
+    // input delivers shuffle blocks in randomized fetch order, so without
+    // the in-partition sort on the line index a chunk spanning two map
+    // tasks would come out internally REORDERED — silently breaking the
+    // contiguous-slice contract the chunk law pins
     lines.rdd.zipWithIndex()
-      .map { case (l, i) => ((i / per).toInt, l) }
-      .partitionBy(new org.apache.spark.Partitioner {
+      .map { case (l, i) => (i, l) }
+      .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
         def numPartitions: Int = workers
-        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        def getPartition(key: Any): Int =
+          (key.asInstanceOf[Long] / per).toInt
       })
       .values.toDS()
       .write.mode("overwrite").text(out)

@@ -89,19 +89,23 @@ object Fn {
         .orderBy("event_id")),
 
     // ONE Jackson parse per row: both outputs derive from a single
-    // `from_json` struct materialized in its own projection (k_str is the
-    // cast of the typed field — same value `get_json_object` would return
-    // for a scalar). Two independent JSON extractors here would each run a
-    // full parse per row — measured as the single most expensive line of
-    // the whole bench (16-36 s at sf0.1) for a 10-byte payload.
-    // JsonToStructs is not CollapseProject-"cheap", so the struct is never
-    // inlined into its two consumers.
+    // `from_json` struct materialized in its own projection. Two
+    // independent JSON extractors here would each run a full parse per
+    // row — measured as the single most expensive line of the whole
+    // bench (16-36 s at sf0.1) for a 10-byte payload. JsonToStructs is
+    // not CollapseProject-"cheap", so the struct is never inlined into
+    // its two consumers. The schema types k as STRING — the raw-scalar
+    // extraction `get_json_object`/`json_extract_string` semantics for
+    // any payload ("12", 1.5, 12 all round-trip) — and k_typed is the
+    // CAST of that string, the exact shape of the oracle's
+    // CAST(json_extract_string(...) AS INTEGER): both engines agree on
+    // nulls and both reject non-numeric payloads the same way.
     "fn_json" -> ((s, d) =>
       events(s, d)
-        .withColumn("j", from_json(col("props"), lit("k INT")))
+        .withColumn("j", from_json(col("props"), lit("k STRING")))
         .select(col("event_id"),
-          col("j").getField("k").as("k_typed"),
-          col("j").getField("k").cast("string").as("k_str"))
+          col("j").getField("k").cast("int").as("k_typed"),
+          col("j").getField("k").as("k_str"))
         .orderBy("event_id"))
   )
 

@@ -49,12 +49,24 @@ object Mr {
           reducers: Int,
           reduceRun: Iterator[String] => Iterator[String]): Dataset[String] = {
     import spark.implicits._
-    lines.flatMap(mapLine)
-      .map(l => (keyOf(l), l)).toDF("k", "line")
+    sortedRuns(spark, lines.flatMap(mapLine), reducers)
+      .mapPartitions(reduceRun)
+  }
+
+  /** The shuffle stage both MR surfaces share (typed facade above,
+    * external-script CLI in `compat.ClientCli`): hash-partition map-output
+    * lines on the first-comma key into `reducers` runs, sort each run on
+    * the WHOLE line. One definition, so the two paths can never
+    * desynchronize on the key or sort discipline CliSpec's parity law
+    * pins.
+    */
+  def sortedRuns(spark: SparkSession, mapped: Dataset[String],
+                 reducers: Int): Dataset[String] = {
+    import spark.implicits._
+    mapped.map(l => (keyOf(l), l)).toDF("k", "line")
       .repartition(reducers, col("k"))
       .sortWithinPartitions("line")
       .select("line").as[String]
-      .mapPartitions(reduceRun)
   }
 
   val queries: Map[String, Q] = Map(

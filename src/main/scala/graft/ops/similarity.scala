@@ -80,7 +80,7 @@ object Similarity {
     * on the (pi, pj) tag, so the plan survives a corpus that dwarfs
     * executor memory.
     */
-  private def blockedPairs(v: DataFrame): DataFrame = {
+  private[graft] def blockedPairs(v: DataFrame): DataFrame = {
     val tagged = v.withColumn("blk",
       xxhash64(col("vec_id")).bitwiseAND(lit(PairBlocks - 1)).cast("int"))
     val x = tagged.select(col("vec_id"), col("v"), col("nrm"),
@@ -152,34 +152,40 @@ object Similarity {
     // selectivity/recall dial: narrower bands (4-bit) chase moderate-cos
     // neighbors but admit most of the corpus — at THAT point use
     // `sim_ann_ivf`, which partitions by data clusters instead of hash
-    // geometry. The (vec_id, sk) sketch relation is persisted (16
-    // bytes/row) so the sign-sketch pass runs once across the band and
-    // verification branches. Rows-only driver check (hash hyperplanes
-    // aren't expressible in the oracle); recall law in AccuracySpec.
+    // geometry. Two persists, matched to the read pattern: the
+    // (vec_id, v, nrm) relation feeds both verification joins, and the
+    // 16-byte/row (vec_id, sk) sketch relation feeds the THREE branches
+    // of the salted band join (hot-bucket agg + x/y sides) — uncached,
+    // the 64-hyperplane sketch would re-run per branch. Rows-only driver
+    // check (hash hyperplanes aren't expressible in the oracle); recall
+    // law in AccuracySpec.
     "sim_ann_lsh" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       // rebalance BEFORE the sketch: a one-split parquet input would pin
-      // the codegen'd sketch pass to a single task. The (vec_id, v, nrm)
-      // relation is the one read three times (sketch branch + both
-      // verification joins) — IT gets the persist; the sketch column is
-      // consumed once, by the band projection.
+      // the codegen'd sketch pass to a single task
       val v = vecs(s, d).repartition(p, col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // coalesce pins the sketch non-nullable: embedding is nullable in
       // the parquet schema, and a nullable band key would demote the
       // bucket join's HashedRelation probe to its slow path (PlanSpec)
       val sk = v.select(col("vec_id"),
-        coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
-          .as("sk"))
+          coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
+            .as("sk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sk.select(col("vec_id").as("doc_id"),
           posexplode(array((0 until 8).map(j =>
             shiftrightunsigned(col("sk"), j * 8).bitwiseAND(255)): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bhash")
-      // unordered collision pairs → both orientations (top-k is per query)
-      val uo = Text.saltedBandPairs(bands)
-      val cand = uo.select(col("a").as("vec_id"), col("b").as("nbr_id"))
-        .union(uo.select(col("b").as("vec_id"), col("a").as("nbr_id")))
+      // unordered collision pairs → both orientations (top-k is per
+      // query). Emitted via ONE explode, not a self-union: a union would
+      // reference the candidate subtree (hot agg, band join, distinct)
+      // twice and execute it twice.
+      val cand = Text.saltedBandPairs(bands)
+        .select(explode(array(
+          struct(col("a").as("vec_id"), col("b").as("nbr_id")),
+          struct(col("b").as("vec_id"), col("a").as("nbr_id")))).as("p"))
+        .select(col("p.vec_id").as("vec_id"), col("p.nbr_id").as("nbr_id"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
       cand
