@@ -113,6 +113,57 @@ class TextSpec extends SparkSpec {
       s"unexpected extra pairs: ${got -- wanted -- basePairs}")
   }
 
+  test("degenerate corpus (all docs shingle-less) dedups to zero rows, no error") {
+    import spark.implicits._
+    // every doc below the 3-token shingle floor: the whole LSH pipeline —
+    // signature, hot-bucket agg, salted join, est prefilter, exact verify
+    // — must collapse to an empty result, not an ANSI/empty-agg error
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_degenerate").toString
+    Seq((1L, "one two", "en", "crawl", 7L), (2L, "x", "en", "crawl", 1L),
+        (3L, "", "en", "crawl", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("dedup_near_minhash")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("dedup_simhash")(spark, dir).count() == 0)
+  }
+
+  test("est prefilter: a pair just above the ngram threshold survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // fixture pairs sit at >= 0.93 char-gram jaccard — far above the 0.8
+    // threshold — so they never stress the estimate cut at 0.65. Plant a
+    // pair in the 0.80-0.90 band (above the 16x8 banding knee of ~0.71,
+    // so candidate generation is reliable) and require it in the output:
+    // with the fixed hash seeds the signature estimate is deterministic,
+    // and the >3-sigma margin must pass a pair near the contract boundary,
+    // not just the easy ones.
+    val common = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen wizards vex daft jim by packing quartz boxes full of " +
+      "liquor jugs near the docks at midnight under a waning moon"
+    val t1 = common + " alpha zebra xylograph"
+    val t2 = common + " omega vortex junkyard"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_borderline").toString
+    Seq((1L, t1, "en", "crawl", t1.length.toLong),
+        (2L, t2, "en", "crawl", t2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // fixture self-check: the true char-gram jaccard is in the target band
+    val jac = Seq((t1, t2)).toDF("a", "b")
+      .select((size(array_intersect(ops.Text.charGramCol(col("a"), 4),
+          ops.Text.charGramCol(col("b"), 4))).cast("double")
+        / size(array_union(ops.Text.charGramCol(col("a"), 4),
+          ops.Text.charGramCol(col("b"), 4)))).as("j"))
+      .head().getDouble(0)
+    assert(jac >= 0.8 && jac <= 0.9, s"fixture drifted: jac=$jac")
+    val rows = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 2L)),
+      s"near-threshold pair must survive banding AND the estimate cut " +
+        s"(true jac=$jac): got ${rows.toSeq}")
+  }
+
   test("shingles: docs under 3 tokens yield an empty set, not an ANSI error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
