@@ -46,11 +46,13 @@ object Similarity {
     */
   private val ProbeCount = 100
 
-  /** Blocks for the exact all-pairs decomposition: pair work spreads over
-    * blocks·(blocks+1)/2 shuffle tasks at a ≤ (blocks+1)× replication
-    * cost. Dial to ~cluster-width on a real deployment.
+  /** Blocks for the exact all-pairs decomposition (session conf
+    * `spark.graft.pairBlocks`, POWER OF TWO — the block id is a bitmask
+    * of xxhash64): pair work spreads over blocks·(blocks+1)/2 shuffle
+    * tasks at a ≤ (blocks+1)× replication cost. Dial to ~cluster-width
+    * on a real deployment.
     */
-  private val PairBlocks = 8
+  private val PairBlocksDefault = 8
 
   /** vec_id + embedding widened to double + precomputed L2 norm. No
     * repartition here: each consumer rebalances on ITS join/compute key
@@ -71,7 +73,7 @@ object Similarity {
   /** Every unordered vector pair exactly once, via triangular block
     * decomposition — the distributed form of an exact all-pairs sweep.
     * Each row gets a deterministic block `blk = xxhash64(vec_id) &
-    * (PairBlocks-1)`; a pair with blocks (a ≤ b) is produced by the one
+    * (pairBlocks-1)`; a pair with blocks (a ≤ b) is produced by the one
     * shuffle task keyed (a, b): the x-side replicates a row with block r
     * to tags (r, j) for j ≥ r, the y-side to tags (i, r) for i ≤ r.
     * Same-block pairs surface in both orientations — callers normalize
@@ -81,11 +83,15 @@ object Similarity {
     * executor memory.
     */
   private[graft] def blockedPairs(v: DataFrame): DataFrame = {
+    val blocks = v.sparkSession.conf
+      .get("spark.graft.pairBlocks", PairBlocksDefault.toString).toInt
+    require(blocks > 0 && (blocks & (blocks - 1)) == 0,
+      s"spark.graft.pairBlocks must be a power of two, got $blocks")
     val tagged = v.withColumn("blk",
-      xxhash64(col("vec_id")).bitwiseAND(lit(PairBlocks - 1)).cast("int"))
+      xxhash64(col("vec_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
     val x = tagged.select(col("vec_id"), col("v"), col("nrm"),
       col("blk").as("pi"),
-      explode(sequence(col("blk"), lit(PairBlocks - 1))).as("pj"))
+      explode(sequence(col("blk"), lit(blocks - 1))).as("pj"))
     val y = tagged.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
       col("nrm").as("bn"),
       explode(sequence(lit(0), col("blk"))).as("pi"),

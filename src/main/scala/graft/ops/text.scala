@@ -103,20 +103,26 @@ object Text {
     */
   private val EstMargin = 0.15
 
-  /** Bucket width beyond which the band self-join is salted. A natural
-    * corpus concentrates boilerplate (headers, licence blocks, empty-ish
-    * docs) into a handful of mega-buckets; without salting every pair in
-    * such a bucket lands in ONE join task — the O(n²) serial hotspot
-    * inside an otherwise-bucketed plan. Sized to the test corpus so the
-    * planted-skew law exercises the salted path; a production run dials
-    * this to ~10⁴.
+  /** Bucket width beyond which the band self-join is salted (session
+    * conf `spark.graft.lsh.hotBucketWidth`). A natural corpus
+    * concentrates boilerplate (headers, licence blocks, empty-ish docs)
+    * into a handful of mega-buckets; without salting every pair in such a
+    * bucket lands in ONE join task — the O(n²) serial hotspot inside an
+    * otherwise-bucketed plan. The default is sized to the test corpus so
+    * the planted-skew law exercises the salted path; a production run
+    * dials the conf to ~10⁴.
     */
-  private val HotBucket = 32
-  /** Sub-blocks a hot bucket is split into: pair work spreads across
+  private val HotBucketDefault = 32
+  /** Sub-blocks a hot bucket is split into (session conf
+    * `spark.graft.lsh.saltBlocks`, POWER OF TWO — the block id is a
+    * bitmask of xxhash64): pair work spreads across
     * blocks·(blocks+1)/2 tasks at a ≤ (blocks+1)× row-replication cost
-    * paid ONLY by hot-bucket rows.
+    * paid ONLY by hot-bucket rows. Dial to ~cluster-width at scale.
     */
-  private val SaltBlocks = 8
+  private val SaltBlocksDefault = 8
+
+  private def intConf(df: DataFrame, key: String, dflt: Int): Int =
+    df.sparkSession.conf.get(key, dflt.toString).toInt
 
   /** All distinct unordered id pairs sharing a (band, bhash) bucket —
     * the candidate stage every sketch-based dedup runs — with hot buckets
@@ -124,8 +130,8 @@ object Text {
     * pattern applied to a SELF-join).
     *
     * Input columns: `doc_id`, `band`, `bhash`. Each row in a bucket wider
-    * than [[HotBucket]] gets a deterministic block id `blk =
-    * xxhash64(doc_id) & ([[SaltBlocks]]-1)` (a bitmask, NOT pmod — Pmod is
+    * than the hot width gets a deterministic block id `blk =
+    * xxhash64(doc_id) & (saltBlocks-1)` (a bitmask, NOT pmod — Pmod is
     * unconditionally nullable in Catalyst, and a nullable key would demote
     * the band join's HashedRelation probe to its slow path, the discipline
     * PlanSpec pins). A doc pair with blocks (a, b) is produced by exactly
@@ -152,22 +158,28 @@ object Text {
                                    carry: Seq[String] = Nil,
                                    prune: DataFrame => DataFrame = identity)
       : DataFrame = {
+    val hotWidth = intConf(bands, "spark.graft.lsh.hotBucketWidth",
+      HotBucketDefault)
+    val blocks = intConf(bands, "spark.graft.lsh.saltBlocks",
+      SaltBlocksDefault)
+    require(blocks > 0 && (blocks & (blocks - 1)) == 0,
+      s"spark.graft.lsh.saltBlocks must be a power of two, got $blocks")
     val hot = bands.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("bw"))
-      .filter(col("bw") > HotBucket)
+      .filter(col("bw") > hotWidth)
       .select(col("band"), col("bhash"), lit(true).as("is_hot"))
     // hot-bucket list is tiny by construction (distinct over-width keys) —
     // broadcast, so tagging never shuffles the bands relation
     val tagged = bands.join(broadcast(hot), Seq("band", "bhash"), "left")
       .withColumn("blk",
         when(col("is_hot").isNotNull,
-          xxhash64(col("doc_id")).bitwiseAND(lit(SaltBlocks - 1)).cast("int"))
+          xxhash64(col("doc_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
           .otherwise(lit(0)))
     val x = tagged.select(col("doc_id").as("xid") +: col("band") +:
       col("bhash") +: col("blk").as("pi") +:
       explode(
         when(col("is_hot").isNotNull,
-          sequence(col("blk"), lit(SaltBlocks - 1)))
+          sequence(col("blk"), lit(blocks - 1)))
           .otherwise(array(lit(0)))).as("pj") +:
       carry.map(c => col(c).as(c + "_x")): _*)
     val y = tagged.select(col("doc_id").as("yid") +: col("band") +:

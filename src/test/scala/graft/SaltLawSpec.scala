@@ -34,16 +34,30 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
   private val genBands = Gen.chooseNum(40, 160)
     .flatMap(n => Gen.listOfN(n, genRow)).map(_.distinct)
 
-  property("salted == naive self-join pairs, any skew") =
-    Prop.forAll(genBands) { rows =>
+  // sweep the conf dials too: the law must hold for ANY power-of-two salt
+  // width (1 = no salting inside hot buckets, just the tag plumbing) and
+  // any hot threshold (0 = everything salted)
+  private val genSalt = Gen.oneOf(1, 2, 4, 8, 16)
+  private val genHotW = Gen.oneOf(0, 1, 32)
+
+  property("salted == naive self-join pairs, any skew, any dials") =
+    Prop.forAll(genBands, genSalt, genHotW) { (rows, saltW, hotW) =>
       val bands = rows.toDF("doc_id", "band", "bhash")
-      val got = ops.Text.saltedBandPairs(bands)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val naive = (for {
-        (d1, b1, h1) <- rows; (d2, b2, h2) <- rows
-        if b1 == b2 && h1 == h2 && d1 < d2
-      } yield (d1, d2)).toSet
-      Prop(got == naive) :| s"missing=${naive -- got} extra=${got -- naive}"
+      spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
+      spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+      try {
+        val got = ops.Text.saltedBandPairs(bands)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val naive = (for {
+          (d1, b1, h1) <- rows; (d2, b2, h2) <- rows
+          if b1 == b2 && h1 == h2 && d1 < d2
+        } yield (d1, d2)).toSet
+        Prop(got == naive) :|
+          s"salt=$saltW hot=$hotW missing=${naive -- got} extra=${got -- naive}"
+      } finally {
+        spark.conf.unset("spark.graft.lsh.saltBlocks")
+        spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+      }
     }
 
   // the OTHER hand-rolled triangle decomposition (blocked exact all-pairs
