@@ -128,6 +128,19 @@ object IO {
         .orderBy("c_nationkey")
     }),
 
+    // ORC sink + scan-back: the second columnar format (round 5 — ORC is
+    // bundled in the Spark distribution; Avro's data source is not on
+    // this classpath). Same full write→read gate as the other sinks, on
+    // the one base table no other query exercised.
+    "sink_orc" -> ((s, d) => {
+      val dir = tmpDir(d, "orc")
+      supplier(s, d).write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // JSON-lines sink + scan-back: the interchange egress beside parquet.
     // The declared read schema keeps types through the roundtrip (JSON
     // alone would widen ints) — and the driver gate checks the full
@@ -170,6 +183,10 @@ object IO {
     "sink_json_lines" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "sink_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  round(s_acctbal, 2) AS acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "join_bucketed" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS tot
