@@ -128,6 +128,21 @@ object IO {
         .orderBy("c_nationkey")
     }),
 
+    // Hive-layout partitioned sink + PRUNED scan-back: the write lays the
+    // table out as o_year=YYYY/ directories, and the filtered read must
+    // touch only the matching directory — at 100 TB partition pruning is
+    // the difference between scanning one year and scanning the decade.
+    // PlanSpec pins the PartitionFilters entry on the scan.
+    "sink_parquet_partitioned" -> ((s, d) => {
+      val dir = tmpDir(d, "part_parquet")
+      orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_year") === 1995)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_year"))
+        .orderBy("o_orderkey")
+    }),
+
     // ORC sink + scan-back: the second columnar format (round 5 — ORC is
     // bundled in the Spark distribution; Avro's data source is not on
     // this classpath). Same full write→read gate as the other sinks, on
@@ -187,6 +202,11 @@ object IO {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  round(s_acctbal, 2) AS acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "sink_parquet_partitioned" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY o_orderkey""".stripMargin,
     "join_bucketed" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS tot

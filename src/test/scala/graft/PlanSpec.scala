@@ -210,6 +210,16 @@ class PlanSpec extends SparkSpec {
         "re-introduces the O(events × orders-per-user) intermediate")
   }
 
+  test("sink_parquet_partitioned: the filtered read prunes to one partition dir") {
+    // hive-layout pruning: the o_year predicate must land in the scan's
+    // PartitionFilters (directory-level skip), not just PushedFilters
+    // (row-group-level) — at 100 TB this is scan-one-year vs scan-all
+    val s = planString("sink_parquet_partitioned")
+    val pf = s.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("o_year"),
+      s"o_year must be a partition filter on the scan:\n$s")
+  }
+
   test("text_lang_filter prunes the text column from the scan") {
     // metadata-only text query: at 100 TB reading the document bodies for
     // a lang/length aggregate is the difference between KBs and the corpus
