@@ -75,6 +75,17 @@ object Text {
     * force-nullable).
     */
   private[graft] def shingleCol(t: Column): Column =
+    coalesce(graft.expr.TextSetExprs.wordShingles(t, 3),
+      typedLit(Array.empty[String]))
+
+  /** The declarative HOF formulation [[shingleCol]] replaced (round 5) —
+    * kept as the parity reference: ExprSpec asserts the codegen'd
+    * expression is byte-equal to this form, whose ANSI guard and
+    * nullability discipline the original docstring above explains. The
+    * HOF path re-evaluates its lambda interpreted per element; the
+    * expression builds the same set in one codegen'd pass.
+    */
+  private[graft] def shingleColHof(t: Column): Column =
     when(size(t) >= 3,
       array_distinct(transform(
         sequence(lit(0), greatest(size(t) - 3, lit(0))),
@@ -89,6 +100,11 @@ object Text {
     * string end so only the empty-set branch needs the explicit guard.
     */
   private[graft] def charGramCol(c: Column, n: Int): Column =
+    coalesce(graft.expr.TextSetExprs.charGrams(c, n),
+      typedLit(Array.empty[String]))
+
+  /** HOF parity reference for [[charGramCol]] — see [[shingleColHof]]. */
+  private[graft] def charGramColHof(c: Column, n: Int): Column =
     when(length(c) >= n,
       array_distinct(transform(
         sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),

@@ -35,6 +35,29 @@ class ExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("CharGrams/WordShingles equal their HOF forms byte-for-byte") {
+    import spark.implicits._
+    // the corpus plus adversarial cases: unicode multibyte, repeats (the
+    // distinct path), exact-window-length, short, empty. LinkedHashSet
+    // preserves first-occurrence order exactly as array_distinct does, so
+    // the arrays must be EQUAL, not just set-equal.
+    val extra = Seq("héllo wörld héllo", "aaaa", "abc", "ab", "",
+      "日本語のテキスト断片", "x y x y x y", "a b c d e")
+      .toDF("text")
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(extra)
+      .withColumn("t", split(col("text"), " "))
+    val mismatches = docs.select(
+        ops.Text.charGramCol(col("text"), 4).as("cg"),
+        ops.Text.charGramColHof(col("text"), 4).as("cg_hof"),
+        ops.Text.shingleCol(col("t")).as("sh"),
+        ops.Text.shingleColHof(col("t")).as("sh_hof"))
+      .filter(col("cg") =!= col("cg_hof") || col("sh") =!= col("sh_hof"))
+    assert(mismatches.count() == 0,
+      s"codegen'd set builders diverged from the HOF reference:\n" +
+        s"${mismatches.take(3).mkString("\n")}")
+  }
+
   test("MinHashSignature: k minima, deterministic, set-semantics") {
     import graft.expr.MinHashExprs.minhashSignature
     val df = spark.sql(
