@@ -146,6 +146,29 @@ object Relational {
         .select(col("s_suppkey"), col("c_custkey"))
         .orderBy("s_suppkey", "c_custkey")),
 
+    // The 100 TB form of the same range predicate: bucketize both sides
+    // at the band width — a pair with |c - s| ≤ 10 has buckets differing
+    // by at most one, so the supplier side replicates to its three
+    // servable buckets and the join becomes a pure EQUI-join on the
+    // bucket plus the residual BETWEEN. Shuffle-partitionable on the
+    // bucket key (no nested loop, no broadcast requirement — PlanSpec
+    // pins it), and each qualifying pair matches exactly once (in the
+    // customer's own bucket), so no dedup step. This is the interval-join
+    // shape that survives two fact-sized sides.
+    "join_range_banded" -> ((s, d) => {
+      val c = customer(s, d)
+        .withColumn("bkt", floor(col("c_acctbal") / 10.0))
+      val bkt = floor(col("s_acctbal") / 10.0)
+      val sup = supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"),
+          explode(array(bkt - 1, bkt, bkt + 1)).as("bkt"))
+      c.join(sup, "bkt")
+        .filter(col("c_acctbal").between(col("s_acctbal") - 10,
+          col("s_acctbal") + 10))
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+
     // As-of join: latest order at-or-before each event's timestamp for the
     // matching customer. Spark has no native as-of. The scalable plan is
     // NOT join-then-top-1 (that materializes every (event, earlier-order)
@@ -390,6 +413,13 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "join_theta_range" ->
+      """SELECT s_suppkey, c_custkey
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    // banded form: SAME relation as the theta range join — the banding is
+    // a plan transformation, never a semantics change
+    "join_range_banded" ->
       """SELECT s_suppkey, c_custkey
         |FROM customer JOIN supplier
         |  ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10

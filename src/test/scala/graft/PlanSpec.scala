@@ -201,6 +201,23 @@ class PlanSpec extends SparkSpec {
     assert(pairJoins.nonEmpty, "expected the (pi, pj) blocked pair join")
   }
 
+  test("join_range_banded: equi-join on the band bucket, no nested loop") {
+    // the banded interval join must plan as a hash/merge EQUI-join on the
+    // bucket key — a BroadcastNestedLoopJoin here means the range
+    // predicate leaked back into the join condition and the O(n·m) sweep
+    // returned
+    val plan = finalPlan("join_range_banded")
+    val bnlj = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnlj.isEmpty, s"range predicate must be residual, not a BNLJ:\n$plan")
+    val equi = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.nonEmpty => j
+    }
+    assert(equi.nonEmpty, s"expected the bucket equi-join:\n$plan")
+  }
+
   test("join_asof plans as a union-stream window: no join node, no amplification") {
     val joins = collectAll(finalPlan("join_asof")) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
