@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, MinHashSignature, SignSketch64, SimHash64}
+import graft.expr.{CharGrams, DotProduct, MinHashSignature, SignSketch64, SimHash64, WordShingles}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -64,6 +64,20 @@ object GraftFunctions {
           require(args.length == 1,
             "sign_sketch64(vector) takes one array<double>")
           SignSketch64(args(0))
+        }),
+      "char_grams" -> (
+        new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "char_grams(text, n) takes a string and a literal n")
+          CharGrams(args(0), intLit(args(1), "n"))
+        }),
+      "word_shingles" -> (
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "word_shingles(tokens, k) takes an array<string> and a literal k")
+          WordShingles(args(0), intLit(args(1), "k"))
         })
     )
 

@@ -89,6 +89,14 @@ class ExprSpec extends SparkSpec {
       "SELECT minhash_signature(array('a b c', 'b c d'), 8) AS s")
       .collect().head.getSeq[Long](0)
     assert(sig.length == 8)
+    val grams = spark.sql("SELECT char_grams('abcabc', 3) AS g")
+      .collect().head.getSeq[String](0)
+    assert(grams == Seq("abc", "bca", "cab"),
+      "distinct grams in first-occurrence order")
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a', 'b', 'c', 'd'), 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
   }
 
   test("SignSketch64: deterministic, sign-antisymmetric, SQL-callable") {
