@@ -61,10 +61,13 @@ object TextSetUtil {
       i += 1
     }
     val seen = new java.util.LinkedHashSet[UTF8String]()
+    // one reused window buffer: concatWs reads its varargs without
+    // retaining them, so a per-window copyOfRange would be pure churn
+    val win = new Array[UTF8String](k)
     i = 0
     while (i + k <= n) {
-      seen.add(UTF8String.concatWs(
-        Space, java.util.Arrays.copyOfRange(toks, i, i + k): _*))
+      System.arraycopy(toks, i, win, 0, k)
+      seen.add(UTF8String.concatWs(Space, win: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]))

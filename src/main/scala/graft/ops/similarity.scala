@@ -83,10 +83,8 @@ object Similarity {
     * executor memory.
     */
   private[graft] def blockedPairs(v: DataFrame): DataFrame = {
-    val blocks = v.sparkSession.conf
-      .get("spark.graft.pairBlocks", PairBlocksDefault.toString).toInt
-    require(blocks > 0 && (blocks & (blocks - 1)) == 0,
-      s"spark.graft.pairBlocks must be a power of two, got $blocks")
+    val blocks = Text.blockCountConf(v, "spark.graft.pairBlocks",
+      PairBlocksDefault)
     val tagged = v.withColumn("blk",
       xxhash64(col("vec_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
     val x = tagged.select(col("vec_id"), col("v"), col("nrm"),

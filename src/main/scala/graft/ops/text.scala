@@ -137,8 +137,20 @@ object Text {
     */
   private val SaltBlocksDefault = 8
 
-  private def intConf(df: DataFrame, key: String, dflt: Int): Int =
+  private[ops] def intConf(df: DataFrame, key: String, dflt: Int): Int =
     df.sparkSession.conf.get(key, dflt.toString).toInt
+
+  /** Block-count conf: the block id is a bitmask of xxhash64 (Pmod is
+    * unconditionally nullable — see [[saltedBandPairs]]), so the value
+    * must be a power of two. One validation for every banded/blocked
+    * decomposition in the engine.
+    */
+  private[ops] def blockCountConf(df: DataFrame, key: String, dflt: Int): Int = {
+    val v = intConf(df, key, dflt)
+    require(v > 0 && (v & (v - 1)) == 0,
+      s"$key must be a power of two, got $v")
+    v
+  }
 
   /** All distinct unordered id pairs sharing a (band, bhash) bucket —
     * the candidate stage every sketch-based dedup runs — with hot buckets
@@ -176,10 +188,8 @@ object Text {
       : DataFrame = {
     val hotWidth = intConf(bands, "spark.graft.lsh.hotBucketWidth",
       HotBucketDefault)
-    val blocks = intConf(bands, "spark.graft.lsh.saltBlocks",
+    val blocks = blockCountConf(bands, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
-    require(blocks > 0 && (blocks & (blocks - 1)) == 0,
-      s"spark.graft.lsh.saltBlocks must be a power of two, got $blocks")
     val hot = bands.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("bw"))
       .filter(col("bw") > hotWidth)

@@ -27,7 +27,7 @@ class AccuracySpec extends SparkSpec {
         $"label")
     val cloneIds = clones.select("vec_id").as[Long].collect().toSeq
     assert(cloneIds.size >= 3)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ann_law").toString
+    val dir = SparkSpec.scratchDir("graft_ann_law")
     base.select("vec_id", "embedding", "label").unionByName(clones)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val rank1 = SparkEntry.queries("sim_ann_lsh")(spark, dir)

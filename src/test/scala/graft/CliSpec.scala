@@ -12,7 +12,7 @@ class CliSpec extends SparkSpec {
 
   private def dataCopy(): String = {
     val src = ops.IO.materializedResource("data.txt")
-    val dst = Files.createTempDirectory("graft_cli").resolve("data.txt")
+    val dst = Paths.get(SparkSpec.scratchDir("graft_cli")).resolve("data.txt")
     Files.copy(Paths.get(src), dst)
     dst.toString
   }

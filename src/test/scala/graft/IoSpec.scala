@@ -32,7 +32,7 @@ class IoSpec extends SparkSpec {
     // the reference's mapper silently drops rows that don't parse into the
     // declared arity (`mapper.py:29`); the engine's declarative equivalent
     // is the CSV reader's mode — demonstrated against a file with a bad row
-    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val dir = java.nio.file.Paths.get(SparkSpec.scratchDir("graft_badcsv"))
     java.nio.file.Files.writeString(dir.resolve("part-0.tsv"),
       "1\talpha\n2\tbeta\nnot_an_int\tgamma\n3\tdelta\n")
     val df = spark.read

@@ -16,6 +16,28 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  /** Process-local scratch root for spec fixtures, reaped on JVM exit —
+    * the IO.procRoot convention: bare `Files.createTempDirectory` calls
+    * would accumulate orphaned parquet fixture copies in the OS tmp dir
+    * across test runs.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory(
+      "graft_spec_" + ProcessHandle.current().pid() + "_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  /** A fresh fixture directory under the reaped scratch root. */
+  def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

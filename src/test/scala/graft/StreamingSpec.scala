@@ -80,7 +80,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming file sink: windowed counts land in parquet exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val root = SparkSpec.scratchDir("graft_stream")
     val mem = MemoryStream[(Timestamp, String)]
     val df = ops.Streaming.streamingTumbling(
       mem.toDF().toDF("ts", "event_type"))

@@ -62,8 +62,7 @@ class TextSpec extends SparkSpec {
     val n = clones.count()
     assert(n >= 3)
     val corpus = base.unionByName(clones)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_lsh_law").toString
+    val dir = SparkSpec.scratchDir("graft_lsh_law")
     corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val pairs = SparkEntry.queries("dedup_near_minhash")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -93,8 +92,7 @@ class TextSpec extends SparkSpec {
       lit("en").as("lang"),
       lit("crawl").as("source"),
       length(lit(boiler)).cast(base.schema("n_chars").dataType).as("n_chars"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_lsh_skew").toString
+    val dir = SparkSpec.scratchDir("graft_lsh_skew")
     base.unionByName(planted).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val df = SparkEntry.queries("dedup_near_minhash")(spark, dir)
@@ -118,8 +116,7 @@ class TextSpec extends SparkSpec {
     // every doc below the 3-token shingle floor: the whole LSH pipeline —
     // signature, hot-bucket agg, salted join, est prefilter, exact verify
     // — must collapse to an empty result, not an ANSI/empty-agg error
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_lsh_degenerate").toString
+    val dir = SparkSpec.scratchDir("graft_lsh_degenerate")
     Seq((1L, "one two", "en", "crawl", 7L), (2L, "x", "en", "crawl", 1L),
         (3L, "", "en", "crawl", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -143,8 +140,7 @@ class TextSpec extends SparkSpec {
       "liquor jugs near the docks at midnight under a waning moon"
     val t1 = common + " alpha zebra xylograph"
     val t2 = common + " omega vortex junkyard"
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_lsh_borderline").toString
+    val dir = SparkSpec.scratchDir("graft_lsh_borderline")
     Seq((1L, t1, "en", "crawl", t1.length.toLong),
         (2L, t2, "en", "crawl", t2.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
