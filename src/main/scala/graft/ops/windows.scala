@@ -81,6 +81,26 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Time-RANGE frame (vs the row frames above): per user, aggregate
+    // every event inside the trailing 30 MINUTES — the frame is defined
+    // by the ordering VALUE, not a row count, so equal timestamps are
+    // frame peers and sparse/bursty streams get the correct window either
+    // way. Spark's rangeBetween needs a numeric ordering key: the
+    // timestamp casts to epoch seconds, -1800..0 inclusive — exactly
+    // DuckDB's RANGE BETWEEN INTERVAL '30 minutes' PRECEDING. The frame
+    // SET is engine-identical; only the float summation order differs,
+    // absorbed by the rounding.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-1800, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 4).as("sum_30m"),
+          count(lit(1)).over(w).as("n_30m"))
+        .orderBy("event_id")
+    }),
+
     // Distribution functions: percent_rank / cume_dist / ntile quartiles
     // per group. The ORDER BY is tie-broken to a total order (unique
     // o_orderkey) so all three are deterministic and engine-independent.
@@ -137,6 +157,14 @@ object Windows {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 4) AS sum_30m,
+        |  count(*) OVER w AS n_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_distribution" ->
       """SELECT o_orderkey, o_orderstatus,
         |  round(percent_rank() OVER w, 6) AS pr,
