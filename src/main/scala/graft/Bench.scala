@@ -53,7 +53,7 @@ object Bench {
       // operators that persist an internal relation (LSH set/signature,
       // simhash fingerprints) leave their cache entry behind — drop it
       // OUTSIDE the timer so queries stay independent and memory bounded
-      spark.catalog.clearCache()
+      InternalCaches.unpersistAll()
       // failed queries keep a visibly negative marker even at ms precision
       // (an instant analysis failure would otherwise print "-0.000")
       name -> (if (ok) sec else -math.max(sec, 0.001))

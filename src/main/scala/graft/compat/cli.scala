@@ -2,6 +2,8 @@ package graft.compat
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.ops.Mr
 
@@ -78,20 +80,36 @@ object ClientCli {
 
   /** `-r`: merge every chunk, sort WHOLE lines lexicographically (the
     * reference's presentation contract, `Client/client.py:105-108`), save
-    * the merged artifact beside the chunks, return the sorted lines.
+    * the merged artifact beside the chunks, return the sorted dataset.
+    *
+    * The artifact is produced by a ONE-TASK sorted text write (coalesce(1)
+    * + sortWithinPartitions — a spillable UnsafeExternalSorter merge), then
+    * renamed to the reference's `<stem>_part-00000<ext>` name. No
+    * `collect()`: driver memory stays O(1) however large the merged chunks
+    * are, and the byte layout (line + '\n', including the last line) is
+    * identical to the reference's client-side merge.
     */
-  def read(spark: SparkSession, file: String): Seq[String] = {
+  def read(spark: SparkSession, file: String): Dataset[String] = {
     import spark.implicits._
     val sorted = spark.read.textFile(file + "_chunks")
-      .orderBy("value").as[String].collect().toSeq
+      .coalesce(1).sortWithinPartitions("value").as[String]
     val base = Paths.get(file).getFileName.toString
     val (stem, ext) = base.lastIndexOf('.') match {
       case -1 => (base, "")
       case i  => (base.substring(0, i), base.substring(i))
     }
-    val target = Paths.get(file).toAbsolutePath.getParent
-      .resolve(s"${stem}_part-00000$ext")
-    Files.write(target, sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val parent = Paths.get(file).toAbsolutePath.getParent
+    val tmp = parent.resolve(s".${stem}_read_tmp")
+    sorted.write.mode("overwrite").text(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-")
+        && !p.getFileName.toString.endsWith(".crc"))
+      .getOrElse(sys.error(s"no part-file produced under $tmp"))
+    Files.move(part, parent.resolve(s"${stem}_part-00000$ext"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort cleanup of the write scaffolding (_SUCCESS, .crc, dir)
+    Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
     sorted
   }
 
@@ -122,13 +140,15 @@ object ClientCli {
         val w = rest.headOption.map(_.toInt).getOrElse(3)
         println(s"WRITE COMPLETE: ${write(spark, file, w)} ($w chunks)")
       case "-r" :: file :: Nil =>
-        read(spark, file).foreach(println)
+        // toLocalIterator: one partition in driver memory at a time —
+        // printing stays bounded for arbitrarily large merges
+        read(spark, file).toLocalIterator().asScala.foreach(println)
       case "-mr" :: file :: mapper :: reducer :: rest =>
         val w = rest.headOption.map(_.toInt).getOrElse(3)
         val dir = mapReduce(spark, file, mapper, reducer, w)
         val merged = read(spark, dir.stripSuffix("_chunks"))
         println("MAP REDUCE TASK COMPLETE")
-        println(s"RUNS: $dir  MERGED: ${merged.size} lines")
+        println(s"RUNS: $dir  MERGED: ${merged.count()} lines")
       case _ =>
         System.err.println(
           "usage: ClientCli -w <file> [W] | -r <file> | " +

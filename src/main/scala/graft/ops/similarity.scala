@@ -167,15 +167,15 @@ object Similarity {
       val p = s.sparkContext.defaultParallelism
       // rebalance BEFORE the sketch: a one-split parquet input would pin
       // the codegen'd sketch pass to a single task
-      val v = vecs(s, d).repartition(p, col("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v = graft.InternalCaches.persistTracked(
+        vecs(s, d).repartition(p, col("vec_id")))
       // coalesce pins the sketch non-nullable: embedding is nullable in
       // the parquet schema, and a nullable band key would demote the
       // bucket join's HashedRelation probe to its slow path (PlanSpec)
-      val sk = v.select(col("vec_id"),
+      val sk = graft.InternalCaches.persistTracked(
+        v.select(col("vec_id"),
           coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
-            .as("sk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .as("sk")))
       val bands = sk.select(col("vec_id").as("doc_id"),
           posexplode(array((0 until 8).map(j =>
             shiftrightunsigned(col("sk"), j * 8).bitwiseAND(255)): _*)))

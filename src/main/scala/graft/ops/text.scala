@@ -116,8 +116,14 @@ object Text {
   private val Rows     = 8   // ... of 8 rows: P(miss | jac=0.97) ≈ 3e-11
   /** Slack between the Jaccard threshold and the signature-estimate
     * prefilter cut — > 3σ of the estimate at k=128 (see lshJaccardPairs).
+    * Session conf `spark.graft.lsh.estMargin`; the prefilter makes the
+    * pipeline statistically rather than strictly lossless (a true pair
+    * EXACTLY at the threshold clears the cut with P ≈ 1 − 1e-4), so a
+    * caller that needs strict recall sets the conf ≥ 1.0, which disables
+    * the prefilter entirely — every band collision then pays the exact
+    * set verification.
     */
-  private val EstMargin = 0.15
+  private val EstMarginDefault = 0.15
 
   /** Bucket width beyond which the band self-join is salted (session
     * conf `spark.graft.lsh.hotBucketWidth`). A natural corpus
@@ -245,17 +251,17 @@ object Text {
     * signature dominate the cost, and the plan reads the relation from
     * FOUR branches (x/y band sides, both verification joins) — uncached
     * that compute ran 3-5×, the top two lines of the round-3/4 bench.
-    * The cache entry lives for the session (the returned plan is lazy, so
-    * there is no post-action unpersist point inside the operator); the
-    * Bench/Verify harnesses clear the cache between queries, and at
-    * production scale MEMORY_AND_DISK degrades to a disk-backed
-    * materialization — the same shape as a checkpoint before a reused
-    * subtree.
+    * The cache entry lives until [[graft.InternalCaches.unpersistAll]]
+    * (the returned plan is lazy, so there is no post-action unpersist
+    * point inside the operator — a repeat caller invokes the hook between
+    * jobs; Bench/Verify do, between queries). At production scale
+    * MEMORY_AND_DISK degrades to a disk-backed materialization — the same
+    * shape as a checkpoint before a reused subtree.
     */
   private def lshJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
-    val sig = sets.select(col("doc_id"), col("s"),
-        graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.InternalCaches.persistTracked(
+      sets.select(col("doc_id"), col("s"),
+        graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK).as("sig")))
     val bands = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           j => xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))))))
@@ -269,19 +275,26 @@ object Text {
     // jaccard) costs 128 long-compares per pair over the already-cached
     // signatures; only est-survivors join the big set arrays for the
     // exact verify. The margin keeps the filter lossless in practice:
-    // sd(est) = sqrt(t(1-t)/128) ≤ 0.045, so 0.15 is a > 3σ allowance —
-    // a true pair AT the threshold clears it with P ≈ 1 − 1e-4, and every
-    // fixture/planted pair sits ≥ 0.13 above threshold where the miss
-    // probability vanishes (< 1e-15).
-    val estOk = saltedBandPairs(bands)
-      .join(sig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
-      .join(sig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
-      .withColumn("est",
-        aggregate(zip_with(col("ga"), col("gb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
-      .filter(col("est") >= threshold - EstMargin)
-      .select(col("a"), col("b"))
+    // sd(est) = sqrt(t(1-t)/128) ≤ 0.045, so the 0.15 default is a > 3σ
+    // allowance — a true pair AT the threshold clears it with
+    // P ≈ 1 − 1e-4, and every fixture/planted pair sits ≥ 0.13 above
+    // threshold where the miss probability vanishes (< 1e-15). Strictly
+    // lossless mode: conf the margin to ≥ 1.0 and the prefilter drops out
+    // of the plan entirely (see EstMarginDefault).
+    val margin = sets.sparkSession.conf
+      .get("spark.graft.lsh.estMargin", EstMarginDefault.toString).toDouble
+    val cand = saltedBandPairs(bands)
+    val estOk =
+      if (margin >= 1.0) cand
+      else cand
+        .join(sig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
+        .join(sig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
+        .withColumn("est",
+          aggregate(zip_with(col("ga"), col("gb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
+        .filter(col("est") >= threshold - margin)
+        .select(col("a"), col("b"))
     // |A∪B| = |A|+|B|−|A∩B|: the union NEVER materializes — array_union
     // would allocate an |A|+|B| array per candidate just to take its size
     // (the sets are already distinct, so the identity is exact)
@@ -381,12 +394,11 @@ object Text {
       // token-count proxy, below the shingle projection): every < 3-token
       // doc would otherwise fingerprint to the identical all-zero simhash
       // and form one mega-bucket of spurious hamming-0 pairs
-      val fp = tokenizedDocs(s, d)
+      val fp = graft.InternalCaches.persistTracked(tokenizedDocs(s, d)
         .repartition(p, col("doc_id"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
-          graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp")))
       // 4-bit bands are pigeonhole-complete for hamming ≤ 15 but barely
       // selective (each band splits the corpus into only 16 buckets →
       // 12.7M raw collisions at sf0.1) — so the 8-byte fingerprint rides

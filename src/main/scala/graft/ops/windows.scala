@@ -85,15 +85,17 @@ object Windows {
     // every event inside the trailing 30 MINUTES — the frame is defined
     // by the ordering VALUE, not a row count, so equal timestamps are
     // frame peers and sparse/bursty streams get the correct window either
-    // way. Spark's rangeBetween needs a numeric ordering key: the
-    // timestamp casts to epoch seconds, -1800..0 inclusive — exactly
-    // DuckDB's RANGE BETWEEN INTERVAL '30 minutes' PRECEDING. The frame
-    // SET is engine-identical; only the float summation order differs,
-    // absorbed by the rounding.
+    // way. Spark's rangeBetween needs a numeric ordering key: order on
+    // unix_micros(ts) with a -30min..0 microsecond frame, the full
+    // precision of the engine's timestamp, matching DuckDB's RANGE
+    // BETWEEN INTERVAL '30 minutes' PRECEDING at every boundary that is
+    // representable in micros (an epoch-SECONDS key would widen the frame
+    // for any row sharing the boundary second with the exact cutoff).
+    // Only the float summation order may differ, absorbed by the rounding.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").cast("long"))
-        .rangeBetween(-1800, Window.currentRow)
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-1800000000L, Window.currentRow)
       events(s, d)
         .select(col("event_id"), col("user_id"),
           round(sum(col("value")).over(w), 4).as("sum_30m"),

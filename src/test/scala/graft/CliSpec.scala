@@ -35,9 +35,14 @@ class CliSpec extends SparkSpec {
     assert(chunks.flatten.toSeq == raw,
       "concatenated chunks must reproduce the input in order")
     // -r: merge + whole-line lexicographic sort (client.py:105-108)
-    assert(ClientCli.read(spark, file) == raw.sorted)
-    assert(Files.exists(Paths.get(file.stripSuffix(".txt") + "_part-00000.txt")),
+    assert(ClientCli.read(spark, file).collect().toSeq == raw.sorted)
+    val artifact = Paths.get(file.stripSuffix(".txt") + "_part-00000.txt")
+    assert(Files.exists(artifact),
       "read must save the merged artifact beside the source")
+    // artifact byte layout = the reference's client-side merge: every line
+    // (including the last) terminated by '\n'
+    assert(new String(Files.readAllBytes(artifact), "UTF-8")
+      == raw.sorted.mkString("", "\n", "\n"))
   }
 
   test("-mr external scripts agree with the in-JVM MrJob wordcount") {

@@ -194,6 +194,30 @@ class TextSpec extends SparkSpec {
       "hash sampling must not depend on partition layout")
   }
 
+  test("strict mode (estMargin >= 1) disables the prefilter, same pairs") {
+    // conf-gated losslessness: with the margin maxed the signature-estimate
+    // cut drops out of the plan and EVERY band collision pays the exact
+    // verify — the pair set must be identical to the prefiltered run
+    val dflt = pairs("dedup_near_minhash")
+    spark.conf.set("spark.graft.lsh.estMargin", "1.0")
+    try {
+      val strict = pairs("dedup_near_minhash")
+      assert(strict == dflt,
+        s"strict/prefiltered disagree: only-strict=${strict -- dflt} " +
+          s"only-default=${dflt -- strict}")
+    } finally spark.conf.unset("spark.graft.lsh.estMargin")
+  }
+
+  test("InternalCaches: operator persists register and unpersist via the hook") {
+    InternalCaches.unpersistAll()
+    assert(InternalCaches.trackedCount == 0)
+    SparkEntry.queries("dedup_near_minhash")(spark, sfDir).collect()
+    assert(InternalCaches.trackedCount > 0,
+      "the LSH signature persist must register with the cleanup hook")
+    InternalCaches.unpersistAll()
+    assert(InternalCaches.trackedCount == 0)
+  }
+
   test("dedup_exact keeps one representative per content group") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
