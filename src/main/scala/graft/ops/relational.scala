@@ -259,6 +259,31 @@ object Relational {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
         .orderBy("o_orderstatus")),
 
+    // Mergeable sketch STATE, not just a sketch estimate: per-group HLL
+    // sketches (Datasketches binary state) are themselves unioned into
+    // the corpus-wide estimate — re-aggregating a few KB of state per
+    // group instead of rescanning the data. This is the 100 TB rollup
+    // posture: daily/partition sketches persist, and any coarser total
+    // (week, global) is a union over states — the plan here reads the
+    // persisted 3-row sketch relation for BOTH outputs, so `orders` is
+    // scanned exactly once. HLL union is lossless (the merged state
+    // equals the state of sketching the whole corpus directly — a law
+    // AccuracySpec pins, alongside a ±5% bound vs exact), which is what
+    // makes the estimate safe to roll up, unlike re-sketching samples.
+    // Rows-only driver check (sketch internals aren't oracle-expressible).
+    "agg_sketch_union" -> ((s, d) => {
+      val sk = graft.InternalCaches.persistTracked(
+        orders(s, d).groupBy(col("o_orderstatus"))
+          .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk")))
+      sk.select(col("o_orderstatus"),
+          hll_sketch_estimate(col("sk")).as("est_custs"))
+        .unionByName(sk
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+            .as("est_custs"))
+          .select(lit("ALL").as("o_orderstatus"), col("est_custs")))
+        .orderBy("o_orderstatus")
+    }),
+
     // Exact interpolated percentiles (p50/p90 per group): a sort-based
     // aggregate whose linear-interpolation definition (rank = p·(n−1))
     // DuckDB's quantile_cont shares exactly — oracle-gated.

@@ -548,6 +548,151 @@ object Text {
             transform(col("t"), tk => (ascii(tk) * 131 + length(tk)).cast("long")),
             lit(7L),
             (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
+        .orderBy("doc_id")),
+
+    // CROSS-corpus line-level exact dedup (the C4/RefinedWeb cleaning
+    // step document-level dedup misses: boilerplate lines recurring
+    // across otherwise-distinct documents). "Lines" here are fixed
+    // 10-token chunks — the fixture corpus is a single-line token stream,
+    // so the chunker stands in for a newline split; the operator shape is
+    // identical for either splitter. Keep-first: the occurrence with the
+    // lowest (doc_id, pos) survives per distinct line; output is per-doc
+    // line counts before/after. The input is documents ∪ a partial
+    // re-crawl of every 10th doc (first 20 tokens intact + a fresh tail),
+    // so cross-doc duplicate lines exist observably — and the corpus's
+    // own short tail chunks collide naturally, exactly like real
+    // boilerplate.
+    //
+    // Scale shape: ONE shuffle keyed on the line itself (bounded at
+    // chunk-width tokens — no unbounded key), window row_number over
+    // (doc_id, pos) within each line group — a total order, so keep-first
+    // is deterministic on any cluster — then a per-doc re-aggregation.
+    // At 100 TB the line groups are tiny (a global mega-line is exactly
+    // the boilerplate being removed; its group still streams through one
+    // sort task per key, the same regime as any heavy-hitter groupBy).
+    "dedup_lines" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(array_join(slice(split(col("text"), " "), 1, 20), " "),
+            lit(" graft recrawl tail marker tokens appended here")).as("text"))
+      val lines = base.unionByName(recrawl)
+        .withColumn("t", split(col("text"), " "))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              (ceil(size(col("t")) / lit(10.0)) - 1).cast("int")),
+            i => array_join(slice(col("t"), i * 10 + 1, lit(10)), " "))))
+        .withColumnRenamed("col", "line")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
+      lines
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition quality signal (the Gopher/MassiveText family of rules):
+    // the fraction of a document occupied by its most frequent word
+    // bigram. High rep_ratio flags template/spam pages that per-token
+    // stats miss. Plan: explode ALL 2-gram occurrences (not the distinct
+    // set the dedup sketches use) → per-(doc, gram) count → per-doc
+    // max/sum — two shuffles, keys (doc_id, gram) then doc_id, both
+    // partial-aggregated map-side.
+    "text_repetition" -> ((s, d) =>
+      tokenizedDocs(s, d)
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1)))).as("g2"))
+        .groupBy(col("doc_id"), col("g2"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_2grams"), max(col("n")).as("top_n"))
+        .withColumn("rep_ratio",
+          round(col("top_n").cast("double") / col("n_2grams"), 4))
+        .orderBy("doc_id")),
+
+    // Cluster-level dedup: connected components over the verified
+    // near-dup pair graph (pairwise dedup keeps BOTH ends of a chain
+    // A~B~C if A~C falls under the threshold; component-level keeps one
+    // doc per transitive cluster — the form production dedup actually
+    // ships). Algorithm: iterative min-label propagation — each round a
+    // doc's label becomes min(own, neighbors') via one join + one
+    // partial-agged groupBy, the standard distributed CC loop (converges
+    // in O(component diameter) rounds; near-dup clusters are
+    // shallow — boilerplate stars, short chains). The driver loop is
+    // CONTROL PLANE only: per round it reads a single scalar
+    // changed-count (the iterative-algorithm contract GraphX/MLlib share,
+    // not a data collect; the rows stay distributed throughout).
+    // Output: every document with its cluster id (min doc_id reachable)
+    // and cluster size. Oracle: recursive CTE reachability over the
+    // brute-force pair graph.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = graft.InternalCaches.persistTracked(
+        queries("dedup_near_minhash")(s, d).select(col("a"), col("b")))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      var labels = graft.InternalCaches.persistTracked(
+        documents(s, d).select(col("doc_id").as("id"),
+          col("doc_id").as("lbl")))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+        val next = graft.InternalCaches.persistTracked(
+          labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+            .select(col("id"),
+              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+                .as("lbl")))
+        val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).count()
+        // the count materialized `next` into its cache entry, so the
+        // previous round's labels (corpus-sized at scale) can drop NOW
+        // rather than accumulate one copy per round; at 100 TB this is a
+        // checkpoint-per-round to also truncate the join lineage
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      labels.join(sizes, "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("n").as("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // PII masking — the redaction pass a training-data pipeline runs
+    // before anything leaves the ingest boundary: emails, phone-shaped
+    // numbers, and long digit runs each collapse to a typed tag, and the
+    // match count is reported per doc (the audit signal). The fixture
+    // corpus contains no PII, so every 7th doc gets a deterministic
+    // planted contact string first — making the mask observable and the
+    // count exact (3 for planted docs, 0 otherwise). Patterns stay in the
+    // regex dialect Java and RE2 parse identically. Narrow map-side
+    // transform: pipelines over the scan at any scale.
+    "text_pii_mask" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("raw",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@example.com or call 555-0199 ref 1234567890")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            lit("[a-z0-9._]+@[a-z0-9.]+"), lit("<EMAIL>")),
+            lit("555-[0-9]{4}"), lit("<PHONE>")),
+            lit("[0-9]{6,}"), lit("<NUM>")).as("clean_text"),
+          size(regexp_extract_all(col("raw"),
+            lit("[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}"), lit(0)))
+            .as("n_masked"))
         .orderBy("doc_id"))
   )
 
@@ -699,6 +844,87 @@ object Text {
         |      [(ascii(tk) * 131 + length(tk))::BIGINT
         |       for tk in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ')
+        |      || ' graft recrawl tail marker tokens appended here' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+        |        WHERE len(string_split(text, ' ')) > 0),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i,
+        |             'line': array_to_string(t[(i*10+1):(i*10+10)], ' ')}
+        |            for i in range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))],
+        |           recursive := true)
+        |  FROM tok),
+        |rk AS (SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY line
+        |           ORDER BY doc_id, pos) AS rn
+        |       FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+        |          AS g2
+        |      FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT doc_id, g2, count(*) AS n FROM g GROUP BY doc_id, g2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams,
+        |  CAST(max(n) AS BIGINT) AS top_n,
+        |  round(max(n)::DOUBLE / sum(n), 4) AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                     for i in range(1, len(t) - 1)])
+        |    ELSE [] END AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  ),
+        |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(a.s || b.s)), 4) AS jac
+        |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id),
+        |e AS (SELECT a AS src, b AS dst FROM pairs WHERE jac >= 0.5
+        |      UNION ALL
+        |      SELECT b AS src, a AS dst FROM pairs WHERE jac >= 0.5),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |canon AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size
+        |       FROM canon GROUP BY cluster_id)
+        |SELECT canon.id AS doc_id, canon.cluster_id,
+        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+        |FROM canon JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "text_pii_mask" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' contact user' || doc_id
+        |        || '@example.com or call 555-0199 ref 1234567890'
+        |    ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}')) AS INTEGER)
+        |    AS n_masked
+        |FROM corpus ORDER BY doc_id""".stripMargin
   )
 }

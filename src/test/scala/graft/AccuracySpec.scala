@@ -57,6 +57,30 @@ class AccuracySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("agg_sketch_union: per-group ±5% of exact; union row lossless") {
+    val rows = SparkEntry.queries("agg_sketch_union")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet + "ALL")
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(rows(k).toDouble - ex) <= 0.05 * ex + 1,
+        s"group $k: sketch estimate ${rows(k)} vs exact $ex")
+    }
+    // merge losslessness: the union of the per-group sketch STATES must
+    // estimate exactly what one sketch over the whole corpus estimates —
+    // the property that makes persisted partition sketches safe to roll
+    // up at any granularity without touching the data again
+    val whole = Tables.orders(spark, sfDir)
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("o_custkey"), lit(12))).as("est"))
+      .collect().head.getLong(0)
+    assert(rows("ALL") == whole,
+      s"unioned estimate ${rows("ALL")} != whole-corpus sketch $whole")
+  }
+
   test("agg_approx_distinct: HLL estimate within ±5% of exact per group") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
