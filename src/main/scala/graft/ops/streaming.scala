@@ -58,7 +58,26 @@ object Streaming {
       events(s, d)
         .dropDuplicates("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Stream-static enrichment join — the standard streaming topology:
+    // a fact stream joined to a slowly-changing dimension, then windowed.
+    // The dim side is broadcast (tiny vs the stream, and a shuffle on a
+    // stream would re-key every micro-batch); the windowed agg stays
+    // partial-aggregatable. Identical expressions run under readStream in
+    // [[streamingEnrichJoin]] (harness parity test) — stream-static joins
+    // re-resolve the static side per micro-batch, which is exactly the
+    // slowly-changing-dim contract.
+    "stream_join" -> ((s, d) =>
+      events(s, d)
+        .join(broadcast(customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+          Seq("user_id"))
+        .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(col("window.start").as("win_start"),
+          col("c_mktsegment").as("segment"), col("n"), col("sum_v"))
+        .orderBy("win_start", "segment"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,9 +110,15 @@ object Streaming {
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n,
         |  round(sum(value), 4) AS sum_v
         |FROM numbered GROUP BY user_id, sess_id
-        |ORDER BY user_id, sess_start""".stripMargin
+        |ORDER BY user_id, sess_start""".stripMargin,
     // stream_stateful_dedup: rows-only (keep-first choice is
     // order-dependent; exercised deterministically in the harness test).
+    "stream_join" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS win_start,
+        |  c.c_mktsegment AS segment, count(*) AS n,
+        |  round(sum(e.value), 4) AS sum_v
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY win_start, segment""".stripMargin
   )
 
   // ---- true Structured Streaming forms (harness-tested) -------------------
@@ -134,6 +159,20 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n"))
+
+  /** Stream-static enrichment join + windowed agg over a streaming
+    * source — the `stream_join` expressions under readStream. The static
+    * dim is joined (broadcast) inside each micro-batch; the watermark
+    * bounds window state exactly as in [[streamingTumbling]].
+    */
+  def streamingEnrichJoin(input: DataFrame, dim: DataFrame): DataFrame =
+    input
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("c_mktsegment").as("segment"), col("n"))
 
   /** Stateful streaming dedup on event_id with a watermark bounding state. */
   def streamingDedup(input: DataFrame): DataFrame =

@@ -276,4 +276,41 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2 && shuffles.nonEmpty,
       s"expected 1-2 shuffles, got ${shuffles.size}:\n${finalPlan("win_topk_per_group")}")
   }
+
+  test("stream_join broadcasts the dim: the event stream side never shuffles for the join") {
+    val plan = finalPlan("stream_join")
+    val bhjs = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhjs.nonEmpty, s"expected BroadcastHashJoinExec:\n$plan")
+    // shuffles: the windowed agg + the presentation orderBy only — a
+    // shuffle feeding the join would re-key every micro-batch at scale
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+      s"expected <=2 shuffles (agg + sort), got ${shuffles.size}:\n$plan")
+  }
+
+  test("dedup_lines: window-keyed dedup shuffles at most 3 times, no cartesian") {
+    val plan = finalPlan("dedup_lines")
+    // line-key window + per-doc re-agg + presentation sort; union/explode
+    // stay narrow. A joinish blowup here means the keep-first became a
+    // self-join instead of one window pass.
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 3 && shuffles.nonEmpty,
+      s"expected 1-3 shuffles, got ${shuffles.size}:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"cartesian in dedup_lines plan:\n$plan")
+  }
+
+  test("text_pii_mask stays a narrow map-side transform (presentation sort only)") {
+    val plan = finalPlan("text_pii_mask")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    // regex mask + count are per-row; the only exchange allowed is the
+    // final orderBy's range partition — at 100 TB the mask pipelines over
+    // the scan
+    assert(shuffles.size <= 1,
+      s"expected <=1 shuffle (presentation sort), got ${shuffles.size}:\n$plan")
+    val read = planString("text_pii_mask")
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text") && !read.contains("lang"),
+      s"unpruned documents scan: $read")
+  }
 }

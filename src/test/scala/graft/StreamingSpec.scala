@@ -178,6 +178,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEnrichJoin: stream-static join windows match the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("user_id", "c_mktsegment")
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = ops.Streaming.streamingEnrichJoin(
+      mem.toDF().toDF("user_id", "ts"), dim)
+    val q = df.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(11)),
+        (9L, ts(3))) // user 9 has no dim row: inner join drops it
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      mem.addData((1L, ts(59))) // watermark → 10:49, finalizes base windows
+      q.processAllAvailable()
+      val streamed = spark.table("enrich")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2))).toSet
+      // batch parity: the same rows through the batch join+window
+      val batch = base.toDF("user_id", "ts")
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"),
+          col("c_mktsegment").as("segment"), col("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream=$streamed batch=$batch — finalized enriched windows must " +
+          "agree with the batch join formulation")
+      assert(!streamed.exists(_._2 == null), "no unmatched rows may leak")
+    } finally q.stop()
+  }
+
   test("batch session_window matches the gaps-and-islands formulation") {
     // same data, two formulations — the oracle-side SQL logic re-expressed
     // on DataFrames must agree with session_window
