@@ -14,9 +14,13 @@ import org.apache.spark.sql.Dataset
   * `spark.catalog.clearCache()` this drops ONLY the engine's own entries,
   * never the caller's. The Bench/Verify harnesses call it between queries.
   *
-  * Entries are deduplicated by identity: re-invoking an operator re-tracks
-  * the same logical plan, but Spark's CacheManager already dedupes by
-  * canonicalized plan, so double-unpersist is a no-op rather than an error.
+  * The registry is APPEND-ONLY between unpersistAll calls: re-invoking an
+  * operator appends another (equivalent-plan) entry. That is deliberate —
+  * Spark's CacheManager dedupes cache storage by canonicalized plan, so
+  * the duplicate entry costs a registry slot, not a second cache copy,
+  * and unpersist is idempotent (an operator that eagerly unpersists an
+  * intermediate itself, as dedup_clusters does per round, leaves a stale
+  * registry entry whose later unpersist is a no-op).
   */
 object InternalCaches {
   private val entries = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]

@@ -93,24 +93,36 @@ object ClientCli {
     import spark.implicits._
     val sorted = spark.read.textFile(file + "_chunks")
       .coalesce(1).sortWithinPartitions("value").as[String]
+    val target = artifactPath(file)
+    val parent = target.getParent
+    val tmp = parent.resolve(s".${target.getFileName}_tmp")
+    sorted.write.mode("overwrite").text(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-")
+          && !p.getFileName.toString.endsWith(".crc"))
+        .getOrElse(sys.error(s"no part-file produced under $tmp"))
+      finally listing.close()
+    Files.move(part, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort cleanup of the write scaffolding (_SUCCESS, .crc, dir)
+    val walk = Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    sorted
+  }
+
+  /** Path of the merged artifact [[read]] writes for `file`. */
+  def artifactPath(file: String): java.nio.file.Path = {
     val base = Paths.get(file).getFileName.toString
     val (stem, ext) = base.lastIndexOf('.') match {
       case -1 => (base, "")
       case i  => (base.substring(0, i), base.substring(i))
     }
-    val parent = Paths.get(file).toAbsolutePath.getParent
-    val tmp = parent.resolve(s".${stem}_read_tmp")
-    sorted.write.mode("overwrite").text(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(p => p.getFileName.toString.startsWith("part-")
-        && !p.getFileName.toString.endsWith(".crc"))
-      .getOrElse(sys.error(s"no part-file produced under $tmp"))
-    Files.move(part, parent.resolve(s"${stem}_part-00000$ext"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // best-effort cleanup of the write scaffolding (_SUCCESS, .crc, dir)
-    Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(p => Files.deleteIfExists(p))
-    sorted
+    Paths.get(file).toAbsolutePath.getParent
+      .resolve(s"${stem}_part-00000$ext")
   }
 
   /** `-mr`: write must have run first (reads the chunk layout), pipes
@@ -140,15 +152,23 @@ object ClientCli {
         val w = rest.headOption.map(_.toInt).getOrElse(3)
         println(s"WRITE COMPLETE: ${write(spark, file, w)} ($w chunks)")
       case "-r" :: file :: Nil =>
-        // toLocalIterator: one partition in driver memory at a time —
-        // printing stays bounded for arbitrarily large merges
-        read(spark, file).toLocalIterator().asScala.foreach(println)
+        // print by streaming the artifact file read() just wrote — line at
+        // a time, no second Spark job, driver memory O(1) (a
+        // toLocalIterator over the coalesce(1) dataset would pull the
+        // whole single partition into the driver AND re-run the sort)
+        read(spark, file)
+        val lines = Files.lines(artifactPath(file))
+        try lines.iterator().asScala.foreach(println)
+        finally lines.close()
       case "-mr" :: file :: mapper :: reducer :: rest =>
         val w = rest.headOption.map(_.toInt).getOrElse(3)
         val dir = mapReduce(spark, file, mapper, reducer, w)
-        val merged = read(spark, dir.stripSuffix("_chunks"))
+        read(spark, dir.stripSuffix("_chunks"))
+        // line count from the UNSORTED reduce runs — sort-invariant, so
+        // the one-task merge-sort isn't executed a second time for it
+        val n = spark.read.textFile(dir).count()
         println("MAP REDUCE TASK COMPLETE")
-        println(s"RUNS: $dir  MERGED: ${merged.count()} lines")
+        println(s"RUNS: $dir  MERGED: $n lines")
       case _ =>
         System.err.println(
           "usage: ClientCli -w <file> [W] | -r <file> | " +

@@ -68,10 +68,19 @@ object Streaming {
     // [[streamingEnrichJoin]] (harness parity test) — stream-static joins
     // re-resolve the static side per micro-batch, which is exactly the
     // slowly-changing-dim contract.
+    // Join keys are pinned NON-NULLABLE (explicit null filter, then a
+    // statically non-null coalesce — a no-op at runtime after the filter,
+    // and SQL-exact: inner-join null keys never match anyway): a nullable
+    // key demotes the broadcast HashedRelation probe to its slow path,
+    // measured 5× on the banded self-joins (PlanSpec pins it here too).
     "stream_join" -> ((s, d) =>
       events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("user_id", coalesce(col("user_id"), lit(-1L)))
         .join(broadcast(customer(s, d)
-          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+          .filter(col("c_custkey").isNotNull)
+          .select(coalesce(col("c_custkey"), lit(-1L)).as("user_id"),
+            col("c_mktsegment"))),
           Seq("user_id"))
         .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))

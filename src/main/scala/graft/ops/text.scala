@@ -119,7 +119,7 @@ object Text {
     * Session conf `spark.graft.lsh.estMargin`; the prefilter makes the
     * pipeline statistically rather than strictly lossless (a true pair
     * EXACTLY at the threshold clears the cut with P ≈ 1 − 1e-4), so a
-    * caller that needs strict recall sets the conf ≥ 1.0, which disables
+    * caller that needs strict recall sets the conf to 1.0, which disables
     * the prefilter entirely — every band collision then pays the exact
     * set verification.
     */
@@ -145,6 +145,24 @@ object Text {
 
   private[ops] def intConf(df: DataFrame, key: String, dflt: Int): Int =
     df.sparkSession.conf.get(key, dflt.toString).toInt
+
+  /** Fraction-valued session conf in [0, 1]: a parse failure or an
+    * out-of-range value fails HERE with the key named, not as a stray
+    * NumberFormatException deep in plan construction (and a negative
+    * margin would silently TIGHTEN the LSH prefilter above the
+    * threshold, dropping true pairs).
+    */
+  private[ops] def fractionConf(df: DataFrame, key: String,
+                                dflt: Double): Double = {
+    val raw = df.sparkSession.conf.get(key, dflt.toString)
+    val v = try raw.toDouble catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a number in [0, 1], got '$raw'")
+    }
+    require(v >= 0.0 && v <= 1.0, s"$key must be in [0, 1], got $v")
+    v
+  }
 
   /** Block-count conf: the block id is a bitmask of xxhash64 (Pmod is
     * unconditionally nullable — see [[saltedBandPairs]]), so the value
@@ -279,10 +297,10 @@ object Text {
     // allowance — a true pair AT the threshold clears it with
     // P ≈ 1 − 1e-4, and every fixture/planted pair sits ≥ 0.13 above
     // threshold where the miss probability vanishes (< 1e-15). Strictly
-    // lossless mode: conf the margin to ≥ 1.0 and the prefilter drops out
+    // lossless mode: conf the margin to 1.0 and the prefilter drops out
     // of the plan entirely (see EstMarginDefault).
-    val margin = sets.sparkSession.conf
-      .get("spark.graft.lsh.estMargin", EstMarginDefault.toString).toDouble
+    val margin = fractionConf(sets, "spark.graft.lsh.estMargin",
+      EstMarginDefault)
     val cand = saltedBandPairs(bands)
     val estOk =
       if (margin >= 1.0) cand
@@ -621,14 +639,18 @@ object Text {
     // near-dup pair graph (pairwise dedup keeps BOTH ends of a chain
     // A~B~C if A~C falls under the threshold; component-level keeps one
     // doc per transitive cluster — the form production dedup actually
-    // ships). Algorithm: iterative min-label propagation — each round a
-    // doc's label becomes min(own, neighbors') via one join + one
-    // partial-agged groupBy, the standard distributed CC loop (converges
-    // in O(component diameter) rounds; near-dup clusters are
-    // shallow — boilerplate stars, short chains). The driver loop is
-    // CONTROL PLANE only: per round it reads a single scalar
-    // changed-count (the iterative-algorithm contract GraphX/MLlib share,
-    // not a data collect; the rows stay distributed throughout).
+    // ships). Algorithm: min-label propagation with POINTER JUMPING —
+    // each round a doc's label becomes min(own, neighbors' labels,
+    // label-of-label). The neighbor step alone converges in O(component
+    // diameter) rounds; the label-of-label jump (valid because a label is
+    // always a reachable doc_id, so its label is reachable transitively)
+    // halves remaining path lengths each round, giving O(log diameter) —
+    // a 1000-hop boilerplate chain converges in ~10 rounds, not 1000.
+    // The driver loop is CONTROL PLANE only: per round it reads a single
+    // scalar changed-count (the iterative-algorithm contract GraphX/MLlib
+    // share, not a data collect; the rows stay distributed throughout).
+    // Non-convergence within the conf'd round cap is an ERROR — partial
+    // labels are silently-wrong clusters, never returned.
     // Output: every document with its cluster id (min doc_id reachable)
     // and cluster size. Oracle: recursive CTE reachability over the
     // brute-force pair graph.
@@ -640,16 +662,25 @@ object Text {
       var labels = graft.InternalCaches.persistTracked(
         documents(s, d).select(col("doc_id").as("id"),
           col("doc_id").as("lbl")))
+      val maxRounds = intConf(labels, "spark.graft.cc.maxRounds", 50)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
+      while (!converged && rounds < maxRounds) {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+        val jump = labels.select(col("lbl").as("j_id"),
+          col("id").as("via"))
+          .join(labels.withColumnRenamed("lbl", "j_lbl")
+            .withColumnRenamed("id", "j_id2"),
+            col("j_id") === col("j_id2"))
+          .select(col("via").as("id"), col("j_lbl"))
         val next = graft.InternalCaches.persistTracked(
           labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+            .join(jump, Seq("id"), "left")
             .select(col("id"),
-              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
-                .as("lbl")))
+              least(col("lbl"),
+                least(coalesce(col("nbr_lbl"), col("lbl")),
+                  coalesce(col("j_lbl"), col("lbl")))).as("lbl")))
         val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
           .filter(col("lbl") =!= col("old")).count()
         // the count materialized `next` into its cache entry, so the
@@ -661,6 +692,10 @@ object Text {
         converged = changed == 0
         rounds += 1
       }
+      require(converged,
+        s"dedup_clusters: labels not converged after $maxRounds rounds " +
+          "(raise spark.graft.cc.maxRounds) — partial labels would be " +
+          "silently wrong clusters")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
       labels.join(sizes, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),

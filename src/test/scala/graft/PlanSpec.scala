@@ -281,6 +281,13 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan("stream_join")
     val bhjs = collectAll(plan) { case b: BroadcastHashJoinExec => b }
     assert(bhjs.nonEmpty, s"expected BroadcastHashJoinExec:\n$plan")
+    // fast HashedRelation probe: the enrichment key must be pinned
+    // non-nullable on both sides (same discipline as the LSH band joins)
+    bhjs.foreach { j =>
+      val nullable = (j.leftKeys ++ j.rightKeys).filter(_.nullable)
+      assert(nullable.isEmpty,
+        s"nullable stream_join keys $nullable demote the broadcast probe")
+    }
     // shuffles: the windowed agg + the presentation orderBy only — a
     // shuffle feeding the join would re-key every micro-batch at scale
     val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
