@@ -316,6 +316,11 @@ object Text {
     // |A∪B| = |A|+|B|−|A∩B|: the union NEVER materializes — array_union
     // would allocate an |A|+|B| array per candidate just to take its size
     // (the sets are already distinct, so the identity is exact)
+    // NO presentation sort here: a consumer that doesn't need the order
+    // (clustering, the cleaning pipeline) must not pay the range
+    // exchange — whose partitioner SAMPLING pass would execute the whole
+    // post-signature candidate pipeline a second time. The public query
+    // adds its own orderBy.
     estOk
       .join(sig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
       .join(sig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
@@ -325,7 +330,20 @@ object Text {
           / (size(col("sa")) + size(col("sb")) - col("ni")), 4))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
-      .orderBy("a", "b")
+  }
+
+  /** Word-shingle MinHash-LSH near-dup pairs, UNSORTED — the shared
+    * building block: `dedup_near_minhash` adds the presentation sort;
+    * `dedup_clusters` / `pipeline_clean_corpus` consume the pairs
+    * order-free.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val sh = tokenizedDocs(s, d)
+      .repartition(p, col("doc_id"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingleCol(col("t")).as("s"))
+    lshJaccardPairs(sh, 0.5)
   }
 
   /** English stopword probe set for the language-ID heuristic. */
@@ -355,28 +373,21 @@ object Text {
     // Jaccard check (≥ 0.5).
     // The oracle is brute-force all-pairs Jaccard — green iff LSH has no
     // false negatives at the threshold (planted pairs sit at ≥ 0.97).
-    "dedup_near_minhash" -> ((s, d) => {
-      // Rebalance before the CPU-dense signature compute (128 hash passes
-      // over every shingle set): a one-split input would otherwise pin the
-      // whole minhash stage to a single task. The partition count is
-      // explicit — AQE coalesces size-based shuffles of a small byte
-      // footprint back to one task, which is exactly wrong for compute-
-      // bound stages.
-      val p = s.sparkContext.defaultParallelism
-      // Shingle-less docs (< 3 tokens) are excluded up front: they can't be
-      // near-dups under set Jaccard (0/0 is NaN, which Spark sorts ABOVE any
-      // threshold — a correctness trap, not just waste), and at scale every
-      // such doc would land in one identical-signature mega-bucket. The
-      // predicate is the cheap token-count proxy (≥3 tokens ⟺ ≥1 shingle)
-      // and sits BELOW the shingle projection: a filter on size(shingles)
-      // would be pushed down with the whole shingle expression substituted
-      // into it, computing every shingle set twice (measured 3×).
-      val sh = tokenizedDocs(s, d)
-        .repartition(p, col("doc_id"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), shingleCol(col("t")).as("s"))
-      lshJaccardPairs(sh, 0.5)
-    }),
+    // Rebalance before the CPU-dense signature compute (128 hash passes
+    // over every shingle set): a one-split input would otherwise pin the
+    // whole minhash stage to a single task; the partition count is
+    // explicit — AQE coalesces size-based shuffles of a small byte
+    // footprint back to one task, exactly wrong for compute-bound stages.
+    // Shingle-less docs (< 3 tokens) are excluded up front: they can't be
+    // near-dups under set Jaccard (0/0 is NaN, which Spark sorts ABOVE any
+    // threshold — a correctness trap, not just waste), and at scale every
+    // such doc would land in one identical-signature mega-bucket. The
+    // predicate is the cheap token-count proxy (≥3 tokens ⟺ ≥1 shingle)
+    // and sits BELOW the shingle projection: a filter on size(shingles)
+    // would be pushed down with the whole shingle expression substituted
+    // into it, computing every shingle set twice (measured 3×). All in
+    // [[minhashPairs]]; the query adds only the presentation sort.
+    "dedup_near_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("a", "b")),
 
     // Near-dup pairs via character 4-gram Jaccard — the brief's "n-gram
     // Jaccard" dedup method: the set representation is raw-text character
@@ -391,7 +402,7 @@ object Text {
         .repartition(p, col("doc_id"))
         .filter(length(col("text")) >= 4) // cheap proxy: ≥4 chars ⟺ ≥1 gram
         .select(col("doc_id"), charGramCol(col("text"), 4).as("s"))
-      lshJaccardPairs(g, 0.8)
+      lshJaccardPairs(g, 0.8).orderBy("a", "b")
     }),
 
     // SimHash near-dup: one 64-bit fingerprint per document (codegen'd
@@ -656,12 +667,19 @@ object Text {
     // brute-force pair graph.
     "dedup_clusters" -> ((s, d) => {
       val pairs = graft.InternalCaches.persistTracked(
-        queries("dedup_near_minhash")(s, d).select(col("a"), col("b")))
+        minhashPairs(s, d).select(col("a"), col("b")))
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      // ONLY docs with at least one near-dup edge iterate — everything
+      // else is a converged singleton by definition and joins back after
+      // the loop. At 100 TB this is the difference between iterating over
+      // the (small) duplicate-graph and re-shuffling the whole corpus
+      // every round. Seed = min(id, min neighbor): the first propagation
+      // round fused into initialization, so disjoint pairs (the common
+      // case) converge with a single verification round.
       var labels = graft.InternalCaches.persistTracked(
-        documents(s, d).select(col("doc_id").as("id"),
-          col("doc_id").as("lbl")))
+        edges.groupBy(col("src").as("id"))
+          .agg(least(first(col("src")), min(col("dst"))).as("lbl")))
       val maxRounds = intConf(labels, "spark.graft.cc.maxRounds", 50)
       var converged = false
       var rounds = 0
@@ -674,21 +692,25 @@ object Text {
             .withColumnRenamed("id", "j_id2"),
             col("j_id") === col("j_id2"))
           .select(col("via").as("id"), col("j_lbl"))
+        // the new label is carried WITH its changed flag (labels only
+        // ever decrease), so convergence needs no extra comparison join
         val next = graft.InternalCaches.persistTracked(
           labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
             .join(jump, Seq("id"), "left")
             .select(col("id"),
               least(col("lbl"),
                 least(coalesce(col("nbr_lbl"), col("lbl")),
-                  coalesce(col("j_lbl"), col("lbl")))).as("lbl")))
-        val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).count()
+                  coalesce(col("j_lbl"), col("lbl")))).as("new_lbl"),
+              col("lbl"))
+            .select(col("id"), col("new_lbl").as("lbl"),
+              (col("new_lbl") < col("lbl")).as("chg")))
+        val changed = next.filter(col("chg")).count()
         // the count materialized `next` into its cache entry, so the
-        // previous round's labels (corpus-sized at scale) can drop NOW
-        // rather than accumulate one copy per round; at 100 TB this is a
-        // checkpoint-per-round to also truncate the join lineage
+        // previous round's labels (duplicate-graph-sized at scale) can
+        // drop NOW rather than accumulate one copy per round; at 100 TB
+        // this is a checkpoint-per-round to also truncate the lineage
         labels.unpersist()
-        labels = next
+        labels = next.select(col("id"), col("lbl"))
         converged = changed == 0
         rounds += 1
       }
@@ -697,10 +719,16 @@ object Text {
           "(raise spark.graft.cc.maxRounds) — partial labels would be " +
           "silently wrong clusters")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
-      labels.join(sizes, "lbl")
+      val clustered = labels.join(sizes, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           col("n").as("cluster_size"))
-        .orderBy("doc_id")
+      // singletons: no edge → own cluster of size 1, no iteration paid
+      val singletons = documents(s, d)
+        .join(labels.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"),
+          lit(1L).as("cluster_size"))
+      clustered.unionByName(singletons).orderBy("doc_id")
     }),
 
     // PII masking — the redaction pass a training-data pipeline runs
@@ -741,7 +769,7 @@ object Text {
     * one oracle: the same pipeline over brute-force pairs in SQL.
     */
   private def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val dropIds = queries("dedup_near_minhash")(s, d)
+    val dropIds = minhashPairs(s, d)
       .select(col("b").as("doc_id")).distinct()
     tokenizedDocs(s, d)
       .join(dropIds, Seq("doc_id"), "left_anti")
