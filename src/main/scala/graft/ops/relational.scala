@@ -284,6 +284,60 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Equal-width histogram over a declared range: the distribution
+    // profile a pipeline computes before choosing partition bounds or
+    // spotting outliers. Spark's `width_bucket` is the primitive; the
+    // oracle re-derives the bucket arithmetically (DuckDB has no
+    // width_bucket), so the hash-match cross-checks the function's
+    // [lo + (i-1)·w, lo + i·w) semantics against the arithmetic
+    // definition. One partial-aggregated groupBy on a 10-value key —
+    // min/max/count/sum all map-side combine; at 100 TB the shuffle
+    // carries 10 rows per partition.
+    "agg_hist" -> ((s, d) =>
+      orders(s, d)
+        .select(width_bucket(col("o_totalprice"), lit(0), lit(500000),
+          lit(10)).as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 4).as("lo"),
+          round(max(col("o_totalprice")), 4).as("hi"),
+          round(sum(col("o_totalprice")), 4).as("tot"))
+        .orderBy("bucket")),
+
+    // Ordered funnel: per user, the earliest view → click-within-24h →
+    // purchase-within-24h chain, reported as step timestamps (epoch
+    // micros — integer comparisons, engine-exact) + furthest step
+    // reached. Each stage is an aggregate JOINED to the next stage's
+    // candidates — the sequential dependency that a single groupBy can't
+    // express — but every join keys on user_id against a per-user
+    // aggregate orders of magnitude smaller than the event stream, and
+    // the three event-side shuffles share one partitioning (exchange
+    // reuse). The canonical product-analytics query over event streams.
+    "agg_funnel" -> ((s, d) => {
+      val dayUs = 24L * 3600 * 1000000
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      val users = e.select(col("user_id")).distinct()
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .filter(col("event_type") === "click" && col("tus") > col("t1")
+          && col("tus") <= col("t1") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+      val s3 = e.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("tus") > col("t2")
+          && col("tus") <= col("t2") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+      users.join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (when(col("t1").isNotNull, 1).otherwise(0)
+            + when(col("t2").isNotNull, 1).otherwise(0)
+            + when(col("t3").isNotNull, 1).otherwise(0)).as("steps"))
+        .orderBy("user_id")
+    }),
+
     // Exact interpolated percentiles (p50/p90 per group): a sort-based
     // aggregate whose linear-interpolation definition (rank = p·(n−1))
     // DuckDB's quantile_cont shares exactly — oracle-gated.
@@ -482,6 +536,32 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hist" ->
+      """SELECT CAST(1 + floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(min(o_totalprice), 4) AS lo,
+        |  round(max(o_totalprice), 4) AS hi,
+        |  round(sum(o_totalprice), 4) AS tot
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > t1
+        |         AND tus <= t1 + 86400000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > t2
+        |         AND tus <= t2 + 86400000000 GROUP BY e.user_id)
+        |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS steps
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -86,7 +86,31 @@ object Streaming {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
         .select(col("window.start").as("win_start"),
           col("c_mktsegment").as("segment"), col("n"), col("sum_v"))
-        .orderBy("win_start", "segment"))
+        .orderBy("win_start", "segment")),
+
+    // Stream-stream interval join (batch form): view→click pairs of the
+    // same user with the click inside (view, view + 10 min] — the
+    // attribution join. Equality on user_id + a range residual: Spark
+    // plans a keyed join (SMJ/SHJ on user_id), never a nested loop, and
+    // at scale each side shuffles once on the user key. Timestamps
+    // compared as epoch micros (integer, engine-exact). The true
+    // two-stream form with per-side watermarks is
+    // [[streamingIntervalJoin]] (harness parity test) — state on each
+    // side is bounded by the watermark + the 10-minute range bound.
+    "stream_interval_join" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"))
+      val cl = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+      v.join(cl, col("user_id") === col("c_user")
+          && col("c_us") > col("v_us")
+          && col("c_us") <= col("v_us") + 600000000L)
+        .select(col("user_id"), col("v_us"), col("c_us"),
+          (col("c_us") - col("v_us")).as("gap_us"))
+        .orderBy("user_id", "v_us", "c_us")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -127,7 +151,15 @@ object Streaming {
         |  c.c_mktsegment AS segment, count(*) AS n,
         |  round(sum(e.value), 4) AS sum_v
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1, 2 ORDER BY win_start, segment""".stripMargin
+        |GROUP BY 1, 2 ORDER BY win_start, segment""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT a.user_id, a.v_us, b.c_us, b.c_us - a.v_us AS gap_us
+        |FROM (SELECT user_id, epoch_us(ts) AS v_us FROM events
+        |      WHERE event_type = 'view') a
+        |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events
+        |      WHERE event_type = 'click') b USING (user_id)
+        |WHERE b.c_us > a.v_us AND b.c_us <= a.v_us + 600000000
+        |ORDER BY user_id, v_us, c_us""".stripMargin
   )
 
   // ---- true Structured Streaming forms (harness-tested) -------------------
@@ -182,6 +214,22 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"),
         col("c_mktsegment").as("segment"), col("n"))
+
+  /** Stream-STREAM interval join — the `stream_interval_join` semantics
+    * over two live streams: views(user_id, v_ts) × clicks(c_user, c_ts),
+    * click inside (view, view + 10 min]. Both sides carry a watermark,
+    * and the range condition bounds how long a view must be retained
+    * waiting for clicks — together they make the join state provably
+    * evictable (Spark derives the state watermark from the interval),
+    * which is what separates a production stream-stream join from an
+    * unbounded buffer.
+    */
+  def streamingIntervalJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.withWatermark("v_ts", "10 minutes")
+      .join(clicks.withWatermark("c_ts", "10 minutes"),
+        expr("user_id = c_user AND c_ts > v_ts " +
+          "AND c_ts <= v_ts + interval 10 minutes"))
+      .select(col("user_id"), col("v_ts"), col("c_ts"))
 
   /** Stateful streaming dedup on event_id with a watermark bounding state. */
   def streamingDedup(input: DataFrame): DataFrame =

@@ -214,6 +214,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin: two-stream attribution pairs match the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val df = ops.Streaming.streamingIntervalJoin(
+      views.toDF().toDF("user_id", "v_ts"),
+      clicks.toDF().toDF("c_user", "c_ts"))
+    val q = df.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: click 5 min after view (match), click 20 min after (no);
+      // user 2: click BEFORE the view (no); user 3: view only
+      views.addData((1L, ts(0)), (2L, ts(10)), (3L, ts(15)))
+      clicks.addData((1L, ts(5)), (1L, ts(20)), (2L, ts(5)))
+      q.processAllAvailable()
+      val streamed = spark.table("ivj")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).toSet
+      assert(streamed == Set((1L, "2024-01-01 10:00:00.0",
+        "2024-01-01 10:05:00.0")), streamed.toString)
+      // batch parity over the same rows
+      val batch = Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(15)))
+        .toDF("user_id", "v_ts")
+        .join(Seq((1L, ts(5)), (1L, ts(20)), (2L, ts(5)))
+          .toDF("c_user", "c_ts"),
+          expr("user_id = c_user AND c_ts > v_ts " +
+            "AND c_ts <= v_ts + interval 10 minutes"))
+        .select(col("user_id"), col("v_ts"), col("c_ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).toSet
+      assert(streamed == batch,
+        s"stream=$streamed batch=$batch — the two-stream interval join " +
+          "must agree with the batch formulation")
+    } finally q.stop()
+  }
+
   test("batch session_window matches the gaps-and-islands formulation") {
     // same data, two formulations — the oracle-side SQL logic re-expressed
     // on DataFrames must agree with session_window
