@@ -284,6 +284,28 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Statistical aggregate family: correlation, sample covariance /
+    // stddev / variance per group — the profiling pass before feature
+    // selection or anomaly thresholds. All four are single-pass mergeable
+    // aggregates (sum/sum-of-squares/cross-product state), so they
+    // partial-aggregate map-side like any sum; rounding absorbs the
+    // float association-order difference between engines. The `+ 0.0`
+    // after every round is load-bearing: a tiny negative value rounds to
+    // IEEE NEGATIVE zero in one engine and positive zero in the other
+    // ('-0' != '0' under the driver's stringified hash compare), and
+    // -0.0 + 0.0 = +0.0 canonicalizes both.
+    "agg_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg((round(corr(col("l_extendedprice"), col("l_quantity")), 4)
+            + 0.0).as("price_qty_corr"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 6) + 0.0)
+            .as("disc_tax_cov"),
+          (round(stddev_samp(col("l_extendedprice")), 2) + 0.0)
+            .as("price_sd"),
+          (round(var_samp(col("l_quantity")), 4) + 0.0).as("qty_var"))
+        .orderBy("l_returnflag")),
+
     // Equal-width histogram over a declared range: the distribution
     // profile a pipeline computes before choosing partition bounds or
     // spotting outliers. Spark's `width_bucket` is the primitive; the
@@ -536,6 +558,15 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 4) + 0.0
+        |    AS price_qty_corr,
+        |  round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_cov,
+        |  round(stddev_samp(l_extendedprice), 2) + 0.0 AS price_sd,
+        |  round(var_samp(l_quantity), 4) + 0.0 AS qty_var
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_hist" ->
       """SELECT CAST(1 + floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  count(*) AS n, round(min(o_totalprice), 4) AS lo,

@@ -117,6 +117,26 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // first_value / last_value / nth_value with an explicit full-frame:
+    // each user's first, latest, and second event against every row —
+    // the "compare to baseline" window shape. last_value NEEDS the
+    // unbounded-following frame (the default frame ends at CURRENT ROW,
+    // where last_value degenerates to the row itself — a classic
+    // correctness trap both engines share, so the oracle pins the
+    // explicit frame too). Ordering tie-broken by event_id → total
+    // order → deterministic in both engines.
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          first(col("event_id")).over(w).as("first_ev"),
+          last(col("event_id")).over(w).as("last_ev"),
+          nth_value(col("event_id"), 2).over(w).as("second_ev"))
+        .orderBy("event_id")
+    }),
+
     // lag/lead: inter-event deltas per user in microseconds (exact integer
     // arithmetic — no float drift between engines).
     "win_lag_lead" -> ((s, d) => {
@@ -176,6 +196,15 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_id) OVER w AS first_ev,
+        |  last_value(event_id) OVER w AS last_ev,
+        |  nth_value(event_id, 2) OVER w AS second_ev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "win_lag_lead" ->
       """SELECT event_id,
         |  lag(event_id, 1) OVER w AS prev_id,

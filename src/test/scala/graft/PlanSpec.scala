@@ -307,6 +307,22 @@ class PlanSpec extends SparkSpec {
       s"cartesian in dedup_lines plan:\n$plan")
   }
 
+  test("stream_interval_join is a keyed join with range residual, never a nested loop") {
+    // equality on user_id must drive the join; the 10-minute range is a
+    // residual condition. A BNLJ/cartesian here would be O(views×clicks)
+    // at scale instead of O(per-user pairs).
+    val plan = finalPlan("stream_interval_join")
+    val s = plan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin")
+      && !s.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$plan")
+    val keyed = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.nonEmpty => j
+    }
+    assert(keyed.nonEmpty, s"expected an equi-keyed join:\n$plan")
+  }
+
   test("text_pii_mask stays a narrow map-side transform (presentation sort only)") {
     val plan = finalPlan("text_pii_mask")
     val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
