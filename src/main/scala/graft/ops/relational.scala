@@ -284,6 +284,22 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Pivot: long→wide per-user event-type counts. The pivot values are
+    // DECLARED, not discovered — an implicit pivot first runs a distinct
+    // scan over the whole input to learn the column set (and caps it at
+    // spark.sql.pivotMaxValues); declaring them keeps the plan a single
+    // partial-aggregated groupBy at any scale. The oracle expresses the
+    // same table with ANSI filtered counts — pivot is syntactic sugar
+    // over exactly that.
+    "agg_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("view", "click", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // Statistical aggregate family: correlation, sample covariance /
     // stddev / variance per group — the profiling pass before feature
     // selection or anomaly thresholds. All four are single-pass mergeable
@@ -558,6 +574,14 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_extendedprice, l_quantity), 4) + 0.0
