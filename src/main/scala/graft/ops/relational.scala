@@ -297,7 +297,9 @@ object Relational {
         .pivot("event_type",
           Seq("view", "click", "purchase", "signup", "error"))
         .count()
-        .na.fill(0L)
+        // scope the fill to the pivoted counts — an unscoped fill would
+        // also rewrite a null group KEY to user_id=0 and merge groups
+        .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
         .orderBy("user_id")),
 
     // Statistical aggregate family: correlation, sample covariance /
@@ -328,7 +330,10 @@ object Relational {
     // oracle re-derives the bucket arithmetically (DuckDB has no
     // width_bucket), so the hash-match cross-checks the function's
     // [lo + (i-1)·w, lo + i·w) semantics against the arithmetic
-    // definition. One partial-aggregated groupBy on a 10-value key —
+    // definition, including the under/overflow clamp (width_bucket sends
+    // x < lo to bucket 0 and x ≥ hi to bucket n+1; the oracle clamps to
+    // the same least(11, greatest(0, ·)) endpoints, so out-of-range data
+    // can't silently diverge). One partial-aggregated groupBy on a 10-value key —
     // min/max/count/sum all map-side combine; at 100 TB the shuffle
     // carries 10 rows per partition.
     "agg_hist" -> ((s, d) =>
@@ -592,7 +597,8 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "agg_hist" ->
-      """SELECT CAST(1 + floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      """SELECT CAST(least(11, greatest(0, 1 + floor(o_totalprice / 50000)))
+        |    AS BIGINT) AS bucket,
         |  count(*) AS n, round(min(o_totalprice), 4) AS lo,
         |  round(max(o_totalprice), 4) AS hi,
         |  round(sum(o_totalprice), 4) AS tot

@@ -677,9 +677,15 @@ object Text {
       // every round. Seed = min(id, min neighbor): the first propagation
       // round fused into initialization, so disjoint pairs (the common
       // case) converge with a single verification round.
-      var labels = graft.InternalCaches.persistTracked(
+      // `cached` is the persisted handle for the current round; `labels`
+      // may be a projection over it. unpersist must go through the handle:
+      // Dataset.unpersist only drops a cache entry whose plan sameResults
+      // the cached one, so unpersisting a Project over it is a no-op and
+      // every round's copy would accumulate.
+      var cached = graft.InternalCaches.persistTracked(
         edges.groupBy(col("src").as("id"))
           .agg(least(first(col("src")), min(col("dst"))).as("lbl")))
+      var labels = cached
       val maxRounds = intConf(labels, "spark.graft.cc.maxRounds", 50)
       var converged = false
       var rounds = 0
@@ -709,7 +715,8 @@ object Text {
         // previous round's labels (duplicate-graph-sized at scale) can
         // drop NOW rather than accumulate one copy per round; at 100 TB
         // this is a checkpoint-per-round to also truncate the lineage
-        labels.unpersist()
+        cached.unpersist()
+        cached = next
         labels = next.select(col("id"), col("lbl"))
         converged = changed == 0
         rounds += 1

@@ -218,6 +218,31 @@ class TextSpec extends SparkSpec {
     assert(InternalCaches.trackedCount == 0)
   }
 
+  test("cache-handle law: unpersisting a projection of a persisted plan is a no-op") {
+    // Dataset.unpersist drops only a cache entry whose plan sameResults
+    // the Dataset's own plan — unpersisting a Project OVER a persisted
+    // plan silently leaves the entry resident. The dedup_clusters loop
+    // unpersists through the persisted handle (not its projection) for
+    // exactly this reason; this pins the Spark behavior that choice
+    // depends on.
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    val before = sc.getRDDStorageInfo.length
+    val cached = spark.range(0, 1000)
+      .select($"id", ($"id" * 2).as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    assert(sc.getRDDStorageInfo.length == before + 1,
+      "materializing the persisted plan must add one storage entry")
+    cached.select($"id").unpersist(blocking = true)
+    assert(sc.getRDDStorageInfo.length == before + 1,
+      "unpersist through a projection must be a no-op (the leak shape)")
+    cached.unpersist(blocking = true)
+    assert(sc.getRDDStorageInfo.length == before,
+      "unpersist through the persisted handle must drop the entry")
+  }
+
   test("dedup_exact keeps one representative per content group") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
