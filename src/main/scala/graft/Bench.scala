@@ -30,10 +30,18 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup: a query that touches the big fact table, a shuffle, and the
-    // window codepath, so JIT + reader init is paid before any timing.
-    try { materialize("agg_groupby_max"); materialize("win_topk_per_group") }
+    // Warmup: queries that touch the big fact table, a shuffle, the window
+    // codepath, and the documents/sketch codepath (codegen'd minhash +
+    // LSH machinery), so JIT + reader init is paid before any timing —
+    // otherwise the alphabetically-first dedup query absorbs the whole
+    // text family's compiler costs. The internal caches are cleared
+    // after, so every TIMED query still computes its own pipeline.
+    try {
+      materialize("agg_groupby_max"); materialize("win_topk_per_group")
+      materialize("dedup_near_minhash")
+    }
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    InternalCaches.unpersistAll()
 
     // SPARK_GRAFT_ONLY=q1,q2 limits the run for local iteration; the
     // driver leaves it unset and benches everything.

@@ -668,6 +668,14 @@ object Text {
     "dedup_clusters" -> ((s, d) => {
       val pairs = graft.InternalCaches.persistTracked(
         minhashPairs(s, d).select(col("a"), col("b")))
+      // materialize the cache BEFORE the union fans out: both edge
+      // orientations scan `pairs` within one stage of the first CC job,
+      // and an unpopulated cache entry makes each leg compute the whole
+      // LSH pipeline independently — one scalar count (control plane,
+      // like the loop's convergence reads) turns both legs into cache
+      // hits. Measured: the clusters bench line drops by the cost of a
+      // second full LSH pass.
+      pairs.count(): Unit
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       // ONLY docs with at least one near-dup edge iterate — everything
@@ -686,6 +694,11 @@ object Text {
         edges.groupBy(col("src").as("id"))
           .agg(least(first(col("src")), min(col("dst"))).as("lbl")))
       var labels = cached
+      // same eager-materialization rule as `pairs`: the round-1 job reads
+      // the seed from four branches (nbrMin, both jump sides, next), and
+      // an unpopulated entry would recompute the seed's full edge shuffle
+      // once per branch
+      cached.count(): Unit
       val maxRounds = intConf(labels, "spark.graft.cc.maxRounds", 50)
       var converged = false
       var rounds = 0
@@ -725,8 +738,11 @@ object Text {
         s"dedup_clusters: labels not converged after $maxRounds rounds " +
           "(raise spark.graft.cc.maxRounds) — partial labels would be " +
           "silently wrong clusters")
-      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
-      val clustered = labels.join(sizes, "lbl")
+      // cluster size via a window over lbl: one shuffle, where a
+      // groupBy-then-join-back would shuffle the same relation twice
+      val clustered = labels
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           col("n").as("cluster_size"))
       // singletons: no edge → own cluster of size 1, no iteration paid
