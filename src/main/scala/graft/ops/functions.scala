@@ -106,7 +106,27 @@ object Fn {
         .select(col("event_id"),
           col("j").getField("k").cast("int").as("k_typed"),
           col("j").getField("k").as("k_str"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // URL function family: host / path / single-query-param extraction —
+    // the provenance fields a crawl-derived corpus filters and groups on.
+    // The fixture `source` column is not URL-shaped, so the URL is
+    // synthesized deterministically from doc fields (the planted-data
+    // pattern text_pii_mask uses — the parsing plumbing is what's under
+    // test). parse_url is a native expression evaluated per row with no
+    // regex backtracking; the oracle re-derives each part with anchored
+    // regexps. Narrow map-side projection: pipelines over the scan.
+    "fn_url" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+            lit("?ref=r"), (col("doc_id") % 7).cast("string")))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -159,6 +179,16 @@ object Fn {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
         |  json_extract_string(props, '$.k') AS k_str
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_url" ->
+      """SELECT doc_id, url,
+        |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, 'ref=(.*)$', 1) AS ref_param
+        |FROM (SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc/'
+        |      || doc_id || '?ref=r' || (doc_id % 7) AS url
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

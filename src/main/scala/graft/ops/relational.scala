@@ -302,6 +302,39 @@ object Relational {
         .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
         .orderBy("user_id")),
 
+    // Ordered-argument extrema: which user produced the highest/lowest
+    // valued event per type. max_by/min_by carry the argument through the
+    // partial+final aggregate — no join-back, no window, one shuffle of
+    // 5 groups at any scale. Ties on `value` are broken by folding the
+    // unique event_id into one integral ordering key (value is 2-decimal
+    // by fixture contract, so round(value*100) is exact in a long) —
+    // max_by is otherwise free to return ANY argmax row, which a
+    // hash-compared oracle can't allow.
+    "agg_arg_extrema" -> ((s, d) =>
+      events(s, d)
+        .withColumn("ord",
+          round(col("value") * 100).cast("long") * 10000000L
+            + col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(max_by(col("user_id"), col("ord")).as("top_user"),
+          min_by(col("user_id"), col("ord")).as("bottom_user"),
+          count_if(col("value") > 250).as("n_high"))
+        .orderBy("event_type")),
+
+    // Set-valued aggregation: the per-language source inventory.
+    // collect_set dedups inside partial-aggregate state (map-side
+    // combine), so the shuffle carries per-partition distinct sets, not
+    // rows; array_sort pins the output order — a set has none, and a
+    // hash-compared result can't tolerate permutation. Scale note: the
+    // set is bounded by the source-domain cardinality (20 here), NOT the
+    // row count — collect_list would be the unbounded-state trap.
+    "agg_collect_set" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"))
+        .agg(array_sort(collect_set(col("source"))).as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")),
+
     // Statistical aggregate family: correlation, sample covariance /
     // stddev / variance per group — the profiling pass before feature
     // selection or anomaly thresholds. All four are single-pass mergeable
@@ -587,6 +620,18 @@ object Relational {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_arg_extrema" ->
+      """SELECT event_type,
+        |  arg_max(user_id, CAST(round(value*100) AS BIGINT)*10000000
+        |    + event_id) AS top_user,
+        |  arg_min(user_id, CAST(round(value*100) AS BIGINT)*10000000
+        |    + event_id) AS bottom_user,
+        |  CAST(count_if(value > 250) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_collect_set" ->
+      """SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_extendedprice, l_quantity), 4) + 0.0

@@ -110,6 +110,30 @@ object Streaming {
         .select(col("user_id"), col("v_us"), col("c_us"),
           (col("c_us") - col("v_us")).as("gap_us"))
         .orderBy("user_id", "v_us", "c_us")
+    }),
+
+    // LEFT-outer interval join (batch form): every view, its attributed
+    // clicks within 10 minutes — or null-padded if the view never
+    // converted. The outer side is what makes the STREAMING form
+    // interesting: an unmatched view can only be emitted once the click
+    // watermark has passed its interval (see
+    // [[streamingLeftIntervalJoin]], harness parity test); the batch
+    // form here is the semantics both must agree on. Same keyed
+    // join shape as stream_interval_join — equality on user_id plans an
+    // SMJ/SHJ, one shuffle per side at any scale, never a nested loop.
+    "stream_left_join" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"))
+      val cl = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+      v.join(cl, col("user_id") === col("c_user")
+          && col("c_us") > col("v_us")
+          && col("c_us") <= col("v_us") + 600000000L, "left")
+        .select(col("user_id"), col("v_us"), col("c_us"),
+          (col("c_us") - col("v_us")).as("gap_us"))
+        .orderBy("user_id", "v_us", "c_us")
     })
   )
 
@@ -159,7 +183,17 @@ object Streaming {
         |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events
         |      WHERE event_type = 'click') b USING (user_id)
         |WHERE b.c_us > a.v_us AND b.c_us <= a.v_us + 600000000
-        |ORDER BY user_id, v_us, c_us""".stripMargin
+        |ORDER BY user_id, v_us, c_us""".stripMargin,
+    // NULLS FIRST pinned: DuckDB defaults nulls-last, Spark nulls-first.
+    "stream_left_join" ->
+      """SELECT a.user_id, a.v_us, b.c_us, b.c_us - a.v_us AS gap_us
+        |FROM (SELECT user_id, epoch_us(ts) AS v_us FROM events
+        |      WHERE event_type = 'view') a
+        |LEFT JOIN (SELECT user_id AS c_user, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.c_user AND b.c_us > a.v_us
+        |     AND b.c_us <= a.v_us + 600000000
+        |ORDER BY user_id, v_us, c_us NULLS FIRST""".stripMargin
   )
 
   // ---- true Structured Streaming forms (harness-tested) -------------------
@@ -229,6 +263,23 @@ object Streaming {
       .join(clicks.withWatermark("c_ts", "10 minutes"),
         expr("user_id = c_user AND c_ts > v_ts " +
           "AND c_ts <= v_ts + interval 10 minutes"))
+      .select(col("user_id"), col("v_ts"), col("c_ts"))
+
+  /** LEFT-outer stream-STREAM interval join — the `stream_left_join`
+    * semantics over two live streams. The outer side is the hard part:
+    * a view with no matching click is held in state until the CLICK
+    * watermark passes the end of its interval — only then is "no click
+    * arrived" a fact rather than "not yet", and the null-padded row is
+    * emitted. Both watermarks plus the range bound make state evictable
+    * exactly as in [[streamingIntervalJoin]].
+    */
+  def streamingLeftIntervalJoin(views: DataFrame,
+                                clicks: DataFrame): DataFrame =
+    views.withWatermark("v_ts", "10 minutes")
+      .join(clicks.withWatermark("c_ts", "10 minutes"),
+        expr("user_id = c_user AND c_ts > v_ts " +
+          "AND c_ts <= v_ts + interval 10 minutes"),
+        "leftOuter")
       .select(col("user_id"), col("v_ts"), col("c_ts"))
 
   /** Stateful streaming dedup on event_id with a watermark bounding state. */

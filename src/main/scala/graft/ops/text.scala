@@ -565,6 +565,24 @@ object Text {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")),
 
+    // Stratified deterministic sample: per-LANGUAGE rates over the same
+    // layout-invariant xxhash64 gate as sample_hash — downsample the
+    // head language (en, 10%), keep more of the tail (40%): the
+    // rebalancing pass a multilingual training mix runs. Dataset.sampleBy
+    // has the per-stratum rate contract but not the reproducibility one
+    // (its draw depends on seed + partition layout). Because the gate is
+    // the SAME hash on the same key, samples at different rates nest:
+    // the 10% en-subset is a strict subset of any higher-rate rerun —
+    // versioned-subset lineage for free. Rows-only driver check (DuckDB
+    // has no xxhash64); rate/determinism/nesting laws in TextSpec.
+    "sample_stratified" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("rate",
+          when(col("lang") === "en", lit(10)).otherwise(lit(40)))
+        .filter(pmod(xxhash64(col("doc_id")), lit(100)) < col("rate"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // Document fingerprint: order-sensitive polynomial rolling hash over
     // the token stream (seed 7, base 31, mod 1e9+7); token atom =
     // ascii(first char)*131 + length. Pure integer arithmetic — identical

@@ -251,6 +251,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingLeftIntervalJoin: unmatched views null-pad once the click watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val df = ops.Streaming.streamingLeftIntervalJoin(
+      views.toDF().toDF("user_id", "v_ts"),
+      clicks.toDF().toDF("c_user", "c_ts"))
+    val q = df.writeStream.format("memory").queryName("livj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 converts (click 5 min after view); user 3 never does
+      views.addData((1L, ts(0)), (3L, ts(1)))
+      clicks.addData((1L, ts(5)))
+      q.processAllAvailable()
+      // the matched pair may emit now; the unmatched view for user 3
+      // must NOT null-pad yet — a click could still arrive
+      val early = spark.table("livj").collect()
+        .filter(r => r.getLong(0) == 3L)
+      assert(early.isEmpty,
+        s"user 3 must stay in state while its interval is open: " +
+          early.mkString(","))
+      // advance BOTH watermarks far past view+10min (the global
+      // watermark is the min across inputs): "no click" is now a fact,
+      // the outer row must emit null-padded
+      views.addData((98L, ts(59)))
+      clicks.addData((99L, ts(59)))
+      q.processAllAvailable()
+      clicks.addData((99L, ts(59))) // second batch so the new watermark applies
+      q.processAllAvailable()
+      val out = spark.table("livj").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          Option(r.getTimestamp(2)).map(_.toString).orNull)).toSet
+      assert(out.contains((1L, "2024-01-01 10:00:00.0",
+        "2024-01-01 10:05:00.0")), s"matched pair missing: $out")
+      assert(out.contains((3L, "2024-01-01 10:01:00.0", null)),
+        s"unmatched view must null-pad after the watermark: $out")
+      // batch parity on the matched subset: the streaming result rows
+      // (minus watermark-mechanics timing) = the batch left join
+      val batch = Seq((1L, ts(0)), (3L, ts(1))).toDF("user_id", "v_ts")
+        .join(Seq((1L, ts(5))).toDF("c_user", "c_ts"),
+          expr("user_id = c_user AND c_ts > v_ts " +
+            "AND c_ts <= v_ts + interval 10 minutes"), "leftOuter")
+        .select(col("user_id"), col("v_ts"), col("c_ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          Option(r.getTimestamp(2)).map(_.toString).orNull)).toSet
+      assert(out.filter(t => t._1 < 90L) == batch,
+        s"stream=$out batch=$batch (watermark-advance rows excluded)")
+    } finally q.stop()
+  }
+
   test("batch session_window matches the gaps-and-islands formulation") {
     // same data, two formulations — the oracle-side SQL logic re-expressed
     // on DataFrames must agree with session_window

@@ -194,6 +194,33 @@ class TextSpec extends SparkSpec {
       "hash sampling must not depend on partition layout")
   }
 
+  test("sample_stratified: per-stratum rates, deterministic, nests sample_hash") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("sample_stratified")(spark, sfDir)
+    val byLang = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val rate = if (lang == "en") 0.10 else 0.40
+      val got = byLang.getOrElse(lang, 0L).toDouble
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(got - rate * n) <= 5 * sd + 1,
+        s"$lang: sampled $got of $n at declared rate $rate — outside 5σ")
+    }
+    // pure function of the key: identical on rerun
+    val ids = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rerun = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rerun == ids)
+    // same hash, same key, higher-or-equal rate ⇒ samples NEST: every
+    // sample_hash (10%) doc is in the stratified sample (10% en / 40%)
+    val flat = SparkEntry.queries("sample_hash")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat.subsetOf(ids),
+      "rate monotonicity: the 10% flat sample must nest inside")
+  }
+
   test("strict mode (estMargin >= 1) disables the prefilter, same pairs") {
     // conf-gated losslessness: with the margin maxed the signature-estimate
     // cut drops out of the plan and EVERY band collision pays the exact
