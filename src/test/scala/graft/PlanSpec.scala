@@ -323,6 +323,47 @@ class PlanSpec extends SparkSpec {
     assert(keyed.nonEmpty, s"expected an equi-keyed join:\n$plan")
   }
 
+  test("agg_pivot: declared values keep the plan a single-scan partial agg") {
+    // an implicit pivot (no value list) would first run a distinct scan
+    // over the input to discover the column set — two scans, one capped
+    // at pivotMaxValues. Declared values: ONE scan, partial+final agg.
+    val plan = finalPlan("agg_pivot")
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"expected one events scan, got ${scans.size}:\n$plan")
+    val s = planString("agg_pivot")
+    assert(s.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation: $s")
+  }
+
+  test("agg_collect_set: set state merges map-side (ObjectHashAggregate partial)") {
+    // collect_set is object-state: the partial ObjectHashAggregate dedups
+    // per input partition, so the exchange carries per-partition distinct
+    // sets, never raw rows
+    val s = planString("agg_collect_set")
+    assert(s.contains("ObjectHashAggregate"), s)
+    assert(s.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+final object aggregation: $s")
+  }
+
+  test("stream_left_join is a keyed outer join, never a nested loop") {
+    // same law as stream_interval_join, for the LEFT-outer form: equality
+    // on user_id drives the join, the range is a residual — and the
+    // null-padding must not demote it to BNLJ
+    val plan = finalPlan("stream_left_join")
+    val s = plan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin")
+      && !s.contains("CartesianProduct"),
+      s"left interval join degenerated to a nested loop:\n$plan")
+    val keyed = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.nonEmpty => j
+    }
+    assert(keyed.nonEmpty, s"expected an equi-keyed join:\n$plan")
+  }
+
   test("text_pii_mask stays a narrow map-side transform (presentation sort only)") {
     val plan = finalPlan("text_pii_mask")
     val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
