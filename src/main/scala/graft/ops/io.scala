@@ -65,7 +65,11 @@ object IO {
     target.toString
   }
 
-  private def tmpDir(sfDir: String, suffix: String): String =
+  /** Process-local sink directory for (sf, suffix) — exposed to the spec
+    * layer so part-file-count laws inspect the SAME path the operator
+    * wrote this run, never a stale layout from a previous process.
+    */
+  private[graft] def tmpDir(sfDir: String, suffix: String): String =
     procRoot.resolve(
       sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + suffix).toString
 
@@ -156,6 +160,29 @@ object IO {
         .orderBy("s_suppkey")
     }),
 
+    // Small-file compaction: the maintenance pass every long-running
+    // ingest needs — a streaming or per-batch writer leaves a sea of tiny
+    // part-files, and at 100 TB the per-file open/footer overhead comes
+    // to dominate every later scan. Stage 1 deliberately writes orders as
+    // 64 tiny part-files (the pathology); stage 2 reads them back and
+    // rewrites at the declared target width. A production compactor sizes
+    // by bytes (maxRecordsPerFile / AQE advisory partition size) rather
+    // than a fixed count — the declared count keeps the law testable
+    // (IoSpec pins 64 → 4 part-files). The oracle checks the full
+    // write→compact→read roundtrip preserves the data.
+    "sink_compact" -> ((s, d) => {
+      val smallDir = tmpDir(d, "compact_small")
+      val outDir = tmpDir(d, "compact_out")
+      orders(s, d).repartition(64)
+        .write.mode("overwrite").parquet(smallDir)
+      s.read.parquet(smallDir).repartition(4)
+        .write.mode("overwrite").parquet(outDir)
+      s.read.parquet(outDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // JSON-lines sink + scan-back: the interchange egress beside parquet.
     // The declared read schema keeps types through the roundtrip (JSON
     // alone would widen ints) — and the driver gate checks the full
@@ -202,6 +229,9 @@ object IO {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  round(s_acctbal, 2) AS acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "sink_compact" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sink_parquet_partitioned" ->
       """SELECT o_orderkey, o_totalprice,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year

@@ -302,6 +302,25 @@ object Relational {
         .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
         .orderBy("user_id")),
 
+    // EXACT distributed distinct count with MERGEABLE state: per
+    // (group, bucket) bitmaps of the key's bit positions — the partial
+    // aggregate combines byte arrays map-side, the final sums per-bucket
+    // popcounts. The HLL sketch (agg_approx_distinct) trades exactness
+    // for fixed state; the bitmap keeps exactness with state ∝
+    // |distinct|/8 bytes, and the bucket key spreads that state across
+    // the cluster — the shape an exact-uniques report takes at 100 TB
+    // when ±5% is not acceptable and a count(DISTINCT) expand would
+    // double-shuffle the raw rows. Oracle = plain count(DISTINCT).
+    "agg_bitmap_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy("event_type")),
+
     // Ordered-argument extrema: which user produced the highest/lowest
     // valued event per type. max_by/min_by carry the argument through the
     // partial+final aggregate — no join-back, no window, one shuffle of
@@ -620,6 +639,10 @@ object Relational {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_arg_extrema" ->
       """SELECT event_type,
         |  arg_max(user_id, CAST(round(value*100) AS BIGINT)*10000000

@@ -772,6 +772,29 @@ object Text {
       clustered.unionByName(singletons).orderBy("doc_id")
     }),
 
+    // Normalization — the canonicalization pass run BEFORE hashing or
+    // dedup, so case/whitespace variants of the same content collapse to
+    // one form: lowercase, trim, squash internal whitespace runs. The
+    // fixture text is already clean single-spaced soup, so every 5th doc
+    // gets deterministic mess planted first (case flip + leading/internal/
+    // trailing runs) — making the transform observable and the squash
+    // count exact (the planted-data pattern of text_pii_mask). Narrow
+    // map-side transform: pipelines over the scan at any scale; codegen
+    // CSE evaluates the shared regexp once for both outputs.
+    "text_normalize" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("raw",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("  "), upper(col("text")), lit("   x  y ")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          regexp_replace(trim(lower(col("raw"))), "\\s+", " ")
+            .as("norm_text"),
+          (length(col("raw")) -
+            length(regexp_replace(trim(lower(col("raw"))), "\\s+", " ")))
+            .as("n_squashed"))
+        .orderBy("doc_id")),
+
     // PII masking — the redaction pass a training-data pipeline runs
     // before anything leaves the ingest boundary: emails, phone-shaped
     // numbers, and long digit runs each collapse to a typed tag, and the
@@ -1013,6 +1036,19 @@ object Text {
         |SELECT canon.id AS doc_id, canon.cluster_id,
         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
         |FROM canon JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      '  ' || upper(text) || '   x  y '
+        |    ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(trim(lower(raw)), '\s+', ' ', 'g') AS norm_text,
+        |  CAST(length(raw)
+        |    - length(regexp_replace(trim(lower(raw)), '\s+', ' ', 'g'))
+        |    AS INTEGER) AS n_squashed
+        |FROM corpus ORDER BY doc_id""".stripMargin,
     "text_pii_mask" ->
       """WITH corpus AS (
         |  SELECT doc_id,

@@ -15,11 +15,20 @@ class IoSpec extends SparkSpec {
 
   test("sink_partitioned_text writes exactly W=3 part-files (O1 chunking)") {
     SparkEntry.queries("sink_partitioned_text")(spark, sfDir).count()
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_io_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_text").toString
+    // the REAL pid-keyed path the operator wrote this run — a
+    // reconstructed path would silently assert against stale files from
+    // a previous process layout
+    val dir = ops.IO.tmpDir(sfDir, "text")
     assert(ops.IO.partFileCount(dir) == 3,
       s"expected 3 chunks ≡ 3 workers, got ${ops.IO.partFileCount(dir)}")
+  }
+
+  test("sink_compact: 64 small part-files compact to the declared 4") {
+    SparkEntry.queries("sink_compact")(spark, sfDir).count()
+    val small = ops.IO.partFileCount(ops.IO.tmpDir(sfDir, "compact_small"))
+    val out = ops.IO.partFileCount(ops.IO.tmpDir(sfDir, "compact_out"))
+    assert(small == 64, s"pathology stage must write 64 files, got $small")
+    assert(out == 4, s"compaction must write the declared 4, got $out")
   }
 
   test("sink_parquet roundtrip preserves rows and schema") {
