@@ -46,6 +46,32 @@ object Relational {
           from_json(col("props"), lit("k INT")).getField("k").as("prop_k"))
         .orderBy("event_id")),
 
+    // The spark.sql ENTRY POINT over registered views — a user of the
+    // reference's free-form scripts writes plain ANSI SQL here and gets
+    // the SAME Catalyst plan the DataFrame form would produce (one
+    // optimizer, one physical planner: broadcast/SMJ selection, partial
+    // aggregation, TakeOrderedAndProject all apply). TPC-H Q3 shape:
+    // 3-way join, filtered aggregation, ordered top-k. Money arithmetic
+    // through DECIMAL(18,4) so the revenue sum is EXACT and order-free —
+    // a double sum's rounding would depend on aggregation order and can
+    // straddle the round(·, 2) boundary differently per engine.
+    "sql_multiway" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+          CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+          o_orderdate
+        FROM g_customer JOIN g_orders ON c_custkey = o_custkey
+          JOIN g_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20""")
+    }),
+
     // ---- projection / filter ---------------------------------------------
     // σ+π with both pushed into the parquet scan (PushedFilters on
     // l_quantity; ReadSchema = 4 columns). Reference equivalent: the arity
@@ -639,6 +665,17 @@ object Relational {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sql_multiway" ->
+      """SELECT o_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -323,6 +323,18 @@ class PlanSpec extends SparkSpec {
     assert(keyed.nonEmpty, s"expected an equi-keyed join:\n$plan")
   }
 
+  test("sql_multiway: SQL text plans like the DataFrame form (top-k fused, partial aggs)") {
+    // one optimizer, one planner: the SQL entry point must get the same
+    // physical treatment a DataFrame query does — ORDER BY+LIMIT fused
+    // into TakeOrderedAndProject (never a global sort of all groups) and
+    // partial+final aggregation around the exchange
+    val s = planString("sql_multiway")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"ORDER BY+LIMIT must fuse to top-k: $s")
+    assert(s.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation: $s")
+  }
+
   test("agg_pivot: declared values keep the plan a single-scan partial agg") {
     // an implicit pivot (no value list) would first run a distinct scan
     // over the input to discover the column set — two scans, one capped
