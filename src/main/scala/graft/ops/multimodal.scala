@@ -143,6 +143,27 @@ object Multimodal {
         .select(col("doc_id"), length(col("payload")).as("n_bytes"))
         .orderBy("doc_id")),
 
+    // Raw-file ingest through the `binaryFile` source — the entry point a
+    // real media pipeline takes (a directory of image/audio files →
+    // (path, modificationTime, length, content) rows). Fixture files are
+    // produced by a DISTRIBUTED text write of the corpus (no driver
+    // materialization), then read back as opaque binaries. The aggregate
+    // uses the source's `length` METADATA column, not length(content) —
+    // with content pruned, the scan reads file stats only, never the
+    // payload bytes: the listing-only query pattern over a 100 TB media
+    // lake. Oracle: file count = declared W, total bytes = corpus bytes
+    // + one newline per row (the text writer's framing).
+    "mm_ingest_binary" -> ((s, d) => {
+      val dir = IO.tmpDir(d, "binfiles")
+      documents(s, d).select(col("text")).repartition(8)
+        .write.mode("overwrite").text(dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(dir)
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("length")).as("total_bytes"))
+    }),
+
     // Frame sampling as a 1→N generator over binary: every 4th 64-byte
     // frame with its index; the (index, frame-length) stream is fully
     // determined by the payload length, so the oracle checks the whole
@@ -164,6 +185,11 @@ object Multimodal {
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_decode_features: rows-only (stubbed decode is engine-local).
+    "mm_ingest_binary" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+        |  CAST(sum(octet_length(encode(text))) + count(*) AS BIGINT)
+        |    AS total_bytes
+        |FROM documents""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id,
         |  CAST(least(octet_length(encode(text)), 256) AS INTEGER) AS n_bytes

@@ -376,6 +376,16 @@ class PlanSpec extends SparkSpec {
     assert(keyed.nonEmpty, s"expected an equi-keyed join:\n$plan")
   }
 
+  test("mm_ingest_binary: the listing query prunes payload content from the scan") {
+    // the aggregate uses the binaryFile source's `length` metadata
+    // column — with content pruned, a 100 TB media-lake listing reads
+    // file stats, never the bytes
+    val read = planString("mm_ingest_binary")
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("length") && !read.contains("content"),
+      s"content must be pruned from the binaryFile scan: $read")
+  }
+
   test("text_pii_mask stays a narrow map-side transform (presentation sort only)") {
     val plan = finalPlan("text_pii_mask")
     val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
