@@ -25,13 +25,26 @@ import org.apache.spark.sql.Dataset
 object InternalCaches {
   private val entries = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
-  /** Persist `ds` at MEMORY_AND_DISK and record it for [[unpersistAll]]. */
-  private[graft] def persistTracked[T](ds: Dataset[T]): Dataset[T] =
-    synchronized {
-      val p = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      entries += p
-      p
+  /** Persist `ds` at MEMORY_AND_DISK and record it for [[unpersistAll]].
+    *
+    * `eager = true` materializes the entry with a scalar count before
+    * returning — REQUIRED when the consumer reads the relation from
+    * several branches of one stage: an unpopulated cache entry is
+    * computed once per branch (k-fold recompute of the whole upstream
+    * pipeline), because no branch sees the others' blocks until they are
+    * written. Lazy (the default) is right when the first reader is a
+    * single-branch action that populates the cache for everyone after.
+    */
+  private[graft] def persistTracked[T](ds: Dataset[T],
+                                       eager: Boolean = false): Dataset[T] = {
+    val p = synchronized {
+      val q = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      entries += q
+      q
     }
+    if (eager) p.count(): Unit
+    p
+  }
 
   /** Drop every engine-internal cache entry registered since the last call.
     * Safe to call at any time — in-flight queries recompute from source.

@@ -354,11 +354,16 @@ object Relational {
     // unique event_id into one integral ordering key (value is 2-decimal
     // by fixture contract, so round(value*100) is exact in a long) —
     // max_by is otherwise free to return ANY argmax row, which a
-    // hash-compared oracle can't allow.
+    // hash-compared oracle can't allow. (Struct-ordered max_by would
+    // avoid the packing, but DuckDB's arg_max can't order by a struct.)
+    // Key validity bounds, exact long arithmetic: event_id < 2^40
+    // (~1.1e12 rows) and value*100 < 2^23 — outside them the fields
+    // would interleave and the "tie-free" claim silently break, so both
+    // are documented here rather than assumed.
     "agg_arg_extrema" -> ((s, d) =>
       events(s, d)
         .withColumn("ord",
-          round(col("value") * 100).cast("long") * 10000000L
+          round(col("value") * 100).cast("long") * 1099511627776L
             + col("event_id"))
         .groupBy(col("event_type"))
         .agg(max_by(col("user_id"), col("ord")).as("top_user"),
@@ -682,9 +687,9 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_arg_extrema" ->
       """SELECT event_type,
-        |  arg_max(user_id, CAST(round(value*100) AS BIGINT)*10000000
+        |  arg_max(user_id, CAST(round(value*100) AS BIGINT)*1099511627776
         |    + event_id) AS top_user,
-        |  arg_min(user_id, CAST(round(value*100) AS BIGINT)*10000000
+        |  arg_min(user_id, CAST(round(value*100) AS BIGINT)*1099511627776
         |    + event_id) AS bottom_user,
         |  CAST(count_if(value > 250) AS BIGINT) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

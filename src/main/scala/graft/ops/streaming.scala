@@ -97,20 +97,7 @@ object Streaming {
     // two-stream form with per-side watermarks is
     // [[streamingIntervalJoin]] (harness parity test) — state on each
     // side is bounded by the watermark + the 10-minute range bound.
-    "stream_interval_join" -> ((s, d) => {
-      val e = events(s, d).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      val v = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("us").as("v_us"))
-      val cl = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("us").as("c_us"))
-      v.join(cl, col("user_id") === col("c_user")
-          && col("c_us") > col("v_us")
-          && col("c_us") <= col("v_us") + 600000000L)
-        .select(col("user_id"), col("v_us"), col("c_us"),
-          (col("c_us") - col("v_us")).as("gap_us"))
-        .orderBy("user_id", "v_us", "c_us")
-    }),
+    "stream_interval_join" -> ((s, d) => batchIntervalJoin(s, d, "inner")),
 
     // LEFT-outer interval join (batch form): every view, its attributed
     // clicks within 10 minutes — or null-padded if the view never
@@ -121,21 +108,31 @@ object Streaming {
     // form here is the semantics both must agree on. Same keyed
     // join shape as stream_interval_join — equality on user_id plans an
     // SMJ/SHJ, one shuffle per side at any scale, never a nested loop.
-    "stream_left_join" -> ((s, d) => {
-      val e = events(s, d).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      val v = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("us").as("v_us"))
-      val cl = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("us").as("c_us"))
-      v.join(cl, col("user_id") === col("c_user")
-          && col("c_us") > col("v_us")
-          && col("c_us") <= col("v_us") + 600000000L, "left")
-        .select(col("user_id"), col("v_us"), col("c_us"),
-          (col("c_us") - col("v_us")).as("gap_us"))
-        .orderBy("user_id", "v_us", "c_us")
-    })
+    "stream_left_join" -> ((s, d) => batchIntervalJoin(s, d, "left"))
   )
+
+  /** The one attribution-join body both batch interval queries share —
+    * view→click pairs of the same user, click inside (view, view+10 min],
+    * timestamps as epoch micros (integer, engine-exact). `joinType` is
+    * the single real difference between the inner and left-outer forms;
+    * keeping predicate + bound in one place means a fix to either can't
+    * silently leave the other stale.
+    */
+  private def batchIntervalJoin(s: SparkSession, d: String,
+                                joinType: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"))
+    val cl = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    v.join(cl, col("user_id") === col("c_user")
+        && col("c_us") > col("v_us")
+        && col("c_us") <= col("v_us") + 600000000L, joinType)
+      .select(col("user_id"), col("v_us"), col("c_us"),
+        (col("c_us") - col("v_us")).as("gap_us"))
+      .orderBy("user_id", "v_us", "c_us")
+  }
 
   val oracle: Map[String, String] = Map(
     "stream_tumbling" ->
@@ -259,11 +256,7 @@ object Streaming {
     * unbounded buffer.
     */
   def streamingIntervalJoin(views: DataFrame, clicks: DataFrame): DataFrame =
-    views.withWatermark("v_ts", "10 minutes")
-      .join(clicks.withWatermark("c_ts", "10 minutes"),
-        expr("user_id = c_user AND c_ts > v_ts " +
-          "AND c_ts <= v_ts + interval 10 minutes"))
-      .select(col("user_id"), col("v_ts"), col("c_ts"))
+    streamingIntervalJoinImpl(views, clicks, "inner")
 
   /** LEFT-outer stream-STREAM interval join — the `stream_left_join`
     * semantics over two live streams. The outer side is the hard part:
@@ -275,11 +268,19 @@ object Streaming {
     */
   def streamingLeftIntervalJoin(views: DataFrame,
                                 clicks: DataFrame): DataFrame =
+    streamingIntervalJoinImpl(views, clicks, "leftOuter")
+
+  /** Shared two-stream body: both sides watermarked, the same predicate
+    * and 10-minute bound as [[batchIntervalJoin]] — `joinType` is the
+    * only difference between the inner and left-outer forms.
+    */
+  private def streamingIntervalJoinImpl(views: DataFrame, clicks: DataFrame,
+                                        joinType: String): DataFrame =
     views.withWatermark("v_ts", "10 minutes")
       .join(clicks.withWatermark("c_ts", "10 minutes"),
         expr("user_id = c_user AND c_ts > v_ts " +
           "AND c_ts <= v_ts + interval 10 minutes"),
-        "leftOuter")
+        joinType)
       .select(col("user_id"), col("v_ts"), col("c_ts"))
 
   /** Stateful streaming dedup on event_id with a watermark bounding state. */

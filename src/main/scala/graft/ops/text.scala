@@ -684,16 +684,12 @@ object Text {
     // and cluster size. Oracle: recursive CTE reachability over the
     // brute-force pair graph.
     "dedup_clusters" -> ((s, d) => {
+      // eager: both edge orientations scan `pairs` within one stage of
+      // the first CC job, and an unpopulated cache entry makes each leg
+      // compute the whole LSH pipeline independently. Measured: the
+      // clusters bench line drops by the cost of a second full LSH pass.
       val pairs = graft.InternalCaches.persistTracked(
-        minhashPairs(s, d).select(col("a"), col("b")))
-      // materialize the cache BEFORE the union fans out: both edge
-      // orientations scan `pairs` within one stage of the first CC job,
-      // and an unpopulated cache entry makes each leg compute the whole
-      // LSH pipeline independently — one scalar count (control plane,
-      // like the loop's convergence reads) turns both legs into cache
-      // hits. Measured: the clusters bench line drops by the cost of a
-      // second full LSH pass.
-      pairs.count(): Unit
+        minhashPairs(s, d).select(col("a"), col("b")), eager = true)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       // ONLY docs with at least one near-dup edge iterate — everything
@@ -708,15 +704,14 @@ object Text {
       // Dataset.unpersist only drops a cache entry whose plan sameResults
       // the cached one, so unpersisting a Project over it is a no-op and
       // every round's copy would accumulate.
+      // eager: the round-1 job reads the seed from four branches (nbrMin,
+      // both jump sides, next) — an unpopulated entry would recompute the
+      // seed's full edge shuffle once per branch
       var cached = graft.InternalCaches.persistTracked(
         edges.groupBy(col("src").as("id"))
-          .agg(least(first(col("src")), min(col("dst"))).as("lbl")))
+          .agg(least(first(col("src")), min(col("dst"))).as("lbl")),
+        eager = true)
       var labels = cached
-      // same eager-materialization rule as `pairs`: the round-1 job reads
-      // the seed from four branches (nbrMin, both jump sides, next), and
-      // an unpopulated entry would recompute the seed's full edge shuffle
-      // once per branch
-      cached.count(): Unit
       val maxRounds = intConf(labels, "spark.graft.cc.maxRounds", 50)
       var converged = false
       var rounds = 0
@@ -777,10 +772,12 @@ object Text {
     // one form: lowercase, trim, squash internal whitespace runs. The
     // fixture text is already clean single-spaced soup, so every 5th doc
     // gets deterministic mess planted first (case flip + leading/internal/
-    // trailing runs) — making the transform observable and the squash
-    // count exact (the planted-data pattern of text_pii_mask). Narrow
-    // map-side transform: pipelines over the scan at any scale; codegen
-    // CSE evaluates the shared regexp once for both outputs.
+    // trailing runs) — making the transform observable and the removal
+    // count exact (the planted-data pattern of text_pii_mask). n_removed
+    // counts ALL characters normalization dropped — trimmed boundary
+    // whitespace plus squashed run chars. Narrow map-side transform:
+    // pipelines over the scan at any scale; codegen CSE evaluates the
+    // shared regexp once for both outputs.
     "text_normalize" -> ((s, d) =>
       documents(s, d)
         .withColumn("raw",
@@ -792,7 +789,7 @@ object Text {
             .as("norm_text"),
           (length(col("raw")) -
             length(regexp_replace(trim(lower(col("raw"))), "\\s+", " ")))
-            .as("n_squashed"))
+            .as("n_removed"))
         .orderBy("doc_id")),
 
     // PII masking — the redaction pass a training-data pipeline runs
@@ -1047,7 +1044,7 @@ object Text {
         |  regexp_replace(trim(lower(raw)), '\s+', ' ', 'g') AS norm_text,
         |  CAST(length(raw)
         |    - length(regexp_replace(trim(lower(raw)), '\s+', ' ', 'g'))
-        |    AS INTEGER) AS n_squashed
+        |    AS INTEGER) AS n_removed
         |FROM corpus ORDER BY doc_id""".stripMargin,
     "text_pii_mask" ->
       """WITH corpus AS (
