@@ -221,6 +221,24 @@ class TextSpec extends SparkSpec {
       "rate monotonicity: the 10% flat sample must nest inside")
   }
 
+  test("text_normalize: idempotent, exact removal counts") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_normalize")(spark, sfDir)
+    // idempotency: normalizing an already-normal text is the identity —
+    // the law that makes the op safe to run at any pipeline stage
+    val notFixed = df.filter(
+      regexp_replace(trim(lower(col("norm_text"))), "\\s+", " ")
+        =!= col("norm_text")).count()
+    assert(notFixed == 0, s"$notFixed rows not a fixed point of normalize")
+    // exact counts: the planted mess ('  ' + UPPER + '   x  y ') removes
+    // exactly 6 chars (2+1 trimmed, 2+1 squashed); untouched fixture
+    // text is already canonical
+    val bad = df.withColumn("want",
+        when(col("doc_id") % 5 === 0, lit(6)).otherwise(lit(0)))
+      .filter(col("n_removed") =!= col("want")).count()
+    assert(bad == 0, s"$bad rows with unexpected n_removed")
+  }
+
   test("strict mode (estMargin >= 1) disables the prefilter, same pairs") {
     // conf-gated losslessness: with the margin maxed the signature-estimate
     // cut drops out of the plan and EVERY band collision pays the exact
