@@ -139,9 +139,16 @@ object IO {
     // PlanSpec pins the PartitionFilters entry on the scan.
     "sink_parquet_partitioned" -> ((s, d) => {
       val dir = tmpDir(d, "part_parquet")
-      orders(s, d).withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
-      s.read.parquet(dir)
+      val out = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+      out.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      // DECLARED read schema: a partitioned write of an EMPTY relation
+      // emits no files at all (not even the schema-preserving empty
+      // part-file an unpartitioned write leaves), so an inferring read
+      // throws where an empty result is the right answer. A real lake
+      // reads through its catalog schema; here the writer's own schema
+      // plays that role. Partition discovery (and the pruning the
+      // PlanSpec pin asserts) still applies when the directories exist.
+      s.read.schema(out.schema).parquet(dir)
         .filter(col("o_year") === 1995)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_year"))
         .orderBy("o_orderkey")
