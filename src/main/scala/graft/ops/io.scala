@@ -210,15 +210,25 @@ object IO {
     // emits shortest-roundtrip repr.
     "sink_partitioned_text" -> ((s, d) => {
       val dir = tmpDir(d, "text")
+      // STABLE ARITY through the text roundtrip: concat_ws SKIPS null
+      // fields, so a null measure would shorten the line and shift every
+      // later field (the classic delimited-format corruption). Null is
+      // written as the empty field — the reference's TSV convention —
+      // and read back as null. The split limit -1 keeps trailing empty
+      // fields (Java split drops them by default), and the empty-string
+      // guard keeps the cast off ANSI's invalid-input error.
       orders(s, d)
-        .select(concat_ws(",", col("o_orderkey"), col("o_totalprice"))
+        .select(concat_ws(",", col("o_orderkey"),
+          coalesce(col("o_totalprice").cast("string"), lit("")))
           .as("value"))
         .repartition(3)
         .write.mode("overwrite").text(dir)
+      val f = (i: Int) => split(col("value"), ",", -1).getItem(i)
       s.read.text(dir)
         .select(
-          split(col("value"), ",").getItem(0).cast("long").as("o_orderkey"),
-          split(col("value"), ",").getItem(1).cast("double").as("o_totalprice"))
+          f(0).cast("long").as("o_orderkey"),
+          when(f(1) === "", lit(null)).otherwise(f(1))
+            .cast("double").as("o_totalprice"))
         .orderBy("o_orderkey")
     })
   )

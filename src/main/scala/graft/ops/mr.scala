@@ -164,7 +164,11 @@ object Mr {
     // group and counts. Oracle-gated: the facade must agree with SQL.
     "mr_wordcount" -> ((s, d) => {
       import s.implicits._
-      val lines = documents(s, d).select(col("text")).as[String]
+      // the reference's MR input is FILES of lines — a null line cannot
+      // exist there; a table-sourced run drops SQL nulls at the boundary
+      // rather than handing the user's map script a null
+      val lines = documents(s, d).select(col("text"))
+        .filter(col("text").isNotNull).as[String]
       val out = run(s, lines,
         mapLine = _.split(" ").iterator.filter(_.nonEmpty).map(t => s"$t,1"),
         reducers = 8,

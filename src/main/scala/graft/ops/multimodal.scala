@@ -73,6 +73,11 @@ object Multimodal {
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     documents(s, d)
+      // a row with no payload never enters the media pipeline — the
+      // typed Dataset contract hands user decode code a non-null
+      // Array[Byte], so the boundary drops SQL nulls (skip the missing
+      // blob; don't NPE three operators downstream)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
