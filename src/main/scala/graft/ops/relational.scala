@@ -440,23 +440,35 @@ object Relational {
     // the three event-side shuffles share one partitioning (exchange
     // reuse). The canonical product-analytics query over event streams.
     "agg_funnel" -> ((s, d) => {
+      // ONE partitioning computes the whole funnel: each stage is a
+      // min-over-user window whose predicate references the previous
+      // stage's window column — Spark stacks the three Window operators
+      // over a single user_id exchange (the later sorts elide, the
+      // partitioning is reused), and the final per-user aggregate
+      // re-uses it too. The per-stage join formulation this replaces
+      // shuffled 7 times through 6 joins for the same relation; at
+      // 100 TB the event table moves across the cluster ONCE here.
+      // A stage's min is null when no event qualifies, which nulls every
+      // later stage's predicate — exactly the funnel's drop-off.
       val dayUs = 24L * 3600 * 1000000
-      val e = events(s, d).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("tus"))
-      val users = e.select(col("user_id")).distinct()
-      val s1 = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
-      val s2 = e.join(s1, "user_id")
-        .filter(col("event_type") === "click" && col("tus") > col("t1")
-          && col("tus") <= col("t1") + dayUs)
-        .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
-      val s3 = e.join(s2, "user_id")
-        .filter(col("event_type") === "purchase" && col("tus") > col("t2")
-          && col("tus") <= col("t2") + dayUs)
-        .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
-      users.join(s1, Seq("user_id"), "left")
-        .join(s2, Seq("user_id"), "left")
-        .join(s3, Seq("user_id"), "left")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("tus"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click"
+            && col("tus") > col("t1")
+            && col("tus") <= col("t1") + dayUs, col("tus"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase"
+            && col("tus") > col("t2")
+            && col("tus") <= col("t2") + dayUs, col("tus"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+          first(col("t3")).as("t3"))
         .select(col("user_id"), col("t1"), col("t2"), col("t3"),
           (when(col("t1").isNotNull, 1).otherwise(0)
             + when(col("t2").isNotNull, 1).otherwise(0)

@@ -335,6 +335,22 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregation: $s")
   }
 
+  test("agg_funnel: the whole funnel rides one user partitioning, no joins") {
+    // three stacked min-over-user windows + the final aggregate share a
+    // single user_id exchange; the only other shuffle is the
+    // presentation sort. The join formulation this pins against moved
+    // the event table 7 times.
+    val plan = finalPlan("agg_funnel")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+      s"expected user exchange + presentation sort only, " +
+        s"got ${shuffles.size}:\n$plan")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"funnel must not join:\n$plan")
+  }
+
   test("agg_pivot: declared values keep the plan a single-scan partial agg") {
     // an implicit pivot (no value list) would first run a distinct scan
     // over the input to discover the column set — two scans, one capped
