@@ -102,7 +102,73 @@ object Similarity {
         col("y.bv").as("bv"), col("y.bn").as("bn"))
   }
 
+  /** IVF index TRAINING — Lloyd's k-means over DataFrames, producing the
+    * nearest-centroid cell assignment `sim_ann_ivf` consumes as a given.
+    *
+    * Shape per round (the 100 TB envelope):
+    *  - ASSIGN: the K-row centroid relation is broadcast and
+    *    cross-joined; `min_by(cid, d²)` per vector — the corpus never
+    *    shuffles to be assigned, cost is a linear K·dim scan per row.
+    *  - UPDATE: element-wise centroid mean via posexplode + (cid, pos)
+    *    groupBy — the one shuffle per round carries K·dim averaged
+    *    cells (map-side partial sums), not vectors.
+    *  - The driver loop is control-plane only, exactly like
+    *    dedup_clusters: K rows of centroid state per round, persisted
+    *    eagerly (the assign stage reads it from every task) and dropped
+    *    through the handle.
+    *
+    * Determinism: centroid coordinates are rounded to 6 decimals each
+    * round, so the order-dependent last-ulp of the distributed mean
+    * cannot flip a boundary assignment between runs. Seeds are the K
+    * lowest vec_ids — deterministic, no RNG. d² = |v|² + |c|² − 2·v·c
+    * over the fused codegen'd dot. Rows-only driver check (an iterative
+    * float refinement has no stable SQL oracle); the assignment
+    * self-consistency, objective-descent, and determinism laws live in
+    * AccuracySpec.
+    */
+  private def ivfTrain(s: SparkSession, d: String): DataFrame = {
+    val k = Text.intConf(embeddings(s, d), "spark.graft.ivf.k", 8)
+    val iters = Text.intConf(embeddings(s, d), "spark.graft.ivf.iters", 3)
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (col("nrm") * col("nrm") + col("cn") * col("cn")
+            - lit(2.0) * graft.expr.VectorExprs.dot(col("v"), col("c")))
+            .as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), col("d2")).as("cell"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          min(col("d2")).as("d2"))
+    def withNorm(cents: DataFrame): DataFrame =
+      cents.withColumn("cn",
+        sqrt(graft.expr.VectorExprs.dot(col("c"), col("c"))))
+    var cents = graft.InternalCaches.persistTracked(
+      withNorm(v.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))),
+      eager = true)
+    (1 to iters).foreach { _ =>
+      val upd = withNorm(assign(cents)
+        .select(col("cell").as("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), x => x.getField("m")).as("c")))
+      val next = graft.InternalCaches.persistTracked(upd, eager = true)
+      cents.unpersist()
+      cents = next
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cell"), round(col("d2"), 4).as("d2"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    // IVF training (see [[ivfTrain]]): every vector with its learned
+    // cell and the squared distance to its centroid.
+    "sim_ivf_train" -> ((s, d) => ivfTrain(s, d)),
+
     // Brute-force top-5 cosine neighbors for each of the ProbeCount probe
     // vectors. The probe side is broadcast (bounded by construction — the
     // plan pin is the pushed vec_id range filter on the broadcast branch);

@@ -95,4 +95,33 @@ class AccuracySpec extends SparkSpec {
         s"group $k: approx $ap vs exact $ex exceeds ±5%")
     }
   }
+
+  test("sim_ivf_train: k-means objective descends per round, deterministic") {
+    // Lloyd's invariant: each assign+update round can only lower the
+    // summed squared distance (assignment picks the argmin centroid;
+    // the mean minimizes within a cell) — monotone descent is THE
+    // correctness law an iterative trainer must hold. The 6-decimal
+    // centroid rounding perturbs the exact mean, so a ≤1e-3 slack
+    // absorbs it.
+    def run(iters: Int): (Double, Seq[(Long, Int)]) = {
+      spark.conf.set("spark.graft.ivf.iters", iters.toString)
+      try {
+        val rows = SparkEntry.queries("sim_ivf_train")(spark, sfDir)
+          .collect()
+        InternalCaches.unpersistAll()
+        (rows.map(_.getAs[Double]("d2")).sum,
+          rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSeq)
+      } finally spark.conf.unset("spark.graft.ivf.iters")
+    }
+    val objs = (0 to 3).map(i => run(i)._1)
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-3, s"objective rose across a round: $objs")
+    }
+    assert(objs.last < objs.head,
+      s"three rounds must improve on the raw seeds: $objs")
+    // determinism: same conf, same input ⇒ identical assignment
+    val (o1, a1) = run(3)
+    val (o2, a2) = run(3)
+    assert(o1 == o2 && a1 == a2, "training must be run-deterministic")
+  }
 }
