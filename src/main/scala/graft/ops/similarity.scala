@@ -125,21 +125,31 @@ object Similarity {
     * float refinement has no stable SQL oracle); the assignment
     * self-consistency, objective-descent, and determinism laws live in
     * AccuracySpec.
+    *
+    * [[ivfCentroids]] runs the training loop and returns the final K-row
+    * centroid relation `(cid, c, cn)` (persisted — the consumers read it
+    * from every task). [[ivfFit]] is the fitted corpus — every vector
+    * with its learned argmin cell, carrying (v, nrm) so a consumer
+    * probes without re-joining the embeddings table.
     */
-  private def ivfTrain(s: SparkSession, d: String): DataFrame = {
+  private def scoredCells(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        (col("nrm") * col("nrm") + col("cn") * col("cn")
+          - lit(2.0) * graft.expr.VectorExprs.dot(col("v"), col("c")))
+          .as("d2"))
+
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame =
+    scoredCells(v, cents)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), col("d2")).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min(col("d2")).as("d2"))
+
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
     val k = Text.intConf(embeddings(s, d), "spark.graft.ivf.k", 8)
     val iters = Text.intConf(embeddings(s, d), "spark.graft.ivf.iters", 3)
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    def assign(cents: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          (col("nrm") * col("nrm") + col("cn") * col("cn")
-            - lit(2.0) * graft.expr.VectorExprs.dot(col("v"), col("c")))
-            .as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), col("d2")).as("cell"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-          min(col("d2")).as("d2"))
     def withNorm(cents: DataFrame): DataFrame =
       cents.withColumn("cn",
         sqrt(graft.expr.VectorExprs.dot(col("c"), col("c"))))
@@ -148,7 +158,7 @@ object Similarity {
         .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))),
       eager = true)
     (1 to iters).foreach { _ =>
-      val upd = withNorm(assign(cents)
+      val upd = withNorm(assignCells(v, cents)
         .select(col("cell").as("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
         .agg(round(avg(col("col")), 6).as("m"))
@@ -159,15 +169,69 @@ object Similarity {
       cents.unpersist()
       cents = next
     }
-    assign(cents)
-      .select(col("vec_id"), col("cell"), round(col("d2"), 4).as("d2"))
-      .orderBy("vec_id")
+    cents
   }
 
+  private def ivfFit(s: SparkSession, d: String): DataFrame =
+    assignCells(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
+      ivfCentroids(s, d))
+
   val queries: Map[String, Q] = Map(
-    // IVF training (see [[ivfTrain]]): every vector with its learned
+    // IVF training (see [[ivfFit]]): every vector with its learned
     // cell and the squared distance to its centroid.
-    "sim_ivf_train" -> ((s, d) => ivfTrain(s, d)),
+    "sim_ivf_train" -> ((s, d) => ivfFit(s, d)
+      .select(col("vec_id"), col("cell"), round(col("d2"), 4).as("d2"))
+      .orderBy("vec_id")),
+
+    // End-to-end IVF: train, index, MULTI-PROBE — the production IVF
+    // search shape. [[ivfCentroids]] learns the cells; the corpus is
+    // indexed by its argmin cell ([[ivfFit]], persisted — both the index
+    // and the probe stages consume the trained state, and uncached the
+    // k-means rounds would re-run per branch); each QUERY probes its
+    // `spark.graft.ivf.nprobe` (default 2) nearest centroids. Single-
+    // probe recall fails exactly when a true neighbor sits across a cell
+    // boundary — a planted clone of a boundary vector lands in the
+    // adjacent cell (measured: 3/5 clones co-cell at sf0.01). Probing
+    // the top-2 centroids covers it: a near-clone's distance to any
+    // centroid differs from its source's by at most the perturbation, so
+    // the source's cell is always near the top of the clone's centroid
+    // ranking. Cost envelope: probe replication is nprobe×q rows, pair
+    // work stays Σ(probe∩cell) after ONE shuffle on the cell id — the
+    // same shape that survives a 1000× corpus. Rows-only driver check
+    // (inherits the trainer's no-SQL-oracle status); the planted-clone
+    // recall law in AccuracySpec is the end-to-end accuracy pin.
+    "sim_ann_ivf_trained" -> ((s, d) => {
+      val p = s.sparkContext.defaultParallelism
+      val nprobe = Text.intConf(embeddings(s, d), "spark.graft.ivf.nprobe", 2)
+      val cents = ivfCentroids(s, d)
+      val fitted = graft.InternalCaches.persistTracked(
+        assignCells(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
+          cents).select(col("vec_id"), col("cell"), col("v"), col("nrm")),
+        eager = true)
+      // top-nprobe centroid ids per query, nearest first; ties broken by
+      // cid so the probe set is deterministic
+      val probes = scoredCells(
+          fitted.select(col("vec_id"), col("v"), col("nrm")), cents)
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          slice(transform(array_sort(collect_list(struct(col("d2"),
+            col("cid")))), x => x.getField("cid")), 1, nprobe).as("pc"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(col("pc")).as("pcell"))
+        .repartition(p, col("pcell"))
+      val index = fitted.select(col("cell").as("bcell"),
+        col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      probes.join(index, col("pcell") === col("bcell")
+          && col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id"), col("rn"), col("nbr_id"), col("cos"))
+        .orderBy("vec_id", "rn")
+    }),
 
     // Brute-force top-5 cosine neighbors for each of the ProbeCount probe
     // vectors. The probe side is broadcast (bounded by construction — the

@@ -96,6 +96,58 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivf_trained recall law: multi-probe recovers boundary clones") {
+    import spark.implicits._
+    // Same planted clones as the LSH law (cos ≈ 0.995 vs source). The
+    // trained index assigns each vector to its argmin k-means cell; a
+    // clone of a BOUNDARY vector lands in the adjacent cell (measured:
+    // only 3/5 clone pairs co-cell), so single-probe IVF misses those
+    // pairs BY CONSTRUCTION — that's the recall gap nprobe exists for. A
+    // clone's distance to any centroid differs from its source's by at
+    // most the perturbation, so the source's cell always sits near the
+    // top of the clone's centroid ranking: probing the top-2 must
+    // retrieve every source at rank 1, and top-3 must close the (weaker-
+    // bounded) reverse direction too.
+    val base = Tables.embeddings(spark, sfDir)
+    val clones = base.filter($"vec_id" % 100 === 3)
+      .select(($"vec_id" + 50000).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x))
+          .as("embedding"),
+        $"label")
+    val cloneIds = clones.select("vec_id").as[Long].collect().toSeq
+    assert(cloneIds.size >= 3)
+    val dir = SparkSpec.scratchDir("graft_ivf_probe_law")
+    base.select("vec_id", "embedding", "label").unionByName(clones)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def rank1(nprobe: Int): Map[Long, Long] = {
+      spark.conf.set("spark.graft.ivf.nprobe", nprobe.toString)
+      try {
+        val m = SparkEntry.queries("sim_ann_ivf_trained")(spark, dir)
+          .filter($"rn" === 1).select($"vec_id", $"nbr_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        InternalCaches.unpersistAll()
+        m
+      } finally spark.conf.unset("spark.graft.ivf.nprobe")
+    }
+    val single = rank1(1)
+    val fwdSingle = cloneIds.count(c => single.get(c).contains(c - 50000))
+    assert(fwdSingle < cloneIds.size,
+      "fixture must contain a boundary clone pair single-probe misses — " +
+        "otherwise this law isn't exercising the multi-probe path")
+    val dflt = rank1(2)
+    cloneIds.foreach { cid =>
+      assert(dflt.get(cid).contains(cid - 50000),
+        s"clone $cid must retrieve its source at rank 1 with nprobe=2")
+    }
+    val wide = rank1(3)
+    cloneIds.foreach { cid =>
+      assert(wide.get(cid).contains(cid - 50000) &&
+        wide.get(cid - 50000).contains(cid),
+        s"nprobe=3 must pair $cid with its source in BOTH directions")
+    }
+  }
+
   test("sim_ivf_train: k-means objective descends per round, deterministic") {
     // Lloyd's invariant: each assign+update round can only lower the
     // summed squared distance (assignment picks the argmin centroid;
