@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expression for the vector hot path (SURVEY.md §7.4).
   *
@@ -163,6 +163,168 @@ case class SignSketch64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distance scoring of one vector against a PACKED centroid relation —
+  * the map-side heart of the IVF index (`sim_ivf_train` /
+  * `sim_ann_ivf_trained`): given `v: array<double>` and
+  * `cents: array<struct<cid:int, c:array<double>>>` (the K centroids
+  * collected into ONE broadcastable row), returns
+  * `array<struct<cid:int, d2:double>>` sorted by (d², cid) ascending —
+  * element 0 is the argmin assignment, a front slice is the multi-probe
+  * set. Packing the centroids into a scalar turns both assignment and
+  * probe selection into pure per-row projections: the declarative
+  * alternative (crossJoin with a K-row relation + groupBy(vec_id)
+  * min_by) re-shuffles the whole corpus — vectors and all — once per
+  * k-means round, which is exactly the shuffle a 100 TB training loop
+  * cannot afford.
+  *
+  * One codegen'd pass: K fused subtract-square loops, insertion sort
+  * over at most K (cid, d²) pairs, zero per-element allocation. Null
+  * semantics: a null element in `v` poisons the result to NULL (same
+  * discipline as [[DotProduct]]); a null / dimension-mismatched centroid
+  * entry is skipped as a candidate, so the result can be EMPTY but never
+  * silently wrong.
+  */
+case class CentroidScores(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(StructType(Array(
+              StructField(_, IntegerType, _, _),
+              StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"centroid_scores requires array<double> and " +
+          s"array<struct<int, array<double>>>, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("d2", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "centroid_scores"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    val kMax = cents.numElements()
+    val cids = new Array[Int](kMax)
+    val d2s = new Array[Double](kMax)
+    var m = 0
+    var k = 0
+    while (k < kMax) {
+      if (!cents.isNullAt(k)) {
+        val cr = cents.getStruct(k, 2)
+        if (!cr.isNullAt(0) && !cr.isNullAt(1)) {
+          val c = cr.getArray(1)
+          if (c.numElements() == n) {
+            var d2 = 0.0
+            var ok = true
+            var j = 0
+            while (j < n && ok) {
+              if (c.isNullAt(j)) ok = false
+              else {
+                val diff = v.getDouble(j) - c.getDouble(j)
+                d2 += diff * diff
+                j += 1
+              }
+            }
+            if (ok) {
+              val cid = cr.getInt(0)
+              var pos = m
+              while (pos > 0 && (d2s(pos - 1) > d2 ||
+                  (d2s(pos - 1) == d2 && cids(pos - 1) > cid))) {
+                d2s(pos) = d2s(pos - 1); cids(pos) = cids(pos - 1); pos -= 1
+              }
+              d2s(pos) = d2; cids(pos) = cid; m += 1
+            }
+          }
+        }
+      }
+      k += 1
+    }
+    val out = new Array[Any](m)
+    k = 0
+    while (k < m) {
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cids(k), d2s(k)))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val row = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      val arr = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val ir = "InternalRow"
+      val ad = classOf[ArrayData].getName
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val kMax = ctx.freshName("kMax")
+      val k = ctx.freshName("k")
+      val m = ctx.freshName("m")
+      val cids = ctx.freshName("cids")
+      val d2s = ctx.freshName("d2s")
+      val cr = ctx.freshName("cr")
+      val c = ctx.freshName("c")
+      val d2 = ctx.freshName("d2")
+      val ok = ctx.freshName("ok")
+      val j = ctx.freshName("j")
+      val diff = ctx.freshName("diff")
+      val cid = ctx.freshName("cid")
+      val pos = ctx.freshName("pos")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  int $kMax = $b.numElements();
+         |  int[] $cids = new int[$kMax];
+         |  double[] $d2s = new double[$kMax];
+         |  int $m = 0;
+         |  for (int $k = 0; $k < $kMax; $k++) {
+         |    if ($b.isNullAt($k)) continue;
+         |    $ir $cr = $b.getStruct($k, 2);
+         |    if ($cr.isNullAt(0) || $cr.isNullAt(1)) continue;
+         |    $ad $c = $cr.getArray(1);
+         |    if ($c.numElements() != $n) continue;
+         |    double $d2 = 0.0;
+         |    boolean $ok = true;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      if ($c.isNullAt($j)) { $ok = false; break; }
+         |      double $diff = $a.getDouble($j) - $c.getDouble($j);
+         |      $d2 += $diff * $diff;
+         |    }
+         |    if (!$ok) continue;
+         |    int $cid = $cr.getInt(0);
+         |    int $pos = $m;
+         |    while ($pos > 0 && ($d2s[$pos - 1] > $d2 ||
+         |        ($d2s[$pos - 1] == $d2 && $cids[$pos - 1] > $cid))) {
+         |      $d2s[$pos] = $d2s[$pos - 1]; $cids[$pos] = $cids[$pos - 1]; $pos--;
+         |    }
+         |    $d2s[$pos] = $d2; $cids[$pos] = $cid; $m++;
+         |  }
+         |  Object[] $out = new Object[$m];
+         |  for (int $k = 0; $k < $m; $k++) {
+         |    $out[$k] = new $row(new Object[]{$cids[$k], $d2s[$k]});
+         |  }
+         |  ${ev.value} = new $arr($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Fused dot product over two array<double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -172,4 +334,9 @@ object VectorExprs {
   /** 64-bit hyperplane sign sketch of an array<double> vector. */
   def signSketch64(v: Column): Column =
     GraftSqlBridge.column(SignSketch64(GraftSqlBridge.expression(v)))
+
+  /** (cid, d²) of every packed centroid, sorted by (d², cid) ascending. */
+  def centroidScores(v: Column, cents: Column): Column =
+    GraftSqlBridge.column(CentroidScores(
+      GraftSqlBridge.expression(v), GraftSqlBridge.expression(cents)))
 }

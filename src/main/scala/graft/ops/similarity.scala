@@ -127,44 +127,48 @@ object Similarity {
     * AccuracySpec.
     *
     * [[ivfCentroids]] runs the training loop and returns the final K-row
-    * centroid relation `(cid, c, cn)` (persisted — the consumers read it
-    * from every task). [[ivfFit]] is the fitted corpus — every vector
-    * with its learned argmin cell, carrying (v, nrm) so a consumer
-    * probes without re-joining the embeddings table.
+    * centroid relation `(cid, c)` (persisted — the consumers read it
+    * from every task). [[scoredVecs]] packs those K rows into ONE
+    * broadcast row and scores every vector against all of them in a
+    * single codegen'd projection ([[graft.expr.CentroidScores]]) — so
+    * assignment (scores[0]) and the multi-probe set (a front slice) are
+    * both MAP-ONLY: the corpus is never shuffled to be assigned. The
+    * declarative alternative (K-row crossJoin + groupBy(vec_id) min_by)
+    * re-shuffled the whole corpus, vectors and all, once per k-means
+    * round. [[ivfFit]] is the fitted corpus — every vector with its
+    * learned argmin cell, carrying (v, nrm) so a consumer probes without
+    * re-joining the embeddings table.
     */
-  private def scoredCells(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        (col("nrm") * col("nrm") + col("cn") * col("cn")
-          - lit(2.0) * graft.expr.VectorExprs.dot(col("v"), col("c")))
-          .as("d2"))
+  private def scoredVecs(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(
+        cents.agg(sort_array(collect_list(struct(col("cid"), col("c"))))
+          .as("cs"))))
+      .withColumn("sc",
+        graft.expr.VectorExprs.centroidScores(col("v"), col("cs")))
+      .drop("cs")
 
   private def assignCells(v: DataFrame, cents: DataFrame): DataFrame =
-    scoredCells(v, cents)
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), col("d2")).as("cell"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min(col("d2")).as("d2"))
+    scoredVecs(v, cents)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("sc").getItem(0).getField("cid").as("cell"),
+        col("sc").getItem(0).getField("d2").as("d2"))
 
   private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
     val k = Text.intConf(embeddings(s, d), "spark.graft.ivf.k", 8)
     val iters = Text.intConf(embeddings(s, d), "spark.graft.ivf.iters", 3)
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    def withNorm(cents: DataFrame): DataFrame =
-      cents.withColumn("cn",
-        sqrt(graft.expr.VectorExprs.dot(col("c"), col("c"))))
     var cents = graft.InternalCaches.persistTracked(
-      withNorm(v.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))),
+      v.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c")),
       eager = true)
     (1 to iters).foreach { _ =>
-      val upd = withNorm(assignCells(v, cents)
+      val upd = assignCells(v, cents)
         .select(col("cell").as("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
         .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("m")))), x => x.getField("m")).as("c")))
+          col("m")))), x => x.getField("m")).as("c"))
       val next = graft.InternalCaches.persistTracked(upd, eager = true)
       cents.unpersist()
       cents = next
@@ -203,23 +207,21 @@ object Similarity {
     "sim_ann_ivf_trained" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       val nprobe = Text.intConf(embeddings(s, d), "spark.graft.ivf.nprobe", 2)
-      val cents = ivfCentroids(s, d)
-      val fitted = graft.InternalCaches.persistTracked(
-        assignCells(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
-          cents).select(col("vec_id"), col("cell"), col("v"), col("nrm")),
-        eager = true)
-      // top-nprobe centroid ids per query, nearest first; ties broken by
-      // cid so the probe set is deterministic
-      val probes = scoredCells(
-          fitted.select(col("vec_id"), col("v"), col("nrm")), cents)
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-          slice(transform(array_sort(collect_list(struct(col("d2"),
-            col("cid")))), x => x.getField("cid")), 1, nprobe).as("pc"))
+      // ONE map-only scoring pass feeds both sides: scores[0] is the
+      // index cell, the front slice is the probe set (nearest first,
+      // ties broken by cid — deterministic). Persisted because the index
+      // and probe branches both read it; uncached, the k-means rounds'
+      // cached lineage would still re-score per branch.
+      val scored = graft.InternalCaches.persistTracked(
+        scoredVecs(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
+          ivfCentroids(s, d)), eager = true)
+      val probes = scored
         .select(col("vec_id"), col("v"), col("nrm"),
-          explode(col("pc")).as("pcell"))
+          explode(transform(slice(col("sc"), 1, nprobe),
+            x => x.getField("cid"))).as("pcell"))
         .repartition(p, col("pcell"))
-      val index = fitted.select(col("cell").as("bcell"),
+      val index = scored.select(
+        col("sc").getItem(0).getField("cid").as("bcell"),
         col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))

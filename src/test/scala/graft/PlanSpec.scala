@@ -402,6 +402,24 @@ class PlanSpec extends SparkSpec {
       s"content must be pruned from the binaryFile scan: $read")
   }
 
+  test("sim_ivf_train: cell assignment is map-only — the corpus never hash-shuffles") {
+    // The codegen'd CentroidScores projection scores every vector against
+    // the ONE packed broadcast row, so assignment carries no
+    // groupBy(vec_id): the only legal exchanges are the K-row centroid
+    // packing (SinglePartition) and the presentation sort
+    // (RangePartitioning). A HashPartitioning shuffle here would mean the
+    // corpus — vectors and all — moves once per k-means round, the exact
+    // plan this operator exists to avoid at 100 TB.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val plan = finalPlan("sim_ivf_train")
+    val hashShuffles = collectAll(plan) {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"corpus must not hash-shuffle during IVF assignment:\n$plan")
+  }
+
   test("text_pii_mask stays a narrow map-side transform (presentation sort only)") {
     val plan = finalPlan("text_pii_mask")
     val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
