@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{CharGrams, DotProduct, MinHashSignature, SignSketch64, SimHash64, WordShingles}
+import graft.expr.{CentroidScores, CharGrams, DotProduct, MinHashSignature, SignSketch64, SimHash64, WordShingles}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -78,6 +78,15 @@ object GraftFunctions {
           require(args.length == 2,
             "word_shingles(tokens, k) takes an array<string> and a literal k")
           WordShingles(args(0), intLit(args(1), "k"))
+        }),
+      "centroid_scores" -> (
+        new ExpressionInfo(classOf[CentroidScores].getName,
+          "centroid_scores"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "centroid_scores(v, cents) takes an array<double> and an " +
+              "array<struct<int, array<double>>>")
+          CentroidScores(args(0), args(1))
         })
     )
 

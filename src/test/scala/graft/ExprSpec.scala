@@ -151,6 +151,65 @@ class ExprSpec extends SparkSpec {
     assert(fused.toSeq == Seq(11.0, null, null, 0.0, null))
   }
 
+  test("CentroidScores: sorted scoring, tie-break, null discipline, SQL-callable") {
+    GraftFunctions.register(spark)
+    // v=(1,2): d² vs (1,2)=0, (0,0)=5, (1,3)=1 → ascending (0,0.0),(2,1.0),(1,5.0)
+    val r = spark.sql(
+      """SELECT centroid_scores(array(1.0d, 2.0d), array(
+        |  named_struct('cid', 0, 'c', array(1.0d, 2.0d)),
+        |  named_struct('cid', 1, 'c', array(0.0d, 0.0d)),
+        |  named_struct('cid', 2, 'c', array(1.0d, 3.0d)))) AS sc""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getInt(0), x.getDouble(1))) ==
+      Seq((0, 0.0), (2, 1.0), (1, 5.0)))
+    // equal d² → lower cid first (the determinism the multi-probe slice
+    // depends on)
+    val tie = spark.sql(
+      """SELECT centroid_scores(array(1.0d), array(
+        |  named_struct('cid', 3, 'c', array(2.0d)),
+        |  named_struct('cid', 1, 'c', array(2.0d)))) AS sc""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(tie.map(_.getInt(0)) == Seq(1, 3))
+    // null discipline: a null element in v poisons; a null / mismatched
+    // centroid entry is skipped (possibly to empty), never silently wrong
+    val n = spark.sql(
+      """SELECT
+        |  centroid_scores(array(CAST(null AS DOUBLE), 1.0d),
+        |    array(named_struct('cid', 0, 'c', array(1.0d, 1.0d)))) AS poisoned,
+        |  centroid_scores(array(1.0d), array(
+        |    CAST(null AS STRUCT<cid: INT, c: ARRAY<DOUBLE>>),
+        |    named_struct('cid', 7, 'c', array(0.0d)))) AS skipnull,
+        |  centroid_scores(array(1.0d), array(
+        |    named_struct('cid', 0, 'c', array(1.0d, 2.0d)))) AS mismatch,
+        |  centroid_scores(CAST(null AS ARRAY<DOUBLE>),
+        |    array(named_struct('cid', 0, 'c', array(1.0d)))) AS nullv""".stripMargin)
+      .collect().head
+    assert(n.isNullAt(0), "null vector element must poison the result")
+    assert(n.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0)) == Seq(7))
+    assert(n.getSeq[org.apache.spark.sql.Row](2).isEmpty,
+      "dimension-mismatched centroid must be skipped, not scored")
+    assert(n.isNullAt(3))
+  }
+
+  test("CentroidScores: codegen and interpreted paths agree on the corpus") {
+    // same projection, once inside whole-stage codegen and once forced
+    // through the interpreted eval path — row-identical results
+    val cents = (0 until 8).map(i =>
+      struct(lit(i).as("cid"),
+        transform(sequence(lit(0), lit(63)),
+          j => (j * (i + 1) % 7).cast("double")).as("c")))
+    val scored = vecsDf.select(col("vec_id"),
+      VectorExprs.centroidScores(col("v"), array(cents: _*)).as("sc"))
+    def rows(codegen: String): Seq[(Long, Seq[(Int, Double)])] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try scored.collect().toSeq.map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getDouble(1)))))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(rows("CODEGEN_ONLY") == rows("NO_CODEGEN"))
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into the fused expression") {
     graft.expr.GraftOptimizations.install(spark)
     val df = vecsDf.select(
