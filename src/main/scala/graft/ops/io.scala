@@ -2,7 +2,7 @@ package graft.ops
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -77,6 +77,24 @@ object IO {
   def partFileCount(dir: String): Int =
     new java.io.File(dir).listFiles()
       .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+
+  /** 32-bit Morton (z-order) interleave of the low 16 bits of two
+    * non-negative long columns — a static tree of 64 shift/mask/or
+    * expressions, fully codegen'd. 16 bits per dimension covers both
+    * clustering domains here (custkey ≤ 15 k at sf0.1, epoch-day ≤ 12 k);
+    * a production writer sizes the bit budget to the column domain.
+    */
+  private[graft] def morton16(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** The clustered-sink path for (sf) — exposed so IoSpec can audit the
+    * written files' z-ranges (same rationale as [[tmpDir]]).
+    */
+  private[graft] def clusteredDir(sfDir: String): String = tmpDir(sfDir, "zorder")
 
   val queries: Map[String, Q] = Map(
     // Newline-text scan of the reference's own data.txt (O2 read path).
@@ -190,6 +208,30 @@ object IO {
         .orderBy("o_orderkey")
     }),
 
+    // Z-ORDER clustered sink: orders laid out by the Morton interleave of
+    // (o_custkey, o_orderdate-as-epoch-day), range-partitioned and sorted
+    // on the z-value before the write. Each output file then covers a
+    // DISJOINT z-range (IoSpec pins this), which is a contiguous tile in
+    // (custkey × date) space — so a later scan filtered on EITHER
+    // dimension skips files via parquet min/max footer stats instead of
+    // reading the table. At 100 TB this layout pass is what makes
+    // point-lookups and date-slices on a multi-dimension fact table
+    // sub-scan; a single-column sort would cluster one dimension and
+    // scatter the other. The readback + oracle gate the full roundtrip.
+    "sink_clustered" -> ((s, d) => {
+      val dir = clusteredDir(d)
+      orders(s, d)
+        .withColumn("zval", morton16(col("o_custkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // JSON-lines sink + scan-back: the interchange egress beside parquet.
     // The declared read schema keeps types through the roundtrip (JSON
     // alone would widen ints) — and the driver gate checks the full
@@ -247,6 +289,9 @@ object IO {
         |  round(s_acctbal, 2) AS acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "sink_compact" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sink_clustered" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sink_parquet_partitioned" ->

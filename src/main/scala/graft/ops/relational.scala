@@ -407,6 +407,29 @@ object Relational {
           (round(var_samp(col("l_quantity")), 4) + 0.0).as("qty_var"))
         .orderBy("l_returnflag")),
 
+    // Per-group MODE (most frequent value) with a deterministic smallest-
+    // value tie-break: the categorical profiling twin of agg_stats. Two
+    // stacked partial+final aggregates — the (group, value) count shuffles
+    // once on the compound key (map-side combined, so the shuffle carries
+    // distinct pairs per partition, not rows), then the per-group argmax
+    // reduces on the group key alone. min_by over a (−n, value) struct is
+    // the tie-break: struct ordering compares −n first (highest count
+    // wins) then value (lexicographically smallest wins a count tie) —
+    // without it, mode is nondeterministic under ties and can't be
+    // hash-compared across engines. At 100 TB both shuffle keys are
+    // bounded by domain cardinality, not row count.
+    "agg_mode" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min_by(col("o_orderpriority"),
+            struct((-col("n")).as("neg_n"),
+              col("o_orderpriority").as("v"))).as("mode_priority"),
+          max(col("n")).as("n_mode"))
+        .orderBy("o_orderstatus")),
+
     // Equal-width histogram over a declared range: the distribution
     // profile a pipeline computes before choosing partition bounds or
     // spotting outliers. Spark's `width_bucket` is the primitive; the
@@ -718,6 +741,17 @@ object Relational {
         |  round(var_samp(l_quantity), 4) + 0.0 AS qty_var
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_hist" ->
       """SELECT CAST(least(11, greatest(0, 1 + floor(o_totalprice / 50000)))
         |    AS BIGINT) AS bucket,

@@ -15,6 +15,10 @@ import graft.Tables._
   * built-ins (split / explode / higher-order array functions). No UDFs:
   * every lambda below is a Catalyst `LambdaFunction`, so the whole pipeline
   * stays inside whole-stage codegen and is oracle-checkable in DuckDB.
+  * (One deliberate exception: `text_heavy_hitters`' candidate pass is a
+  * typed `mapPartitions` — the Misra-Gries state machine is genuine
+  * per-partition imperative logic with no declarative form; its exact
+  * verify pass is declarative and the final result stays oracle-gated.)
   *
   * Scale notes (100 TB posture):
   *  - `dedup_exact` groups on a 256-bit content hash — the shuffle key is
@@ -52,6 +56,32 @@ object Text {
     */
   private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("t", toks)
+
+  /** One partition's Misra-Gries pass for `text_heavy_hitters`: at most
+    * `cap` surviving (token, 0) candidate rows plus a ("", partitionRows)
+    * sentinel carrying the partition's token total. Retention guarantee
+    * (law-tested in TextSpec): any token occurring more than
+    * N_p/(cap+1) times in the partition survives — an occurrence count
+    * can only be cancelled by cap+1-way decrement rounds, each consuming
+    * one stream element per surviving counter. Amortized O(1) per input
+    * element: each decrement pays down exactly one earlier increment.
+    */
+  private[graft] def mgSketch(cap: Int)(
+      it: Iterator[String]): Iterator[(String, Long)] = {
+    var seen = 0L
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      seen += 1
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None if counts.size < cap => counts.update(t, 1L)
+        case None => // MG decrement step; the newcomer is not kept
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.filterInPlace((_, c) => c > 0)
+      }
+    }
+    counts.keysIterator.map(t => (t, 0L)) ++ Iterator(("", seen))
+  }
 
   /** Word 3-gram shingle set (distinct) over a materialized token array.
     *
@@ -366,6 +396,38 @@ object Text {
         .orderBy("keep_id")
     }),
 
+    // INCREMENTAL dedup: a new crawl batch against the standing corpus
+    // index — the daily-ingest shape of dedup_exact. The index side is
+    // reduced to an 8-byte content fingerprint per distinct document
+    // (xxhash64, column-pruned scan: the 100 TB of text never moves), and
+    // the batch anti-joins on that fingerprint — the shuffle carries
+    // (fp, doc_id) pairs, never document bodies. 64-bit collisions drop a
+    // novel doc with P ≈ n²/2⁶⁵ (vanishing at any corpus size that fits a
+    // fingerprint index); a paranoid pipeline re-verifies survivors'
+    // dropped twins by text equality, which the fixtures don't need.
+    // The raw corpus has no cross-batch duplicates, so the batch is
+    // synthesized to make the dedup observable both ways: every 7th doc
+    // re-crawled verbatim (must drop) + every 7th+1 doc with a novel tail
+    // (must keep). Null-text rows are excluded from both sides up front —
+    // a null fingerprint would equi-join as a value in Spark but compare
+    // as UNKNOWN in the SQL oracle's NOT EXISTS.
+    "dedup_incremental" -> ((s, d) => {
+      val base = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      val fresh = base.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" zz novel tail")).as("text"))
+      val indexFp = base.select(xxhash64(col("text")).as("fp")).distinct()
+      recrawl.unionByName(fresh)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          xxhash64(col("text")).as("fp"))
+        .join(indexFp, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
     // Signature: 128 permutation minima over the shingle set (fused
     // codegen expression); bands of 8 rows hashed to bucket keys;
@@ -458,6 +520,49 @@ object Text {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
+
+    // Heavy hitters with EXACT counts at sketch cost: tokens whose global
+    // frequency exceeds total/k, k = 100. text_tokens_topn's plain groupBy
+    // shuffles one row per distinct token per partition — fine here, but
+    // at 100 TB the distinct-token space is billions of keys and the final
+    // aggregate holds all of them. This is the two-pass sketch answer:
+    //   pass 1 — per-partition Misra-Gries summaries (capacity 400 ≥ k),
+    //     the one place in this module that is deliberately imperative
+    //     per-partition logic (mapPartitions' sanctioned case: the sketch
+    //     state machine has no declarative form). MG guarantees any token
+    //     with partition count > N_p/(cap+1) survives its summary, and a
+    //     global heavy hitter (n > N/k) must exceed N_p/k in SOME
+    //     partition, so the union of summaries is a candidate SUPERSET —
+    //     at most cap·partitions rows ever leave the executors. Each
+    //     partition's row total rides along in a sentinel row, so the
+    //     sketch pass also yields N without a third scan.
+    //   pass 2 — exact counts for candidates only: the token stream semi-
+    //     joins the broadcast candidate set before the groupBy, so the
+    //     final aggregate's key space is the candidate list, not the
+    //     vocabulary. Output = exactly the true heavy hitters with exact
+    //     counts — deterministic, hash-comparable, sketch error paid only
+    //     in candidate-list slack.
+    "text_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 100
+      val cap = 400
+      val tok = documents(s, d)
+        .select(explode(toks).as("token"))
+        .filter(length(col("token")) > 0)
+      // eager: cands and total read this relation from two branches of
+      // the final plan; an unpopulated entry would run the sketch twice.
+      val sketch = graft.InternalCaches.persistTracked(
+        tok.as[String].mapPartitions(mgSketch(cap))
+          .toDF("token", "part_rows"), eager = true)
+      val cands = sketch.filter(col("token") =!= "").select("token").distinct()
+      val total = sketch.agg(sum(col("part_rows")).as("total"))
+      tok.join(broadcast(cands), Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * k > col("total"))
+        .select(col("token"), col("n"))
+        .orderBy(col("n").desc, col("token"))
+    }),
 
     // Per-(doc, token) TF-IDF. N comes from a broadcast single-row
     // aggregate (no driver-side .count() action in the operator path).
@@ -872,6 +977,21 @@ object Text {
         |  WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+    // Text-equality anti join ≡ the engine's fingerprint anti join modulo
+    // 64-bit collisions (none in any realizable fixture).
+    "dedup_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |batch AS (
+        |  SELECT doc_id + 20000 AS doc_id, text FROM base
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000 AS doc_id, text || ' zz novel tail' AS text
+        |  FROM base WHERE doc_id % 7 = 1)
+        |SELECT b.doc_id, CAST(length(b.text) AS INTEGER) AS n_chars
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM base c WHERE c.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_near_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -908,6 +1028,17 @@ object Text {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // Plain exact computation — green iff the sketch candidate pass had
+    // no false negatives (the MG retention guarantee).
+    "text_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+        |SELECT token, n FROM c, tot WHERE n * 100 > total
+        |ORDER BY n DESC, token""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM (

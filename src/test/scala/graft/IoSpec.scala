@@ -31,6 +31,29 @@ class IoSpec extends SparkSpec {
     assert(out == 4, s"compaction must write the declared 4, got $out")
   }
 
+  test("sink_clustered: output files tile disjoint z-ranges (file skipping)") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("sink_clustered")(spark, sfDir).count()
+    // per-file [min,max] of the z-value: range-partition + in-partition
+    // sort means every parquet footer covers a z-interval no other file
+    // overlaps — the property min/max file skipping needs. Equal z-values
+    // land in ONE range partition, so adjacent intervals are strictly
+    // disjoint, not merely non-nested.
+    val ranges = spark.read.parquet(ops.IO.clusteredDir(sfDir))
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zval")).as("lo"), max(col("zval")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length >= 2,
+      s"clustered write must produce multiple files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hiPrev), (loNext, _)) =>
+        assert(hiPrev < loNext,
+          s"file z-ranges overlap: hi=$hiPrev >= nextLo=$loNext")
+      case _ => ()
+    }
+  }
+
   test("sink_parquet roundtrip preserves rows and schema") {
     val df = SparkEntry.queries("sink_parquet")(spark, sfDir)
     assert(df.count() == 5)

@@ -433,4 +433,58 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("text") && !read.contains("lang"),
       s"unpruned documents scan: $read")
   }
+
+  test("dedup_incremental: the batch anti-joins the fp index as a hash join") {
+    // the anti join must key on the 8-byte fingerprint (hash-family
+    // join); a nested-loop or cartesian here would compare the batch
+    // against the whole corpus index pairwise — the O(n·m) plan this
+    // operator exists to avoid at 100 TB
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = finalPlan("dedup_incremental")
+    val bad = collectAll(plan) {
+      case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+      case c: CartesianProductExec => c: SparkPlan
+    }
+    assert(bad.isEmpty, s"nested-loop/cartesian in anti-join plan:\n$plan")
+    val anti = collectAll(plan) {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" =>
+        j: SparkPlan
+      case j: SortMergeJoinExec if j.joinType.toString == "LeftAnti" =>
+        j: SparkPlan
+      case j: ShuffledHashJoinExec if j.joinType.toString == "LeftAnti" =>
+        j: SparkPlan
+    }
+    assert(anti.nonEmpty, s"expected a LeftAnti hash-family join:\n$plan")
+  }
+
+  test("text_heavy_hitters: the exact pass probes a broadcast candidate set") {
+    // pass 2 must semi-filter the token stream against the (tiny)
+    // candidate list BEFORE the count — a broadcast hash probe, so the
+    // final aggregate's key space is the candidates, not the vocabulary;
+    // the only non-hash join allowed is the 1-row total's broadcast NLJ
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = finalPlan("text_heavy_hitters")
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      s"candidate filter must be a BroadcastHashJoin:\n$plan")
+    val cart = collectAll(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"cartesian in heavy-hitters plan:\n$plan")
+    InternalCaches.unpersistAll()
+  }
+
+  test("agg_mode: two stacked partial+final aggregates, bounded shuffles") {
+    // (group, value) count → per-group argmax → presentation sort: both
+    // aggregate levels partial-combine map-side, so the plan holds at
+    // most three exchanges and the shuffled keys are domain-bounded
+    val plan = finalPlan("agg_mode")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 3,
+      s"expected <=3 shuffles (2 aggs + sort), got ${shuffles.size}:\n$plan")
+    val partials = planString("agg_mode")
+      .linesIterator.count(_.contains("partial_"))
+    assert(partials >= 2,
+      "both aggregate levels must plan a partial (map-side) phase")
+  }
 }

@@ -35,12 +35,37 @@ class TextSpec extends SparkSpec {
     // byte-identical rows required
     val risky = Seq("dedup_near_minhash", "dedup_simhash", "sim_topk_cosine",
       "sim_ann_ivf", "sim_ann_lsh", "dedup_ngram_jaccard", "win_rank",
-      "text_fingerprint", "stream_session")
+      "text_fingerprint", "stream_session", "text_heavy_hitters",
+      "dedup_incremental")
     risky.foreach { name =>
       val a = SparkEntry.queries(name)(spark, sfDir).collect()
       val b = SparkEntry.queries(name)(spark, sfDir).collect()
       assert(a.sameElements(b), s"$name is nondeterministic across runs")
     }
+  }
+
+  test("Misra-Gries retention law: heavy items survive an adversarial stream") {
+    // The corpus vocabulary (~31 tokens) never fills the 400-slot sketch,
+    // so the oracle gate alone cannot reach the eviction path. This
+    // stream does: 5000 distinct one-off tokens (12.5× capacity — the
+    // decrement step runs constantly) with two heavy tokens woven
+    // through at 100 occurrences each. 100 > N/(cap+1) = 5200/401 ≈ 13,
+    // so MG's guarantee says both MUST survive; the summary must also
+    // respect its capacity bound and the sentinel must carry the exact
+    // stream length (it is the operator's total-count source).
+    val cap = 400
+    val stream = (0 until 5000).flatMap { i =>
+      if (i % 50 == 0) Seq("heavyA", s"noise$i", "heavyB")
+      else Seq(s"noise$i")
+    }
+    val out = ops.Text.mgSketch(cap)(stream.iterator).toSeq
+    val sentinel = out.filter(_._1.isEmpty)
+    assert(sentinel == Seq(("", stream.length.toLong)),
+      s"sentinel must carry the exact partition total: $sentinel")
+    val kept = out.collect { case (t, _) if t.nonEmpty => t }.toSet
+    assert(kept.size <= cap, s"summary exceeded capacity: ${kept.size}")
+    assert(kept.contains("heavyA") && kept.contains("heavyB"),
+      "a token above the N/(cap+1) retention bound was evicted")
   }
 
   test("LSH recall law: a 1-token mutation of any doc is always caught") {
