@@ -564,6 +564,51 @@ object Text {
         .orderBy(col("n").desc, col("token"))
     }),
 
+    // SEQUENCE PACKING for pretraining batches: documents pack in doc_id
+    // order into fixed token-budget sequences (budget 2048); a doc's
+    // sequence is floor(startOffset / budget), startOffset = the global
+    // running token total before it. The hard part at 100 TB is the
+    // GLOBAL cumulative sum: a bare `sum over (order by doc_id)` window
+    // has an empty partition spec, which Spark executes as ONE task
+    // holding the whole corpus. This is the two-phase scan instead:
+    // range-partition by doc_id, then (1) per-partition running sums —
+    // parallel windows keyed by spark_partition_id — and (2) per-
+    // partition totals prefix-summed into start offsets, a partition-
+    // count-sized relation broadcast back. The partitioned relation is
+    // persisted EAGERLY: both phases must read the SAME materialized
+    // partition assignment (range boundaries come from sampling and
+    // spark_partition_id is declared nondeterministic — independent
+    // recomputes could disagree). The final assignment is boundary-
+    // invariant — localCum + offset is the global cumsum under ANY
+    // partitioning — which the single-window oracle checks.
+    "text_pack_sequences" -> ((s, d) => {
+      val budget = 2048
+      val W = org.apache.spark.sql.expressions.Window
+      val counted = documents(s, d)
+        .select(col("doc_id"),
+          size(filter(toks, t => length(t) > 0)).as("n_tok"))
+      val part = graft.InternalCaches.persistTracked(
+        counted.repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id()),
+        eager = true)
+      val localCum = part.withColumn("local_cum",
+        sum(col("n_tok")).over(
+          W.partitionBy(col("pid")).orderBy(col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val offsets = part.groupBy(col("pid"))
+        .agg(sum(col("n_tok")).as("ptot"))
+        .withColumn("offset",
+          coalesce(sum(col("ptot")).over(
+            W.orderBy(col("pid"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      localCum.join(broadcast(offsets), Seq("pid"))
+        .select(col("doc_id"), col("n_tok"),
+          floor((col("local_cum") + col("offset") - col("n_tok"))
+            / lit(budget.toDouble)).cast("long").as("seq_id"))
+        .orderBy("doc_id")
+    }),
+
     // Per-(doc, token) TF-IDF. N comes from a broadcast single-row
     // aggregate (no driver-side .count() action in the operator path).
     "text_tfidf" -> ((s, d) => {
@@ -1039,6 +1084,23 @@ object Text {
         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
         |SELECT token, n FROM c, tot WHERE n * 100 > total
         |ORDER BY n DESC, token""".stripMargin,
+    // Single global window — the formulation the engine REFUSES to run
+    // (one-task cumsum) but the oracle can afford at sf: green iff the
+    // two-phase offsets reconstruct the exact global running total.
+    "text_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS INTEGER) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM (

@@ -474,6 +474,26 @@ class PlanSpec extends SparkSpec {
     InternalCaches.unpersistAll()
   }
 
+  test("text_pack_sequences: no single-partition window ever sees the corpus") {
+    // the corpus-path window must be keyed (pid) — an empty partition
+    // spec there is the one-task global cumsum this operator exists to
+    // avoid; the only empty-spec window allowed is the prefix-sum over
+    // the partition-count-sized totals relation (no file scan below it)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = finalPlan("text_pack_sequences")
+    val windows = collectAll(plan) { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected window operators:\n$plan")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the data-path cumsum window must be partition-keyed")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val scans = collectAll(w.child) { case f: FileSourceScanExec => f }
+      assert(scans.isEmpty,
+        s"global window directly over a table scan (one-task cumsum):\n$w")
+    }
+    InternalCaches.unpersistAll()
+  }
+
   test("agg_mode: two stacked partial+final aggregates, bounded shuffles") {
     // (group, value) count → per-group argmax → presentation sort: both
     // aggregate levels partial-combine map-side, so the plan holds at

@@ -36,12 +36,36 @@ class TextSpec extends SparkSpec {
     val risky = Seq("dedup_near_minhash", "dedup_simhash", "sim_topk_cosine",
       "sim_ann_ivf", "sim_ann_lsh", "dedup_ngram_jaccard", "win_rank",
       "text_fingerprint", "stream_session", "text_heavy_hitters",
-      "dedup_incremental")
+      "dedup_incremental", "text_pack_sequences")
     risky.foreach { name =>
       val a = SparkEntry.queries(name)(spark, sfDir).collect()
       val b = SparkEntry.queries(name)(spark, sfDir).collect()
       assert(a.sameElements(b), s"$name is nondeterministic across runs")
     }
+  }
+
+  test("pack_sequences: two-phase offsets reconstruct the one-window cumsum") {
+    // boundary invariance: the operator's per-partition cumsum + prefix
+    // offsets must equal the (unscalable) single global window it
+    // replaces, row for row, under whatever range boundaries sampling
+    // chose this run
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("text_pack_sequences")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "),
+          t => length(t) > 0)).as("n_tok"))
+      .withColumn("seq_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2048.0))
+          .cast("long"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sameElements(want),
+      "two-phase packing diverged from the global-window definition")
   }
 
   test("Misra-Gries retention law: heavy items survive an adversarial stream") {
