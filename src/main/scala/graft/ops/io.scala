@@ -172,6 +172,34 @@ object IO {
         .orderBy("o_orderkey")
     }),
 
+    // DYNAMIC partition pruning: the fact table is laid out by o_year (a
+    // separate copy of the sink_parquet_partitioned layout) and joined to
+    // a dim whose qualifying years are only knowable at RUNTIME — the
+    // years of the top-10 orders by price. The limit blocks constant
+    // folding, so no static filter can reach the scan; Spark instead
+    // plans a DPP subquery: the dim executes first and its year set is
+    // pushed into the fact scan's PartitionFilters, so only matching
+    // directories are read (5 of the 7 years here; PlanSpec pins the
+    // dynamicpruning filter and the pruned partition count). At 100 TB
+    // this is THE mechanism that keeps star-schema joins from scanning
+    // the whole fact lake when the restricting predicate lives on the
+    // dim side.
+    "join_partition_pruned" -> ((s, d) => {
+      val dir = tmpDir(d, "dpp_orders")
+      val out = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+      out.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      val fact = s.read.schema(out.schema).parquet(dir)
+      val dim = orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+        .select(year(col("o_orderdate")).as("d_year")).distinct()
+      fact.join(dim, fact("o_year") === dim("d_year"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("tot"))
+        .orderBy("o_year")
+    }),
+
     // ORC sink + scan-back: the second columnar format (round 5 — ORC is
     // bundled in the Spark distribution; Avro's data source is not on
     // this classpath). Same full write→read gate as the other sinks, on
@@ -294,6 +322,18 @@ object IO {
     "sink_clustered" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "join_partition_pruned" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT year(o_orderdate) AS d_year FROM (
+        |    SELECT * FROM orders WHERE o_totalprice > 0
+        |    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)),
+        |f AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             o_totalprice
+        |      FROM orders)
+        |SELECT o_year, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS tot
+        |FROM f JOIN dim ON f.o_year = dim.d_year
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "sink_parquet_partitioned" ->
       """SELECT o_orderkey, o_totalprice,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year

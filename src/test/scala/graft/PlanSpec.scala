@@ -474,6 +474,43 @@ class PlanSpec extends SparkSpec {
     InternalCaches.unpersistAll()
   }
 
+  test("join_partition_pruned: the fact scan prunes partitions at runtime") {
+    // the dim's year set is behind a limit (not constant-foldable), so
+    // the only way the fact scan can skip directories is a DPP subquery
+    // filter — pin the dynamicpruning expression on the scan, then check
+    // the executed scan actually read fewer partitions than exist
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val str = planString("join_partition_pruned")
+    assert(str.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter on the fact scan:\n$str")
+    // materialize through collect(), NOT the noop sink: a write wraps
+    // the plan in its own QueryExecution, so the inspected instance
+    // would never have run and every metric would read 0
+    val df = SparkEntry.queries("join_partition_pruned")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // an EXECUTED adaptive plan nests its stages as QueryStageExec
+    // LEAVES (unlike the pre-execution tree the other pins walk), so the
+    // collector must recurse through stage.plan explicitly
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case f: FileSourceScanExec if f.partitionFilters.nonEmpty => Seq(f)
+        case q: QueryStageExec => scans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+      }.flatten
+    val factScans = scans(plan)
+    assert(factScans.nonEmpty, s"no partition-filtered scan:\n$plan")
+    val read = factScans.map(_.metrics("numPartitions").value).min
+    assert(read > 0 && read < 7,
+      s"DPP must read a strict subset of the 7 year-partitions, read=$read")
+  }
+
   test("text_pack_sequences: no single-partition window ever sees the corpus") {
     // the corpus-path window must be keyed (pid) — an empty partition
     // spec there is the one-task global cumsum this operator exists to
