@@ -260,6 +260,44 @@ object IO {
         .orderBy("o_orderkey")
     }),
 
+    // COPY-ON-WRITE UPSERT (the MERGE maintenance pass beside
+    // compaction): a standing parquet table takes a batch of keyed
+    // updates (every 10th order re-priced) and inserts (new key range),
+    // resolved last-write-wins by a version-ranked window over the merge
+    // key — ONE shuffle on o_orderkey — then rewritten. This is exactly
+    // what Delta/Iceberg MERGE does under copy-on-write; at 100 TB the
+    // rewrite would be pruned to the files the batch's keys touch (the
+    // partition/z-order layouts above make that file set small), while
+    // the merge plan itself is unchanged. The readback + oracle gate the
+    // full table→merge→rewrite→scan path.
+    "sink_upsert" -> ((s, d) => {
+      val tableDir = tmpDir(d, "upsert_v0")
+      val outDir = tmpDir(d, "upsert_v1")
+      val base = orders(s, d)
+      base.write.mode("overwrite").parquet(tableDir)
+      // the bump is ADDITIVE: a multiplicative 1.1× of a 2-decimal price
+      // lands exactly on .005 half-cent boundaries, where Spark
+      // (HALF_UP) and DuckDB (half-away on doubles) round apart; +100.00
+      // keeps the value 2-decimal so no rounding decision exists
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") + 100.0, 2))
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      val batch = updates.unionByName(inserts).withColumn("v", lit(1))
+      val current = s.read.schema(base.schema).parquet(tableDir)
+        .withColumn("v", lit(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("v").desc)
+      current.unionByName(batch)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "v")
+        .write.mode("overwrite").parquet(outDir)
+      s.read.parquet(outDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // JSON-lines sink + scan-back: the interchange egress beside parquet.
     // The declared read schema keeps types through the roundtrip (JSON
     // alone would widen ints) — and the driver gate checks the full
@@ -322,6 +360,23 @@ object IO {
     "sink_clustered" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sink_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    round(o_totalprice + 100.0, 2) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey))
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
     "join_partition_pruned" ->
       """WITH dim AS (
         |  SELECT DISTINCT year(o_orderdate) AS d_year FROM (

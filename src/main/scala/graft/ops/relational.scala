@@ -72,6 +72,34 @@ object Relational {
         LIMIT 20""")
     }),
 
+    // Correlated scalar subquery (TPC-H Q17 shape): "lineitems below 20%
+    // of their part's average quantity". Executed naively this is one
+    // aggregate query PER OUTER ROW — the O(n·m) trap. Catalyst's
+    // RewriteCorrelatedScalarSubquery decorrelates it into a per-part
+    // aggregate LEFT-JOINED to the fact (PlanSpec pins the absence of
+    // any scalar-subquery node), so at 100 TB it costs one extra
+    // aggregation over the already-shuffled join key, not a subquery per
+    // row. The 0.2·avg boundary is engine-exact: quantities are
+    // integral-valued doubles, so the sum (< 2⁵³) and count are exact and
+    // the single multiply/divide land identically under IEEE in both
+    // engines; the price sum rides DECIMAL(18,4) so no float
+    // association-order can straddle the round(·, 2) boundary.
+    "sql_correlated" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("g_part")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT p_brand,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS low_qty_price,
+          count(*) AS n_low
+        FROM g_lineitem JOIN g_part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM g_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand""")
+    }),
+
     // ---- projection / filter ---------------------------------------------
     // σ+π with both pushed into the parquet scan (PushedFilters on
     // l_quantity; ReadSchema = 4 columns). Reference equivalent: the arity
@@ -716,6 +744,17 @@ object Relational {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    "sql_correlated" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS low_qty_price,
+        |  count(*) AS n_low
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * avg(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -474,6 +474,22 @@ class PlanSpec extends SparkSpec {
     InternalCaches.unpersistAll()
   }
 
+  test("sql_correlated: the scalar subquery decorrelates to an aggregate join") {
+    // a surviving per-row scalar subquery would re-run the inner
+    // aggregate once per outer row; after RewriteCorrelatedScalarSubquery
+    // the plan must hold only joins + aggregates — no subquery node of
+    // any kind on the correlated path
+    val plan = finalPlan("sql_correlated")
+    val str = plan.toString
+    assert(!str.contains("Subquery"),
+      s"correlated subquery survived planning:\n$str")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size >= 2,
+      s"expected the decorrelated agg join + the part join:\n$plan")
+  }
+
   test("join_partition_pruned: the fact scan prunes partitions at runtime") {
     // the dim's year set is behind a limit (not constant-foldable), so
     // the only way the fact scan can skip directories is a DPP subquery
