@@ -465,13 +465,15 @@ class PlanSpec extends SparkSpec {
     // final aggregate's key space is the candidates, not the vocabulary;
     // the only non-hash join allowed is the 1-row total's broadcast NLJ
     import org.apache.spark.sql.execution.joins.CartesianProductExec
-    val plan = finalPlan("text_heavy_hitters")
-    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
-    assert(bhj.nonEmpty,
-      s"candidate filter must be a BroadcastHashJoin:\n$plan")
-    val cart = collectAll(plan) { case c: CartesianProductExec => c }
-    assert(cart.isEmpty, s"cartesian in heavy-hitters plan:\n$plan")
-    InternalCaches.unpersistAll()
+    try {
+      val plan = finalPlan("text_heavy_hitters")
+      val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty,
+        s"candidate filter must be a BroadcastHashJoin:\n$plan")
+      val cart = collectAll(plan) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"cartesian in heavy-hitters plan:\n$plan")
+    } finally InternalCaches.unpersistAll() // even on failure: a leaked
+    // cache entry would satisfy later specs' plans from memory
   }
 
   test("sql_correlated: the scalar subquery decorrelates to an aggregate join") {
@@ -534,17 +536,19 @@ class PlanSpec extends SparkSpec {
     // the partition-count-sized totals relation (no file scan below it)
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    val plan = finalPlan("text_pack_sequences")
-    val windows = collectAll(plan) { case w: WindowExec => w }
-    assert(windows.nonEmpty, s"expected window operators:\n$plan")
-    assert(windows.exists(_.partitionSpec.nonEmpty),
-      "the data-path cumsum window must be partition-keyed")
-    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
-      val scans = collectAll(w.child) { case f: FileSourceScanExec => f }
-      assert(scans.isEmpty,
-        s"global window directly over a table scan (one-task cumsum):\n$w")
-    }
-    InternalCaches.unpersistAll()
+    try {
+      val plan = finalPlan("text_pack_sequences")
+      val windows = collectAll(plan) { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"expected window operators:\n$plan")
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        "the data-path cumsum window must be partition-keyed")
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val scans = collectAll(w.child) { case f: FileSourceScanExec => f }
+        assert(scans.isEmpty,
+          s"global window directly over a table scan (one-task cumsum):\n$w")
+      }
+    } finally InternalCaches.unpersistAll() // even on failure: a leaked
+    // cache entry would satisfy later specs' plans from memory
   }
 
   test("agg_mode: two stacked partial+final aggregates, bounded shuffles") {
