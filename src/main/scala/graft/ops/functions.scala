@@ -46,6 +46,37 @@ object Fn {
           quarter(col("o_orderdate")).as("q"))
         .orderBy("o_orderkey")),
 
+    // Bitwise battery over the integral id columns — the hash/partition/
+    // flag-field arithmetic every storage layout (the Morton sink, the
+    // LSH band keys, bitmap aggregates) builds on. All plain codegen'd
+    // scalar ops; bit_count is cast to int on the oracle side (DuckDB
+    // returns TINYINT there).
+    "fn_bitwise" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(col("user_id")).as("b_and"),
+          col("event_id").bitwiseOR(col("user_id")).as("b_or"),
+          col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+          shiftleft(col("user_id"), 3).as("b_shl"),
+          shiftright(col("event_id"), 2).as("b_shr"),
+          bit_count(col("event_id")).as("b_pop"))
+        .orderBy("event_id")),
+
+    // Conditional/null battery: CASE, nullif, coalesce, two-sided
+    // clamping — the null-discipline verbs a cleaning pipeline leans on.
+    "fn_conditional" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("(default)")).as("seg_filled"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .otherwise("ok").as("bal_class"),
+          round(greatest(least(col("c_acctbal"), lit(5000.0)), lit(0.0)), 2)
+            .as("bal_clamped"))
+        .orderBy("c_custkey")),
+
     "fn_math" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -150,6 +181,25 @@ object Fn {
         |       AS INTEGER) AS days_since,
         |  CAST(quarter(o_orderdate) AS INTEGER) AS q
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |  event_id & user_id AS b_and,
+        |  event_id | user_id AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  user_id << 3 AS b_shl,
+        |  event_id >> 2 AS b_shr,
+        |  CAST(bit_count(event_id) AS INTEGER) AS b_pop
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)')
+        |    AS seg_filled,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 1000 THEN 'low'
+        |       ELSE 'ok' END AS bal_class,
+        |  round(greatest(least(c_acctbal, 5000.0), 0.0), 2) AS bal_clamped
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(sqrt(l_extendedprice), 4) AS sqrt_price,

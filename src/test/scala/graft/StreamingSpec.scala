@@ -341,6 +341,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch CDC upsert: streamed merges equal the final keyed state") {
+    // the streaming twin of sink_upsert: each micro-batch of keyed
+    // changes merges into a versioned table snapshot (read current →
+    // last-write-wins window → write NEXT version, never overwriting the
+    // snapshot being read — the copy-on-write discipline a real lake
+    // needs for snapshot isolation). After two ordered batches the
+    // table must hold exactly the last write per key.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = SparkSpec.scratchDir("cdc_upsert")
+    (1L to 10L).map(k => (k, 0.0)).toDF("k", "v")
+      .write.parquet(s"$root/v0")
+    @volatile var current = s"$root/v0"
+    var version = 0
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        version += 1
+        val next = s"$root/v$version"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("gen").desc)
+        batch.sparkSession.read.parquet(current).withColumn("gen", lit(0))
+          .unionByName(batch.withColumn("gen", lit(1)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "gen")
+          .write.mode("overwrite").parquet(next)
+        current = next
+      }.start()
+    try {
+      mem.addData((2L, 20.0), (11L, 110.0)) // update k=2, insert k=11
+      q.processAllAvailable()
+      mem.addData((2L, 21.0), (3L, 30.0))   // k=2 again: later batch wins
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(current).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = (1L to 10L).map(k => k -> 0.0).toMap ++
+      Map(2L -> 21.0, 3L -> 30.0, 11L -> 110.0)
+    assert(got == want, s"merged state diverged: $got")
+    assert(version == 2, s"expected one snapshot per micro-batch: $version")
+  }
+
   test("batch session_window matches the gaps-and-islands formulation") {
     // same data, two formulations — the oracle-side SQL logic re-expressed
     // on DataFrames must agree with session_window
