@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Fn.queries ++
       ops.Streaming.queries ++ ops.Text.queries ++ ops.Similarity.queries ++
-      ops.Mr.queries ++ ops.IO.queries ++ ops.Multimodal.queries
+      ops.Mr.queries ++ ops.IO.queries ++ ops.Multimodal.queries ++
+      ops.Graph.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Fn.oracle ++
       ops.Streaming.oracle ++ ops.Text.oracle ++ ops.Similarity.oracle ++
-      ops.Mr.oracle ++ ops.IO.oracle ++ ops.Multimodal.oracle
+      ops.Mr.oracle ++ ops.IO.oracle ++ ops.Multimodal.oracle ++
+      ops.Graph.oracle
 }

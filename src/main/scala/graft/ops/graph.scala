@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.InternalCaches
+import graft.Tables._
+
+/** Graph operators over relations (SURVEY.md §2.3 additions: iterative and
+  * combinatorial graph analytics a training-data pipeline runs on link /
+  * co-occurrence structure — the same family as `dedup_clusters`' connected
+  * components, which lives with the dedup ops in `text.scala`).
+  *
+  * Both operators take an EDGE RELATION as input, so the algorithms are
+  * reusable on any graph; the `queries` entries derive their edges from the
+  * star schema (co-purchase pairs, part↔supplier links). The reference
+  * (`YaMR-1.pdf` §"Project Objectives") frames exactly this class of job —
+  * iterated MapReduce over key/value pairs — as the engine's target
+  * workload; here each iteration is one declarative shuffle instead of a
+  * map/sort/reduce/rewrite-to-disk cycle per stage
+  * (`Worker/worker.py:95-183`).
+  *
+  * Scale notes (100 TB posture):
+  *  - PageRank: the degree-annotated edge relation is persisted ONCE,
+  *    pre-partitioned by `src`; rank iterations then need exactly one
+  *    shuffle each (the contribution groupBy), because the rank relation
+  *    arrives already hash-partitioned on the join key from the previous
+  *    iteration's groupBy. No driver-side state, no collect — ranks live
+  *    in executor partitions across iterations.
+  *  - Triangles: wedge enumeration is bounded by DEGREE ORIENTATION
+  *    (each edge directed from its lower-(degree,id) endpoint), the
+  *    standard trick that caps out-degree at O(√m) — the naive canonical
+  *    a<b<c self-join explodes on high-degree hubs (a single 1M-degree
+  *    node yields 5·10¹¹ wedges; oriented, the same node contributes
+  *    O(m) total). The oracle keeps the naive form: same count, only
+  *    viable at oracle scale.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Node ids for the bipartite part↔supplier graph: supplier keys are
+    * offset into a disjoint range. Fixture-specific (TESTDATA.md keys are
+    * dense small ints); a production caller supplies its own node ids.
+    */
+  private val SuppOffset = 1000000000L
+
+  /** Canonical (u < v) co-purchase edges: parts appearing together in an
+    * order, over the qty>25 slice — the filter keeps per-order item sets
+    * small so edge count stays linear in fact rows (and makes the filter
+    * pushdown visible in the scan).
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  /** Exact triangle count by oriented wedge-closing.
+    *
+    * `edges` must be canonical (u < v, distinct). Each edge is re-oriented
+    * from its lower (degree, id) endpoint; a triangle {a,b,c} with key
+    * order a≺b≺c is then counted exactly once, as the wedge (b,c) out of a
+    * closed by the oriented edge b→c. Three reads of the oriented relation
+    * (two wedge sides + the closing semi-join) → persisted eagerly, like
+    * dedup_clusters' multi-branch cache (caches.scala).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // The edge relation is read from three branches below (degree count +
+    // two degree-attach joins); un-persisted, each branch would recompute
+    // the caller's whole edge derivation (caches.scala doctrine).
+    val e = InternalCaches.persistTracked(edges, eager = true)
+    // explode(array(u,v)) counts both endpoints in ONE pass over the
+    // cache — unionAll would scan it twice.
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.withColumnsRenamed(Map("node" -> "u", "deg" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("node" -> "v", "deg" -> "dv")), "v")
+    val ku = struct(col("du").as("kd"), col("u").as("kid"))
+    val kv = struct(col("dv").as("kd"), col("v").as("kid"))
+    // Pre-partitioned by src: the wedge self-join then reads a
+    // co-partitioned cache on both sides — no exchange, just the sort.
+    val oriented = InternalCaches.persistTracked(
+      withDeg.select(
+        when(ku < kv, col("u")).otherwise(col("v")).as("src"),
+        when(ku < kv, col("v")).otherwise(col("u")).as("dst"),
+        when(ku < kv, kv).otherwise(ku).as("kdst"))
+        .repartition(col("src")),
+      eager = true)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
+    // Left-semi keeps every wedge ROW with a closing edge (no dedup of the
+    // left side): distinct wedges (a,b,c) map 1:1 to counted triangles.
+    val closed = wedges.join(
+      oriented.select(col("src").as("wu"), col("dst").as("wv")),
+      Seq("wu", "wv"), "left_semi")
+    closed.agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Damped PageRank, `iters` synchronous iterations from uniform rank 1.
+    *
+    * `edges` is the DIRECTED edge list; callers wanting undirected
+    * semantics pass both directions (as `queries` does), which also
+    * guarantees no dangling nodes — every node then has out-degree ≥ 1,
+    * so no redistribution term is needed and total mass is preserved
+    * exactly: Σ pr′ = 0.15·n + 0.85·Σ pr (GraphSpec pins this law).
+    *
+    * One shuffle per iteration: the degree-annotated edges are cached
+    * pre-partitioned on `src`, and each iteration's rank relation is
+    * *already* partitioned on `node` (it is the previous groupBy's
+    * output), so the join aligns without an exchange and only the
+    * contribution groupBy shuffles. (AQE may coalesce the rank side's
+    * partitions at small scale and re-introduce an exchange; at scale the
+    * partition counts align.)
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    // Persisted: the degree groupBy, the degree-attach join, and the r0
+    // seed all read this relation — un-cached they would each recompute
+    // the caller's edge derivation.
+    val e = InternalCaches.persistTracked(edges, eager = true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val ce = InternalCaches.persistTracked(
+      e.join(deg, "src").repartition(col("src")), eager = true)
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = ce.join(ranks, ce("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("pr") / col("d"))).as("pr"))
+        .withColumnRenamed("dst", "node")
+    }
+    ranks
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact triangle count of the co-purchase graph. The count is the
+    // whole answer (one row), so the oracle's naive 3-way self-join and
+    // the oriented plan must agree bit-for-bit — integers, no rounding.
+    "graph_triangles" -> ((s, d) => triangleCount(coPurchaseEdges(s, d))),
+
+    // 3 PageRank iterations over the undirected (both-directions)
+    // part↔supplier link graph. round(,4): double sums are order-
+    // sensitive at ~1e-13; rank magnitudes are O(10).
+    "graph_pagerank" -> ((s, d) => {
+      // Both directions in ONE pass over the distinct pair relation:
+      // explode a 2-element array of (src,dst) structs — a unionAll of
+      // two selects would run the distinct twice.
+      val edges = lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select(explode(array(
+          struct(col("p").as("src"), (col("sk") + SuppOffset).as("dst")),
+          struct((col("sk") + SuppOffset).as("src"), col("p").as("dst"))))
+          .as("e"))
+        .select(col("e.src"), col("e.dst"))
+      pagerank(edges, 3)
+        .select(col("node"), round(col("pr"), 4).as("pr"))
+        .orderBy("node")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25),
+        |p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT count(*) AS n_triangles
+        |FROM p e1 JOIN p e2 ON e2.u = e1.v
+        |          JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "graph_pagerank" ->
+      """WITH eb AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |edges AS (SELECT p AS src, 1000000000 + sk AS dst FROM eb
+        |          UNION ALL SELECT 1000000000 + sk, p FROM eb),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |ce AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
+        |r0 AS (SELECT src AS node, 1.0 AS pr FROM deg),
+        |r1 AS (SELECT ce.dst AS node, 0.15 + 0.85 * sum(r.pr / ce.d) AS pr
+        |       FROM ce JOIN r0 r ON r.node = ce.src GROUP BY ce.dst),
+        |r2 AS (SELECT ce.dst AS node, 0.15 + 0.85 * sum(r.pr / ce.d) AS pr
+        |       FROM ce JOIN r1 r ON r.node = ce.src GROUP BY ce.dst),
+        |r3 AS (SELECT ce.dst AS node, 0.15 + 0.85 * sum(r.pr / ce.d) AS pr
+        |       FROM ce JOIN r2 r ON r.node = ce.src GROUP BY ce.dst)
+        |SELECT node, round(pr, 4) AS pr FROM r3 ORDER BY node""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws for the graph operators (ops/graph.scala) on planted graphs whose
+  * answers are known in closed form — independent of the DuckDB oracle,
+  * which only sees the star-schema derivation.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("u", "v")
+
+  private def directed(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("src", "dst")
+
+  test("triangleCount: K4 has 4 triangles, a path has none") {
+    // K4 canonical edges
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(ops.Graph.triangleCount(k4).as[Long].head() === 4L)
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(ops.Graph.triangleCount(path).as[Long].head() === 0L)
+    InternalCaches.unpersistAll()
+  }
+
+  test("triangleCount: star + one closing edge = 1 triangle regardless of hub degree") {
+    // Hub 1 connected to 2..20, plus edge (2,3): exactly one triangle.
+    // Exercises the degree-orientation path (hub is the HIGH-degree
+    // endpoint, so every star edge points INTO it and the hub generates
+    // zero wedges).
+    val star = (2L to 20L).map(i => (1L, i)) :+ (2L, 3L)
+    assert(ops.Graph.triangleCount(edges(star: _*)).as[Long].head() === 1L)
+    InternalCaches.unpersistAll()
+  }
+
+  test("pagerank: 2-cycle fixed point stays at 1.0; mass is preserved") {
+    val cyc = directed((1L, 2L), (2L, 1L))
+    val pr = ops.Graph.pagerank(cyc, 5).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(1L) - 1.0) < 1e-12 && math.abs(pr(2L) - 1.0) < 1e-12)
+    InternalCaches.unpersistAll()
+
+    // Undirected star (both directions): Σ pr = n is invariant per
+    // iteration when every node has out-degree ≥ 1 (ops/graph.scala law).
+    val n = 6L
+    val star = (2L to n).flatMap(i => Seq((1L, i), (i, 1L)))
+    val ranks = ops.Graph.pagerank(directed(star: _*), 4)
+    val total = ranks.agg(sum("pr")).as[Double].head()
+    assert(math.abs(total - n.toDouble) < 1e-9)
+    // And the hub outranks every leaf.
+    val m = ranks.as[(Long, Double)].collect().toMap
+    assert((2L to n).forall(i => m(1L) > m(i)))
+    InternalCaches.unpersistAll()
+  }
+
+  test("pagerank: deterministic across runs on the fixture graph") {
+    val q = ops.Graph.queries("graph_pagerank")
+    val a = q(spark, sfDir).collect().toSeq
+    InternalCaches.unpersistAll()
+    val b = q(spark, sfDir).collect().toSeq
+    assert(a === b)
+    InternalCaches.unpersistAll()
+  }
+
+  test("graph_triangles query matches the naive canonical 3-way join at sf0.001") {
+    val oriented = ops.Graph.queries("graph_triangles")(spark, sfDir)
+      .as[Long].head()
+    // Naive form (the oracle's shape) computed in-engine.
+    val li = Tables.lineitem(spark, sfDir).filter($"l_quantity" > 25)
+      .select($"l_orderkey", $"l_partkey")
+    val p = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v")).distinct()
+    val naive = p.as("e1")
+      .join(p.as("e2"), $"e2.u" === $"e1.v")
+      .join(p.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+      .count()
+    assert(oriented === naive && oriented > 0)
+    InternalCaches.unpersistAll()
+  }
+}
