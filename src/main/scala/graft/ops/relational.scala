@@ -458,6 +458,58 @@ object Relational {
           max(col("n")).as("n_mode"))
         .orderBy("o_orderstatus")),
 
+    // Simple linear regression per group (price over quantity): slope /
+    // intercept / R² / n. Like agg_stats these are single-pass mergeable
+    // co-moment aggregates (Σx, Σy, Σxy, Σx², Σy² state) — they partial-
+    // aggregate map-side, so the shuffle carries 5 doubles per group
+    // regardless of row count. The fit itself never leaves the executors.
+    "agg_linreg" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            + 0.0).as("slope"),
+          (round(regr_intercept(col("l_extendedprice"),
+            col("l_quantity")), 4) + 0.0).as("intercept"),
+          (round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            + 0.0).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Shannon entropy of the language mix per source — the corpus-balance
+    // diagnostic a training-data pipeline reads before sampling weights.
+    // Two stacked partial-agged groupBys (domain-bounded shuffle keys,
+    // like agg_mode); H = ln n − (Σ c·ln c)/n is algebraically
+    // −Σ p·ln p but needs only per-(source,lang) counts, no second pass
+    // over rows for p.
+    "agg_entropy" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(
+          (round(log(sum(col("c")))
+            - sum(col("c") * log(col("c"))) / sum(col("c")), 6) + 0.0)
+            .as("lang_entropy"),
+          sum(col("c")).as("n_docs"))
+        .orderBy("source")),
+
+    // Ordered string aggregation (listagg): deterministic by sorting the
+    // collected array before joining — collect_list order is partition-
+    // arrival order, never comparable across engines. Bounded per group
+    // by construction here (25 nations); at 100 TB listagg over an
+    // unbounded group is an anti-pattern regardless of engine (single
+    // O(group) string on one reducer) — cap the group or use
+    // win_topk_per_group first.
+    "agg_string_agg" -> ((s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("members"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
     // Equal-width histogram over a declared range: the distribution
     // profile a pipeline computes before choosing partition bounds or
     // spotting outliers. Spark's `width_bucket` is the primitive; the
@@ -780,6 +832,29 @@ object Relational {
         |  round(var_samp(l_quantity), 4) + 0.0 AS qty_var
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_linreg" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+        |SELECT source,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0
+        |    AS lang_entropy,
+        |  CAST(sum(c) AS BIGINT) AS n_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "agg_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS members,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -137,6 +137,25 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Moving MEDIAN over a bounded rows-frame (per-user smoothing of the
+    // metric stream — the robust twin of a moving average, immune to a
+    // single spike). `percentile(·, 0.5)` as a WINDOW aggregate: Spark
+    // evaluates the exact interpolated percentile per frame; with a
+    // 4-row frame that is O(1) state per row, so the cost is the one
+    // per-user partition exchange any per-entity window needs — frame
+    // width, not history length, bounds memory at 100 TB. DuckDB's
+    // `median` interpolates identically (avg of the two middle values on
+    // even counts).
+    "win_moving_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (round(expr("percentile(value, 0.5)").over(w), 6) + lit(0.0))
+            .as("mov_med"))
+        .orderBy("event_id")
+    }),
+
     // lag/lead: inter-event deltas per user in microseconds (exact integer
     // arithmetic — no float drift between engines).
     "win_lag_lead" -> ((s, d) => {
@@ -212,6 +231,12 @@ object Windows {
         |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "win_moving_median" ->
+      """SELECT event_id, user_id,
+        |  round(median(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) + 0.0 AS mov_med
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
