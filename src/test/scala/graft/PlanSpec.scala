@@ -108,7 +108,8 @@ class PlanSpec extends SparkSpec {
     val maps = Seq(
       ops.Relational.queries, ops.Windows.queries, ops.Fn.queries,
       ops.Streaming.queries, ops.Text.queries, ops.Similarity.queries,
-      ops.Mr.queries, ops.IO.queries, ops.Multimodal.queries)
+      ops.Mr.queries, ops.IO.queries, ops.Multimodal.queries,
+      ops.Graph.queries)
     val total = maps.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "a duplicate key across modules would overwrite an operator in the " +
@@ -549,6 +550,49 @@ class PlanSpec extends SparkSpec {
       }
     } finally InternalCaches.unpersistAll() // even on failure: a leaked
     // cache entry would satisfy later specs' plans from memory
+  }
+
+  test("graph_triangles: no cartesian/BNLJ; oriented edges read from cache on all three branches") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    try {
+      val plan = finalPlan("graph_triangles")
+      val bad = collectAll(plan) {
+        case c: CartesianProductExec => c: SparkPlan
+        case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+      }
+      assert(bad.isEmpty,
+        s"wedge enumeration must stay an equi-join, never a product:\n$plan")
+      // Two wedge sides + the closing semi-join all scan the SAME cached
+      // oriented relation — the multi-branch recompute fix that cut the
+      // bench line 6x (ops/graph.scala). Edge cache branches add more.
+      val imts = collectAll(plan) { case s: InMemoryTableScanExec => s }
+      assert(imts.size >= 3,
+        s"expected >=3 InMemoryTableScans (oriented read 3x from cache), " +
+          s"got ${imts.size}:\n$plan")
+    } finally InternalCaches.unpersistAll()
+  }
+
+  test("graph_pagerank: one contribution shuffle per iteration, partial-agged") {
+    try {
+      val plan = finalPlan("graph_pagerank")
+      // 3 iterations: each costs ONE groupBy(dst) exchange (the rank join
+      // aligns with the cached hash(src) partitioning or broadcasts); on
+      // top: the presentation sort's range exchange and whatever the
+      // planner needs on the small rank side. The pin is the absence of
+      // per-iteration edge re-shuffles: the 1.2M-row edge relation must
+      // never cross the wire after the cache materializes, so the
+      // exchange count stays O(iterations), not O(iterations x joins).
+      val shuffles = collectAll(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.size <= 7,
+        s"expected <=7 exchanges for 3 iterations + sort, got ${shuffles.size}:\n$plan")
+      val partials = planString("graph_pagerank")
+        .linesIterator.count(_.contains("partial_"))
+      assert(partials >= 1,
+        "contribution sums must plan a partial (map-side) phase")
+    } finally InternalCaches.unpersistAll()
   }
 
   test("agg_mode: two stacked partial+final aggregates, bounded shuffles") {
