@@ -77,6 +77,25 @@ object Fn {
             .as("bal_clamped"))
         .orderBy("c_custkey")),
 
+    // Regexp battery: extract / count / replace / match — patterns kept
+    // inside the RE2-compatible subset (no backrefs or lookaround), so
+    // Java-regex Spark and RE2-family DuckDB agree by construction.
+    // nullif('') canonicalizes the no-match sentinel on both sides; the
+    // replace result is measured by length so the compare doesn't hash
+    // whole rewritten documents. All codegen'd string expressions — at
+    // 100 TB this is a map-only pass that pipelines with the scan.
+    "fn_regex" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          nullif(regexp_extract(col("text"), "([0-9]+)", 1), lit(""))
+            .as("first_num"),
+          regexp_count(col("text"), lit("[0-9]+")).cast("bigint")
+            .as("n_digit_runs"),
+          length(regexp_replace(col("text"), "[aeiou]", ""))
+            .as("len_novowel"),
+          col("text").rlike("[0-9]{3}").as("has_3digits"))
+        .orderBy("doc_id")),
+
     "fn_math" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -200,6 +219,15 @@ object Fn {
         |       ELSE 'ok' END AS bal_class,
         |  round(greatest(least(c_acctbal, 5000.0), 0.0), 2) AS bal_clamped
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  nullif(regexp_extract(text, '([0-9]+)', 1), '') AS first_num,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+        |    AS n_digit_runs,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER)
+        |    AS len_novowel,
+        |  regexp_matches(text, '[0-9]{3}') AS has_3digits
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
