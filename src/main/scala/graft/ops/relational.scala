@@ -342,6 +342,23 @@ object Relational {
         .agg(countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("o_orderstatus")),
 
+    // SEVERAL distinct aggregates over different columns in one pass:
+    // Catalyst plans this through an Expand node that replicates each
+    // input row once per distinct column (tagged with a grouping id), so
+    // a k-distinct aggregate shuffles k× the row count — the plan to
+    // know about before writing one, and why an HLL sketch per column
+    // (agg_approx_distinct) is the 100 TB default when exactness is
+    // negotiable. Exact multi-distinct stays correct at any scale; the
+    // Expand inflation is the price.
+    "agg_multi_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_orderkey")).as("nd_order"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // HLL sketch — no exact oracle (approximate by design); the driver
     // records a rows-only check and the spec bounds the error vs exact.
     "agg_approx_distinct" -> ((s, d) =>
@@ -809,6 +826,14 @@ object Relational {
     "agg_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  count(DISTINCT l_orderkey) AS nd_order,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

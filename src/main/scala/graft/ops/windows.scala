@@ -137,6 +137,25 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // SCD-2 validity intervals (slowly-changing-dimension type 2): each
+    // order becomes a version row [eff_from, eff_to) per customer, closed
+    // by the NEXT version's start via lead(); the open current version
+    // carries eff_to NULL. The warehouse temporal-versioning build, as a
+    // single per-entity window — one exchange on the entity key, no
+    // self-join (the naive form joins each row to its successor). Ties
+    // on the date are broken by the order key, so intervals are
+    // deterministic under same-day updates.
+    "win_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("eff_from"),
+          lead(col("o_orderdate"), 1).over(w).as("eff_to"),
+          lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+        .orderBy("o_custkey", "eff_from", "o_orderkey")
+    }),
+
     // Moving MEDIAN over a bounded rows-frame (per-user smoothing of the
     // metric stream — the robust twin of a moving average, immune to a
     // single spike). `percentile(·, 0.5)` as a WINDOW aggregate: Spark
@@ -232,6 +251,15 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "win_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_orderdate AS eff_from,
+        |  lead(o_orderdate, 1) OVER w AS eff_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, eff_from, o_orderkey""".stripMargin,
     "win_moving_median" ->
       """SELECT event_id, user_id,
         |  round(median(value) OVER (PARTITION BY user_id
