@@ -799,6 +799,38 @@ object Text {
     // set the dedup sketches use) → per-(doc, gram) count → per-doc
     // max/sum — two shuffles, keys (doc_id, gram) then doc_id, both
     // partial-aggregated map-side.
+    // Character-bigram language-model score: train P(c₂|c₁) on the corpus
+    // ITSELF (bigram count / first-char marginal), then score each doc by
+    // its average negative log-likelihood — the perplexity-style quality
+    // signal that flags statistically-unusual text (gibberish, wrong
+    // alphabet, boilerplate) without any external model. Two reads of the
+    // exploded bigram relation (model build + scoring) → eager-persisted.
+    // Scale shape: the MODEL is bounded by alphabet² rows however large
+    // the corpus, so the scoring join broadcasts it and the docs stream
+    // map-only; the model build is one partial-agged groupBy on a
+    // domain-bounded key. (Fixture text is ASCII; Spark substr counts
+    // UTF-16 units vs DuckDB codepoints, identical here.)
+    "text_lm_score" -> ((s, d) => {
+      val grams = graft.InternalCaches.persistTracked(
+        documents(s, d)
+          .filter(length(col("text")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), length(col("text")) - 1),
+              i => col("text").substr(i, lit(2)))).as("g")),
+        eager = true)
+      val model = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .withColumn("n1",
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(substring(col("g"), 1, 1))))
+      grams.join(broadcast(model), "g")
+        .groupBy(col("doc_id"))
+        .agg((round(avg(-log(col("n") / col("n1"))), 6) + 0.0)
+            .as("lm_score"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, d) =>
       tokenizedDocs(s, d)
         .filter(size(col("t")) >= 2)
@@ -1186,6 +1218,19 @@ object Text {
         |SELECT doc_id, count(*) AS n_lines,
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([text[i:i+1] for i in range(1, length(text))]) AS g
+        |  FROM documents WHERE length(text) >= 2),
+        |m AS (SELECT g, count(*) AS n FROM g GROUP BY g),
+        |m2 AS (SELECT g, n, sum(n) OVER (PARTITION BY g[1:1]) AS n1
+        |       FROM m)
+        |SELECT d.doc_id,
+        |  round(avg(-ln(m2.n / m2.n1)), 6) + 0.0 AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM g d JOIN m2 ON d.g = m2.g
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
         |             FROM documents),
