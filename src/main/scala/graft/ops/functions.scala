@@ -77,6 +77,20 @@ object Fn {
             .as("bal_clamped"))
         .orderBy("c_custkey")),
 
+    // Cryptographic/content hashing: md5 + sha2-256 hex digests — the
+    // content-addressing primitive (dedup keys, cache keys, shard-stable
+    // ids). Codegen'd, map-only; both engines emit lowercase hex so the
+    // digests compare byte-for-byte. (xxhash64 — the engine's internal
+    // fingerprint — is Spark-specific and stays out of the oracle set;
+    // dedup_incremental pins its behavior against text equality instead.)
+    "fn_hash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"),
+          substring(sha2(col("text"), 256), 1, 8).as("shard_key"))
+        .orderBy("doc_id")),
+
     // Regexp battery: extract / count / replace / match — patterns kept
     // inside the RE2-compatible subset (no backrefs or lookaround), so
     // Java-regex Spark and RE2-family DuckDB agree by construction.
@@ -219,6 +233,12 @@ object Fn {
         |       ELSE 'ok' END AS bal_class,
         |  round(greatest(least(c_acctbal, 5000.0), 0.0), 2) AS bal_clamped
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS h_md5,
+        |  sha256(text) AS h_sha256,
+        |  substring(sha256(text), 1, 8) AS shard_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_regex" ->
       """SELECT doc_id,
         |  nullif(regexp_extract(text, '([0-9]+)', 1), '') AS first_num,
