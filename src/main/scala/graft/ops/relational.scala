@@ -294,6 +294,40 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // As-of join with a STALENESS TOLERANCE (pandas merge_asof(tolerance=·)
+    // semantics): every event keeps its row (left-join form), but a match
+    // older than 30 days is nulled out — the "last known value, unless
+    // it's too old to trust" enrichment a feature pipeline wants. Same
+    // union-stream + last(ignoreNulls) single-window plan as join_asof
+    // (no join node, no per-row subquery); the tolerance is one
+    // post-window predicate, so the 100 TB cost is identical to the
+    // unbounded as-of.
+    "join_asof_tolerance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(
+        col("user_id").as("uid"), col("ts").as("t"),
+        lit(1).as("is_ev"), col("event_id"),
+        lit(null).cast("long").as("ordkey"),
+        lit(null).cast("timestamp").as("orddate"))
+      val o = orders(s, d).select(
+        col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+        lit(0).as("is_ev"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ordkey"), col("o_orderdate").as("orddate"))
+      val w = Window.partitionBy(col("uid"))
+        .orderBy(col("t"), col("is_ev"), asc_nulls_first("ordkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("ok", last(col("ordkey"), ignoreNulls = true).over(w))
+        .withColumn("od", last(col("orddate"), ignoreNulls = true).over(w))
+        .filter(col("is_ev") === 1)
+        .withColumn("age_days",
+          datediff(to_date(col("t")), to_date(col("od"))))
+        .select(col("event_id"),
+          when(col("age_days") <= 30, col("ok")).as("o_orderkey"),
+          when(col("age_days") <= 30, col("age_days")).as("age_days"))
+        .orderBy("event_id")
+    }),
+
     // Skew-safe salted join: the fact side's join key gains a deterministic
     // salt (derived from the row, not random — replayable plans only), the
     // dimension side is replicated once per salt value, and the join runs
@@ -804,6 +838,19 @@ object Relational {
         |    row_number() OVER (PARTITION BY e.event_id
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT event_id,
+        |  CASE WHEN age_days <= 30 THEN o_orderkey END AS o_orderkey,
+        |  CASE WHEN age_days <= 30 THEN age_days END AS age_days
+        |FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(e.ts AS DATE)) AS INTEGER) AS age_days,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_salted" ->
