@@ -40,8 +40,26 @@ object Graph {
   /** Node ids for the bipartite part↔supplier graph: supplier keys are
     * offset into a disjoint range. Fixture-specific (TESTDATA.md keys are
     * dense small ints); a production caller supplies its own node ids.
+    * `private[ops]`: sql_recursive seeds its BFS at SuppOffset + 1.
     */
-  private val SuppOffset = 1000000000L
+  private[ops] val SuppOffset = 1000000000L
+
+  /** Undirected (both-directions) part↔supplier link edges, shared by
+    * `graph_pagerank` and `sql_recursive` so the node-id scheme and the
+    * derivation can never diverge between the two queries' oracles. Both
+    * directions come from ONE pass over the distinct pair relation:
+    * explode a 2-element array of (src,dst) structs — a unionAll of two
+    * selects would run the distinct twice.
+    */
+  private[ops] def partSupplierEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+      .select(explode(array(
+        struct(col("p").as("src"), (col("sk") + SuppOffset).as("dst")),
+        struct((col("sk") + SuppOffset).as("src"), col("p").as("dst"))))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
 
   /** Canonical (u < v) co-purchase edges: parts appearing together in an
     * order, over the qty>25 slice — the filter keeps per-order item sets
@@ -129,15 +147,28 @@ object Graph {
     // degree variant that pinned the SMJ-off-cache plan measured 3-6×
     // slower at bench scale for zero scale benefit.
     val e = InternalCaches.persistTracked(edges, eager = true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val deg = InternalCaches.persistTracked(
+      e.groupBy("src").agg(count(lit(1)).as("d")), eager = true)
     val ce = InternalCaches.persistTracked(
       e.join(deg, "src").repartition(col("src")), eager = true)
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
-      ranks = ce.join(ranks, ce("src") === ranks("node"))
+      val contribs = ce.join(ranks, ce("src") === ranks("node"))
         .groupBy(col("dst"))
-        .agg((lit(0.15) + lit(0.85) * sum(col("pr") / col("d"))).as("pr"))
-        .withColumnRenamed("dst", "node")
+        .agg(sum(col("pr") / col("d")).as("c"))
+      // Re-key on the FULL source-node set, not just contribution
+      // receivers: on a directed graph a source-only node (out-edges,
+      // no in-edges) receives nothing, and an inner groupBy would drop
+      // it from the rank relation — losing its 0.15 floor AND its
+      // outgoing contributions in every later iteration. The left join
+      // restores it at coalesce(c, 0). (Sink-only nodes — in-edges,
+      // no out-degree — are out of scope by the same contract that
+      // skips dangling redistribution: rank is computed over nodes
+      // that can propagate. Both-direction callers are unaffected.)
+      ranks = deg.select(col("src").as("node"))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
     }
     ranks
   }
@@ -152,18 +183,7 @@ object Graph {
     // part↔supplier link graph. round(,4): double sums are order-
     // sensitive at ~1e-13; rank magnitudes are O(10).
     "graph_pagerank" -> ((s, d) => {
-      // Both directions in ONE pass over the distinct pair relation:
-      // explode a 2-element array of (src,dst) structs — a unionAll of
-      // two selects would run the distinct twice.
-      val edges = lineitem(s, d)
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-        .distinct()
-        .select(explode(array(
-          struct(col("p").as("src"), (col("sk") + SuppOffset).as("dst")),
-          struct((col("sk") + SuppOffset).as("src"), col("p").as("dst"))))
-          .as("e"))
-        .select(col("e.src"), col("e.dst"))
-      pagerank(edges, 3)
+      pagerank(partSupplierEdges(s, d), 3)
         .select(col("node"), round(col("pr"), 4).as("pr"))
         .orderBy("node")
     }))

@@ -28,6 +28,46 @@ import graft.Tables._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared as-of scaffold for `join_asof` / `join_asof_tolerance`: every
+    * event row enriched with the latest order at-or-before its timestamp
+    * for the matching customer (`o_orderkey`/`o_orderdate`, NULL when no
+    * prior order exists), plus the event instant as `t`.
+    *
+    * Spark has no native as-of. The scalable plan is NOT join-then-top-1
+    * (that materializes every (event, earlier-order) pair — measured 100×
+    * row amplification at sf0.1, quadratic per hot user — round-1
+    * verdict): instead UNION the two streams keyed by user, sort within
+    * user by (time, kind, orderkey) with orders first at equal instants
+    * (inclusive <=), and carry the latest order forward with
+    * last(ignoreNulls) over an unbounded-preceding frame. One shuffle on
+    * user_id, zero intermediate amplification, no join node. Tie-break
+    * contract: orderkey ascending so last() picks the max-(date,
+    * orderkey) order, matching a top-1 under (o_orderdate DESC,
+    * o_orderkey DESC); null ordkey (event rows) sort first within their
+    * instant.
+    */
+  private def asofEnriched(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d).select(
+      col("user_id").as("uid"), col("ts").as("t"),
+      lit(1).as("is_ev"), col("event_id"),
+      lit(null).cast("long").as("ordkey"),
+      lit(null).cast("timestamp").as("orddate"))
+    val o = orders(s, d).select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+      lit(0).as("is_ev"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("ordkey"), col("o_orderdate").as("orddate"))
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("t"), col("is_ev"), asc_nulls_first("ordkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("o_orderkey",
+        last(col("ordkey"), ignoreNulls = true).over(w))
+      .withColumn("o_orderdate",
+        last(col("orddate"), ignoreNulls = true).over(w))
+      .filter(col("is_ev") === 1)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- scans ------------------------------------------------------------
     // Columnar scan with projection pushdown: ReadSchema carries only the
@@ -111,24 +151,18 @@ object Relational {
     // alternating min-label propagation, which converges by value, not
     // by depth.)
     "sql_recursive" -> ((s, d) => {
-      // The edge relation goes in as a PERSISTED temp view, not an inline
-      // CTE: the iterative union executor re-evaluates every relation the
+      // The edge relation (shared derivation: Graph.partSupplierEdges)
+      // goes in as a PERSISTED temp view, not an inline CTE: the
+      // iterative union executor re-evaluates every relation the
       // recursive member references once per step, so an un-cached edge
       // derivation (distinct over the fact table) would recompute per hop
       // — measured 18-34 s vs ~2 s cached at sf0.1.
       graft.InternalCaches.persistTracked(
-        lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-          .distinct()
-          .select(explode(array(
-            struct(col("p").as("src"), (col("sk") + 1000000000L).as("dst")),
-            struct((col("sk") + 1000000000L).as("src"), col("p").as("dst"))))
-            .as("e"))
-          .select(col("e.src"), col("e.dst")),
+        Graph.partSupplierEdges(s, d),
         eager = true).createOrReplaceTempView("g_edges")
-      s.sql("""
+      s.sql(s"""
         WITH RECURSIVE walk(node, depth) AS (
-          SELECT CAST(1000000001 AS BIGINT) AS node, 0 AS depth
+          SELECT CAST(${Graph.SuppOffset + 1} AS BIGINT) AS node, 0 AS depth
           UNION ALL
           SELECT e.dst, w.depth + 1
           FROM walk w JOIN g_edges e ON e.src = w.node
@@ -261,72 +295,29 @@ object Relational {
     }),
 
     // As-of join: latest order at-or-before each event's timestamp for the
-    // matching customer. Spark has no native as-of. The scalable plan is
-    // NOT join-then-top-1 (that materializes every (event, earlier-order)
-    // pair — measured 100× row amplification at sf0.1, quadratic per hot
-    // user — round-1 verdict): instead UNION the two streams keyed by
-    // user, sort within user by (time, kind, orderkey) with orders first
-    // at equal instants (inclusive <=), and carry the latest order forward
-    // with last(ignoreNulls) over an unbounded-preceding frame. One
-    // shuffle on user_id, zero intermediate amplification, no join node.
-    "join_asof" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = events(s, d).select(
-        col("user_id").as("uid"), col("ts").as("t"),
-        lit(1).as("is_ev"), col("event_id"),
-        lit(null).cast("long").as("ordkey"),
-        lit(null).cast("timestamp").as("orddate"))
-      val o = orders(s, d).select(
-        col("o_custkey").as("uid"), col("o_orderdate").as("t"),
-        lit(0).as("is_ev"), lit(null).cast("long").as("event_id"),
-        col("o_orderkey").as("ordkey"), col("o_orderdate").as("orddate"))
-      // orderkey ascending so last() picks the max-(date, orderkey) order,
-      // matching the original top-1 tiebreak (o_orderdate DESC, o_orderkey
-      // DESC); null ordkey (event rows) sort first within their instant.
-      val w = Window.partitionBy(col("uid"))
-        .orderBy(col("t"), col("is_ev"), asc_nulls_first("ordkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.unionByName(o)
-        .withColumn("o_orderkey", last(col("ordkey"), ignoreNulls = true).over(w))
-        .withColumn("o_orderdate", last(col("orddate"), ignoreNulls = true).over(w))
-        .filter(col("is_ev") === 1 && col("o_orderkey").isNotNull)
+    // matching customer (asofEnriched above holds the plan and the
+    // tie-break contract; this is the inner-join form).
+    "join_asof" -> ((s, d) =>
+      asofEnriched(s, d)
+        .filter(col("o_orderkey").isNotNull)
         .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
-        .orderBy("event_id")
-    }),
+        .orderBy("event_id")),
 
     // As-of join with a STALENESS TOLERANCE (pandas merge_asof(tolerance=·)
     // semantics): every event keeps its row (left-join form), but a match
     // older than 30 days is nulled out — the "last known value, unless
     // it's too old to trust" enrichment a feature pipeline wants. Same
-    // union-stream + last(ignoreNulls) single-window plan as join_asof
-    // (no join node, no per-row subquery); the tolerance is one
-    // post-window predicate, so the 100 TB cost is identical to the
-    // unbounded as-of.
-    "join_asof_tolerance" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = events(s, d).select(
-        col("user_id").as("uid"), col("ts").as("t"),
-        lit(1).as("is_ev"), col("event_id"),
-        lit(null).cast("long").as("ordkey"),
-        lit(null).cast("timestamp").as("orddate"))
-      val o = orders(s, d).select(
-        col("o_custkey").as("uid"), col("o_orderdate").as("t"),
-        lit(0).as("is_ev"), lit(null).cast("long").as("event_id"),
-        col("o_orderkey").as("ordkey"), col("o_orderdate").as("orddate"))
-      val w = Window.partitionBy(col("uid"))
-        .orderBy(col("t"), col("is_ev"), asc_nulls_first("ordkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.unionByName(o)
-        .withColumn("ok", last(col("ordkey"), ignoreNulls = true).over(w))
-        .withColumn("od", last(col("orddate"), ignoreNulls = true).over(w))
-        .filter(col("is_ev") === 1)
+    // single-window plan as join_asof (shared scaffold: asofEnriched);
+    // the tolerance is one post-window predicate, so the 100 TB cost is
+    // identical to the unbounded as-of.
+    "join_asof_tolerance" -> ((s, d) =>
+      asofEnriched(s, d)
         .withColumn("age_days",
-          datediff(to_date(col("t")), to_date(col("od"))))
+          datediff(to_date(col("t")), to_date(col("o_orderdate"))))
         .select(col("event_id"),
-          when(col("age_days") <= 30, col("ok")).as("o_orderkey"),
+          when(col("age_days") <= 30, col("o_orderkey")).as("o_orderkey"),
           when(col("age_days") <= 30, col("age_days")).as("age_days"))
-        .orderBy("event_id")
-    }),
+        .orderBy("event_id")),
 
     // Skew-safe salted join: the fact side's join key gains a deterministic
     // salt (derived from the row, not random — replayable plans only), the

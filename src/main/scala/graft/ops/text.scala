@@ -792,13 +792,6 @@ object Text {
         .orderBy("doc_id")
     }),
 
-    // Repetition quality signal (the Gopher/MassiveText family of rules):
-    // the fraction of a document occupied by its most frequent word
-    // bigram. High rep_ratio flags template/spam pages that per-token
-    // stats miss. Plan: explode ALL 2-gram occurrences (not the distinct
-    // set the dedup sketches use) → per-(doc, gram) count → per-doc
-    // max/sum — two shuffles, keys (doc_id, gram) then doc_id, both
-    // partial-aggregated map-side.
     // Character-bigram language-model score: train P(c₂|c₁) on the corpus
     // ITSELF (bigram count / first-char marginal), then score each doc by
     // its average negative log-likelihood — the perplexity-style quality
@@ -831,6 +824,13 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Repetition quality signal (the Gopher/MassiveText family of rules):
+    // the fraction of a document occupied by its most frequent word
+    // bigram. High rep_ratio flags template/spam pages that per-token
+    // stats miss. Plan: explode ALL 2-gram occurrences (not the distinct
+    // set the dedup sketches use) → per-(doc, gram) count → per-doc
+    // max/sum — two shuffles, keys (doc_id, gram) then doc_id, both
+    // partial-aggregated map-side.
     "text_repetition" -> ((s, d) =>
       tokenizedDocs(s, d)
         .filter(size(col("t")) >= 2)

@@ -54,6 +54,20 @@ class GraphSpec extends SparkSpec {
     InternalCaches.unpersistAll()
   }
 
+  test("pagerank: a source-only node keeps its 0.15 floor on directed input") {
+    // 1⇄2 plus source-only 3→1: node 3 receives nothing, so its rank is
+    // exactly 0.15 every iteration — an inner-join iteration would DROP
+    // it after iteration 1 and lose its contribution to node 1 (the
+    // self-review finding the left-join re-key fixes).
+    val g = directed((1L, 2L), (2L, 1L), (3L, 1L))
+    val pr = ops.Graph.pagerank(g, 3).as[(Long, Double)].collect().toMap
+    assert(pr.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(pr(3L) - 0.15) < 1e-12)
+    // node 1 must include 3's contribution: strictly above node 2's rank.
+    assert(pr(1L) > pr(2L))
+    InternalCaches.unpersistAll()
+  }
+
   test("pagerank: deterministic across runs on the fixture graph") {
     val q = ops.Graph.queries("graph_pagerank")
     val a = q(spark, sfDir).collect().toSeq
