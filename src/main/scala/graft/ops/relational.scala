@@ -750,7 +750,41 @@ object Relational {
     "set_except" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("custkey"))
         .except(orders(s, d).select(col("o_custkey").as("custkey")))
-        .orderBy("custkey"))
+        .orderBy("custkey")),
+
+    // BAG-semantics set ops (ANSI EXCEPT ALL / INTERSECT ALL): duplicates
+    // count — EXCEPT ALL keeps max(m−n, 0) copies, INTERSECT ALL
+    // min(m, n). The multiset reconciliation verbs (ledger diffs,
+    // re-delivery audits) that the DISTINCT-semantics set ops above
+    // can't express. Catalyst plans both as an aggregate over per-side
+    // multiplicities + generator — no raw-row pair join, so the shuffle
+    // carries distinct values with counts, not row instances.
+    "set_except_all" -> ((s, d) =>
+      lineitem(s, d).select(col("l_orderkey").as("orderkey"))
+        .exceptAll(lineitem(s, d).filter(col("l_linenumber") > 1)
+          .select(col("l_orderkey").as("orderkey")))
+        .orderBy("orderkey")),
+
+    "set_intersect_all" -> ((s, d) =>
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("orderkey"))
+        .intersectAll(lineitem(s, d).filter(col("l_returnflag") === "A")
+          .select(col("l_orderkey").as("orderkey")))
+        .orderBy("orderkey")),
+
+    // Null-ordering discipline: a computed NULLABLE sort key ordered with
+    // an EXPLICIT null position on both engines. Spark's default is
+    // nulls-first ascending, DuckDB's is nulls-last — the classic silent
+    // cross-engine divergence; pinning NULLS LAST in both directions
+    // makes the contract visible (and TakeOrderedAndProject handles the
+    // null ordering inside the per-partition heaps, no extra pass).
+    "sort_nulls" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") > 0, round(col("c_acctbal"), 2))
+            .as("pos_bal"))
+        .orderBy(col("pos_bal").desc_nulls_last, col("c_custkey"))
+        .limit(500))
   )
 
   /** DuckDB-equivalent SQL per query (driver contract: column names match
@@ -1044,6 +1078,22 @@ object Relational {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT l_orderkey AS orderkey FROM lineitem
+        |EXCEPT ALL
+        |SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linenumber > 1
+        |ORDER BY orderkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY orderkey""".stripMargin,
+    "sort_nulls" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal > 0 THEN round(c_acctbal, 2) END AS pos_bal
+        |FROM customer
+        |ORDER BY pos_bal DESC NULLS LAST, c_custkey
+        |LIMIT 500""".stripMargin
   )
 }

@@ -824,6 +824,41 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Shingle CONTAINMENT near-dup (|A∩B| / min(|A|,|B|) ≥ 0.8): catches
+    // a document EMBEDDED in a larger one (quotes, boilerplate wrappers,
+    // chunk-of-crawl re-posts) — pairs Jaccard structurally misses,
+    // because |A∩B|/|A∪B| dilutes with the size gap while containment
+    // doesn't. Candidate generation is therefore NOT the banded
+    // MinHash-LSH the Jaccard ops share (its collision probability
+    // tracks Jaccard, so it under-recalls exactly the asymmetric pairs
+    // this op exists for) but an EXACT inverted-index join: explode the
+    // distinct shingle sets, self-join on the shingle (posting-list
+    // intersection), count per pair. Exact by construction; the scale
+    // caveat is hub shingles — a posting list of length L contributes
+    // O(L²) pair rows, so at 100 TB one caps document frequency (lossy
+    // under-count) or moves to one-sided containment LSH; the exact form
+    // here is the oracle-checkable contract.
+    "text_containment" -> ((s, d) => {
+      val sh = graft.InternalCaches.persistTracked(
+        tokenizedDocs(s, d)
+          .select(col("doc_id"), explode(shingleCol(col("t"))).as("sh")),
+        eager = true)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pi = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("ni"))
+      pi.join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("containment",
+          round(col("ni").cast("double")
+            / least(col("na"), col("nb")), 4))
+        .filter(col("containment") >= 0.8)
+        .select(col("a"), col("b"), col("containment"))
+        .orderBy("a", "b")
+    }),
+
     // Repetition quality signal (the Gopher/MassiveText family of rules):
     // the fraction of a document occupied by its most frequent word
     // bigram. High rep_ratio flags template/spam pages that per-token
@@ -1231,6 +1266,27 @@ object Text {
         |  count(*) AS n_bigrams
         |FROM g d JOIN m2 ON d.g = m2.g
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "text_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                     for i in range(1, len(t) - 1)])
+        |    ELSE [] END AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  ),
+        |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        |pi AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+        |       FROM e x JOIN e y
+        |         ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT pi.a, pi.b,
+        |  round(pi.ni::DOUBLE / least(sa.n, sb.n), 4) AS containment
+        |FROM pi JOIN sz sa ON sa.doc_id = pi.a
+        |        JOIN sz sb ON sb.doc_id = pi.b
+        |WHERE pi.ni::DOUBLE / least(sa.n, sb.n) >= 0.8
+        |ORDER BY a, b""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
         |             FROM documents),
