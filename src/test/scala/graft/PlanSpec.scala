@@ -595,6 +595,24 @@ class PlanSpec extends SparkSpec {
     } finally InternalCaches.unpersistAll()
   }
 
+  test("text_containment: posting-list equi-join, no cartesian; shingles cached on all three branches") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    try {
+      val plan = finalPlan("text_containment")
+      val bad = collectAll(plan) {
+        case c: CartesianProductExec => c: SparkPlan
+        case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+      }
+      assert(bad.isEmpty,
+        s"pair generation must be the shingle equi-join, never a product:\n$plan")
+      val imts = collectAll(plan) { case s: InMemoryTableScanExec => s }
+      assert(imts.size >= 3,
+        s"expected >=3 InMemoryTableScans (sizes + both join sides from " +
+          s"the shingle cache), got ${imts.size}:\n$plan")
+    } finally InternalCaches.unpersistAll()
+  }
+
   test("agg_mode: two stacked partial+final aggregates, bounded shuffles") {
     // (group, value) count → per-group argmax → presentation sort: both
     // aggregate levels partial-combine map-side, so the plan holds at

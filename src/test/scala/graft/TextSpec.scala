@@ -121,6 +121,33 @@ class TextSpec extends SparkSpec {
       s"LSH missed planted mutations: ${expected -- pairs}")
   }
 
+  test("containment finds an EMBEDDED doc that Jaccard structurally misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // B is the first 12 tokens of A (a strict prefix): shingles(B) ⊂
+    // shingles(A), so containment = 1.0 while Jaccard = 10/28 ≈ 0.36 —
+    // far under the 0.8 near-dup threshold. The containment op must
+    // report the pair; the Jaccard op must not (pinning WHY the operator
+    // exists — ops/text.scala's asymmetric-pair rationale).
+    val aTok = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val bTok = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, aTok, "en", "plant", aTok.length.toLong),
+      (2L, bTok, "en", "plant", bTok.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = SparkSpec.scratchDir("graft_containment_law")
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val cont = SparkEntry.queries("text_containment")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+        s"expected the embedded pair at containment 1.0, got ${cont.toSeq}")
+      val jac = SparkEntry.queries("dedup_near_minhash")(spark, dir).count()
+      assert(jac == 0L,
+        "Jaccard near-dup must NOT pair a 12-of-30-token embedding")
+    } finally InternalCaches.unpersistAll()
+  }
+
   test("hot-bucket law: a planted mega-bucket of identical docs is fully paired") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
