@@ -118,6 +118,27 @@ object IO {
     }),
 
     // Columnar sink + scan-back: the engine's durable egress format.
+    // Schema EVOLUTION across ingest batches — the lake reality that a
+    // day-2 producer adds a column: batch b=1 writes the original two
+    // columns, batch b=2 adds name_len. `mergeSchema` reconciles the
+    // parquet footers at read time (old rows surface NULL for the new
+    // column) and the b= directory layout doubles as discovered
+    // partition column. At 100 TB this is why readers must never pin a
+    // single file's footer as THE schema; merge cost is per-footer
+    // metadata, not data.
+    "scan_schema_evolution" -> ((s, d) => {
+      val dir = tmpDir(d, "evolve")
+      region(s, d).select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").parquet(s"$dir/b=1")
+      region(s, d).select(col("r_regionkey"), col("r_name"),
+          length(col("r_name")).as("name_len"))
+        .write.mode("overwrite").parquet(s"$dir/b=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("r_regionkey"), col("r_name"), col("name_len"),
+          col("b"))
+        .orderBy("b", "r_regionkey")
+    }),
+
     "sink_parquet" -> ((s, d) => {
       val dir = tmpDir(d, "parquet")
       region(s, d).write.mode("overwrite").parquet(dir)
@@ -347,6 +368,13 @@ object IO {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "sink_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_schema_evolution" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS INTEGER) AS name_len,
+        |  1 AS b FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, CAST(length(r_name) AS INTEGER), 2
+        |FROM region
+        |ORDER BY b, r_regionkey""".stripMargin,
     "sink_json_lines" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
