@@ -171,6 +171,23 @@ object Relational {
         FROM walk GROUP BY node ORDER BY node""")
     }),
 
+    // LATERAL correlated subquery (ANSI; Spark decorrelates it via
+    // DecorrelateInnerQuery into a join + per-group window, the same
+    // plan win_topk_per_group declares by hand): "top-2 nations per
+    // region by name". Naively this is one ordered subquery PER OUTER
+    // ROW; the rewrite makes it one pass however many outer rows exist.
+    "sql_lateral" -> ((s, d) => {
+      region(s, d).createOrReplaceTempView("g_region")
+      nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""
+        SELECT r_name, n_name, n_nationkey
+        FROM g_region, LATERAL (
+          SELECT n_name, n_nationkey FROM g_nation
+          WHERE n_regionkey = r_regionkey
+          ORDER BY n_name LIMIT 2) t
+        ORDER BY r_name, n_name""")
+    }),
+
     // ---- projection / filter ---------------------------------------------
     // σ+π with both pushed into the parquet scan (PushedFilters on
     // l_quantity; ReadSchema = 4 columns). Reference equivalent: the arity
@@ -691,6 +708,38 @@ object Relational {
         .orderBy(asc_nulls_first("l_returnflag"),
                  asc_nulls_first("l_linestatus"))),
 
+    // grouping() / grouping_id() flags on a rollup: the ONLY robust way
+    // to tell "NULL because this row is a subtotal" from "NULL in the
+    // data" — consumers keying on the value alone mis-bin real NULLs
+    // into totals. gid = 2·g1 + g2 is computed the same way in the
+    // oracle (DuckDB's GROUPING bitmask argument order is left explicit).
+    "agg_grouping_id" -> ((s, d) =>
+      orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          (grouping(col("o_orderstatus")).cast("int") * 2
+            + grouping(col("o_orderpriority")).cast("int")).as("gid"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+                 asc_nulls_first("o_orderpriority"))),
+
+    // UNPIVOT (melt): wide per-group metrics reshaped to (group, metric,
+    // value) rows — the long form every generic metrics sink/plotter
+    // wants. Spark's unpivot is a Generate (row-expansion) node, not a
+    // shuffle: k metric columns → k rows per input row, map-only after
+    // the aggregation that built the wide relation.
+    "agg_unpivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")),
+
     "agg_cube" -> ((s, d) =>
       lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -930,6 +979,13 @@ object Relational {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    "sql_lateral" ->
+      """SELECT r_name, n_name, n_nationkey
+        |FROM region, LATERAL (
+        |  SELECT n_name, n_nationkey FROM nation
+        |  WHERE n_regionkey = r_regionkey
+        |  ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin,
     "sql_recursive" ->
       """WITH RECURSIVE eb AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
@@ -1046,6 +1102,30 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  CAST(2 * GROUPING(o_orderstatus)
+        |    + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(avg(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'avg_disc', avg_disc FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

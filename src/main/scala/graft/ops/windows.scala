@@ -137,6 +137,20 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // NTILE quartiles per segment — the rank-based bucketing a feature
+    // pipeline uses for quantile binning without computing quantiles
+    // (equal-COUNT buckets, earlier buckets absorb the remainder — both
+    // engines share the ANSI definition). Total order (balance, key)
+    // makes the bucket assignment deterministic under balance ties.
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("bal_quartile"))
+        .orderBy("c_custkey")
+    }),
+
     // SCD-2 validity intervals (slowly-changing-dimension type 2): each
     // order becomes a version row [eff_from, eff_to) per customer, closed
     // by the NEXT version's start via lead(); the open current version
@@ -251,6 +265,11 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "win_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bal_quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "win_scd2" ->
       """SELECT o_custkey, o_orderkey,
         |  o_orderdate AS eff_from,
