@@ -572,6 +572,21 @@ object Relational {
           regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
         .orderBy("l_returnflag")),
 
+    // Higher central moments per group: POPULATION skewness and excess
+    // kurtosis (Spark's definitions — m₃/m₂^1.5 and m₄/m₂²−3). DuckDB's
+    // skewness/kurtosis builtins apply SAMPLE bias corrections, so the
+    // oracle re-derives the population forms from raw moments
+    // (E[x],E[x²],E[x³],E[x⁴]) — algebraically identical, and the
+    // l_quantity range (1..50) keeps the raw-moment cancellation far
+    // from double-precision trouble. Single-pass mergeable state like
+    // the rest of the stats family.
+    "agg_skew_kurt" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg((round(skewness(col("l_quantity")), 6) + 0.0).as("qty_skew"),
+          (round(kurtosis(col("l_quantity")), 6) + 0.0).as("qty_kurt"))
+        .orderBy("l_returnflag")),
+
     // Shannon entropy of the language mix per source — the corpus-balance
     // diagnostic a training-data pipeline reads before sampling weights.
     // Two stacked partial-agged groupBys (domain-bounded shuffle keys,
@@ -1046,6 +1061,25 @@ object Relational {
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    avg(l_quantity) AS m1,
+        |    avg(l_quantity * l_quantity) AS r2,
+        |    avg(l_quantity * l_quantity * l_quantity) AS r3,
+        |    avg(l_quantity * l_quantity * l_quantity * l_quantity) AS r4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag,
+        |    r2 - m1 * m1 AS m2,
+        |    r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+        |    r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+        |      - 3 * m1 * m1 * m1 * m1 AS m4
+        |  FROM m)
+        |SELECT l_returnflag,
+        |  round(m3 / pow(m2, 1.5), 6) + 0.0 AS qty_skew,
+        |  round(m4 / (m2 * m2) - 3, 6) + 0.0 AS qty_kurt
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "agg_entropy" ->
       """WITH c AS (
         |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
