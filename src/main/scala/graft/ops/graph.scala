@@ -127,13 +127,12 @@ object Graph {
     * so no redistribution term is needed and total mass is preserved
     * exactly: Σ pr′ = 0.15·n + 0.85·Σ pr (GraphSpec pins this law).
     *
-    * One shuffle per iteration: the degree-annotated edges are cached
-    * pre-partitioned on `src`, and each iteration's rank relation is
-    * *already* partitioned on `node` (it is the previous groupBy's
-    * output), so the join aligns without an exchange and only the
-    * contribution groupBy shuffles. (AQE may coalesce the rank side's
-    * partitions at small scale and re-introduce an exchange; at scale the
-    * partition counts align.)
+    * The degree-annotated edges are cached pre-partitioned on `src`; the
+    * per-iteration data movement is the contribution groupBy plus the
+    * small re-key join (the rank relation is the deg⟕contribs join
+    * output, re-keyed on the full source-node set — see the iteration
+    * body). The edge relation itself never crosses the wire after the
+    * cache materializes; only rank-sized relations move.
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     // Persisted: the degree groupBy, the degree-attach join, and the r0
@@ -198,9 +197,9 @@ object Graph {
         |FROM p e1 JOIN p e2 ON e2.u = e1.v
         |          JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "graph_pagerank" ->
-      """WITH eb AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
-        |edges AS (SELECT p AS src, 1000000000 + sk AS dst FROM eb
-        |          UNION ALL SELECT 1000000000 + sk, p FROM eb),
+      s"""WITH eb AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |edges AS (SELECT p AS src, $SuppOffset + sk AS dst FROM eb
+        |          UNION ALL SELECT $SuppOffset + sk, p FROM eb),
         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
         |ce AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
         |r0 AS (SELECT src AS node, 1.0 AS pr FROM deg),

@@ -1002,14 +1002,14 @@ object Relational {
         |  ORDER BY n_name LIMIT 2) t
         |ORDER BY r_name, n_name""".stripMargin,
     "sql_recursive" ->
-      """WITH RECURSIVE eb AS (
+      s"""WITH RECURSIVE eb AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
         |edges AS (
-        |  SELECT p AS src, 1000000000 + sk AS dst FROM eb
+        |  SELECT p AS src, ${Graph.SuppOffset} + sk AS dst FROM eb
         |  UNION ALL
-        |  SELECT 1000000000 + sk AS src, p AS dst FROM eb),
+        |  SELECT ${Graph.SuppOffset} + sk AS src, p AS dst FROM eb),
         |walk(node, depth) AS (
-        |  SELECT CAST(1000000001 AS BIGINT) AS node, 0 AS depth
+        |  SELECT CAST(${Graph.SuppOffset + 1} AS BIGINT) AS node, 0 AS depth
         |  UNION ALL
         |  SELECT e.dst, w.depth + 1
         |  FROM walk w JOIN edges e ON e.src = w.node

@@ -1280,12 +1280,14 @@ object Text {
         |pi AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
         |       FROM e x JOIN e y
         |         ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT pi.a, pi.b,
-        |  round(pi.ni::DOUBLE / least(sa.n, sb.n), 4) AS containment
-        |FROM pi JOIN sz sa ON sa.doc_id = pi.a
-        |        JOIN sz sb ON sb.doc_id = pi.b
-        |WHERE pi.ni::DOUBLE / least(sa.n, sb.n) >= 0.8
+        |       GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT pi.a, pi.b,
+        |    round(pi.ni::DOUBLE / least(sa.n, sb.n), 4) AS containment
+        |  FROM pi JOIN sz sa ON sa.doc_id = pi.a
+        |          JOIN sz sb ON sb.doc_id = pi.b)
+        |SELECT a, b, containment FROM sc
+        |WHERE containment >= 0.8
         |ORDER BY a, b""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t

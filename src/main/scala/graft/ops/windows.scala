@@ -144,7 +144,7 @@ object Windows {
     // makes the bucket assignment deterministic under balance ties.
     "win_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .orderBy(asc_nulls_first("c_acctbal"), col("c_custkey"))
       customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"),
           ntile(4).over(w).as("bal_quartile"))
@@ -268,7 +268,8 @@ object Windows {
     "win_ntile" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
-        |    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bal_quartile
+        |    ORDER BY c_acctbal ASC NULLS FIRST, c_custkey)
+        |    AS INTEGER) AS bal_quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "win_scd2" ->
       """SELECT o_custkey, o_orderkey,
