@@ -572,6 +572,28 @@ object Relational {
           regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
         .orderBy("l_returnflag")),
 
+    // Time-bucket RESAMPLING to OHLC bars (the classic metric/tick
+    // downsampler): hourly open/high/low/close/count over the event
+    // stream. open/close are min_by/max_by over the (ts, event_id)
+    // struct — single-pass mergeable aggregates, so the whole bar
+    // computes map-side-partial like any sum (no window, no sort); the
+    // tie-break key makes bars deterministic when two events share a
+    // timestamp. Values are picked, not computed — no rounding needed
+    // for cross-engine parity. Shuffle key = bucket count (bounded by
+    // the retention window), never event count.
+    "agg_resample_ohlc" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bar_ts"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("open_v"),
+          max(col("value")).as("high_v"),
+          min(col("value")).as("low_v"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close_v"),
+          count(lit(1)).as("n_events"))
+        .orderBy("bar_ts")),
+
     // Higher central moments per group: POPULATION skewness and excess
     // kurtosis (Spark's definitions — m₃/m₂^1.5 and m₄/m₂²−3). DuckDB's
     // skewness/kurtosis builtins apply SAMPLE bias corrections, so the
@@ -1061,6 +1083,24 @@ object Relational {
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT bar_ts, value,
+        |    row_number() OVER (PARTITION BY bar_ts
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY bar_ts
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT bar_ts,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+        |  max(value) AS high_v,
+        |  min(value) AS low_v,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+        |  count(*) AS n_events
+        |FROM r GROUP BY bar_ts ORDER BY bar_ts""".stripMargin,
     "agg_skew_kurt" ->
       """WITH m AS (
         |  SELECT l_returnflag,
