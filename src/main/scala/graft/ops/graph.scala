@@ -172,6 +172,48 @@ object Graph {
     ranks
   }
 
+  /** Multi-source unweighted shortest paths (BFS hop counts) to `maxHops`.
+    *
+    * Frontier iteration: each step expands only the nodes discovered in
+    * the PREVIOUS step and anti-joins the visited set, so every node is
+    * settled exactly once at its minimum depth and per-step work is
+    * O(frontier ⋈ edges) — the scalable dual of `sql_recursive`'s
+    * recursive CTE, whose UNION-ALL walk enumerates PATHS (combinatorial
+    * on dense graphs; capped at depth 2 for that reason) where this
+    * enumerates NODES. The edge relation is cached pre-partitioned on
+    * `src`; frontiers are rank-sized relations keyed the same way, so
+    * each step is one co-partitioned join + one distinct shuffle. Visited
+    * sets are re-persisted per step and the stale handle dropped, exactly
+    * like dedup_clusters' iterative cache rotation (caches.scala).
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int): DataFrame = {
+    val e = InternalCaches.persistTracked(
+      edges.repartition(col("src")), eager = true)
+    var visited = InternalCaches.persistTracked(
+      seeds.select(col("node"), lit(0).as("hops")), eager = true)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      // Aliases, not Dataset column refs: after the first step every
+      // relation here shares lineage with `e`, and unqualified refs trip
+      // the ambiguous-self-join detector.
+      val next = InternalCaches.persistTracked(
+        frontier.as("f").join(e.as("g"), col("f.node") === col("g.src"))
+          .select(col("g.dst").as("node")).distinct()
+          .as("x")
+          .join(visited.as("v"), col("x.node") === col("v.node"),
+            "left_anti")
+          .withColumn("hops", lit(h)),
+        eager = true)
+      val grown = InternalCaches.persistTracked(
+        visited.union(next), eager = true)
+      visited.unpersist()
+      visited = grown
+      frontier = next
+    }
+    visited
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact triangle count of the co-purchase graph. The count is the
     // whole answer (one row), so the oracle's naive 3-way self-join and
@@ -184,6 +226,18 @@ object Graph {
     "graph_pagerank" -> ((s, d) => {
       pagerank(partSupplierEdges(s, d), 3)
         .select(col("node"), round(col("pr"), 4).as("pr"))
+        .orderBy("node")
+    }),
+
+    // BFS hop counts from part nodes {1,2,3} over the part↔supplier
+    // graph, 3 hops. The oracle's recursive CTE dedups (node, depth)
+    // states with UNION (path enumeration would explode on this dense
+    // bipartite graph even at oracle scale); min(depth) then equals the
+    // frontier BFS's first-visit depth by construction.
+    "graph_shortest_path" -> ((s, d) => {
+      import s.implicits._
+      val seeds = Seq(1L, 2L, 3L).toDF("node")
+      shortestPaths(partSupplierEdges(s, d), seeds, 3)
         .orderBy("node")
     }))
 
@@ -209,5 +263,21 @@ object Graph {
         |       FROM ce JOIN r1 r ON r.node = ce.src GROUP BY ce.dst),
         |r3 AS (SELECT ce.dst AS node, 0.15 + 0.85 * sum(r.pr / ce.d) AS pr
         |       FROM ce JOIN r2 r ON r.node = ce.src GROUP BY ce.dst)
-        |SELECT node, round(pr, 4) AS pr FROM r3 ORDER BY node""".stripMargin)
+        |SELECT node, round(pr, 4) AS pr FROM r3 ORDER BY node""".stripMargin,
+    "graph_shortest_path" ->
+      s"""WITH RECURSIVE eb AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |edges AS (
+        |  SELECT p AS src, $SuppOffset + sk AS dst FROM eb
+        |  UNION ALL
+        |  SELECT $SuppOffset + sk AS src, p AS dst FROM eb),
+        |walk(node, depth) AS (
+        |  SELECT CAST(v AS BIGINT) AS node, 0 AS depth
+        |  FROM (VALUES (1), (2), (3)) t(v)
+        |  UNION
+        |  SELECT e.dst, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.depth < 3)
+        |SELECT node, CAST(min(depth) AS INTEGER) AS hops
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin)
 }

@@ -358,6 +358,37 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // Bloom-prefiltered join (the runtime-filter / semi-join-reduction
+    // pattern): the dim side's join keys fold into an 8 KiB bitset
+    // (expr/bloom.scala), broadcast as one row; the fact side is filtered
+    // by the codegen'd might-contain predicate BEFORE its join — at
+    // 100 TB the fact shuffle carries only the ~matching slice instead of
+    // the whole table, and the bitset broadcast is O(1) however large the
+    // dim grows (vs broadcasting the dim itself). The exact equi-join
+    // after the prefilter removes bloom false positives, so the composed
+    // result is bit-identical to the plain join (the oracle IS the plain
+    // join). DECIMAL-exact revenue like sql_correlated — summation order
+    // must not leak into the hash compare.
+    "join_bloom_prefilter" -> ((s, d) => {
+      val dim = supplier(s, d)
+        .join(nation(s, d).filter(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val bloomAgg = udaf(graft.expr.BloomFilter.agg)
+      val bloom = dim.agg(bloomAgg(col("s_suppkey")).as("bf"))
+      lineitem(s, d)
+        .crossJoin(broadcast(bloom))
+        .filter(graft.expr.BloomFilter.mightContain(col("bf"),
+          col("l_suppkey")))
+        .drop("bf")
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- aggregations -----------------------------------------------------
     // Flagship (SURVEY.md §2.2): grouped MAX + ordered presentation — the
     // reference's entire example job (mapper.py + reducer.py + READ sort).
@@ -608,6 +639,50 @@ object Relational {
         .agg((round(skewness(col("l_quantity")), 6) + 0.0).as("qty_skew"),
           (round(kurtosis(col("l_quantity")), 6) + 0.0).as("qty_kurt"))
         .orderBy("l_returnflag")),
+
+    // Cohort RETENTION matrix: users bucketed by first-activity week,
+    // counted at each later active week offset — the growth-analytics
+    // readout, and the canonical "two-level temporal rollup". Shape: one
+    // groupBy for first-touch, one distinct for activity, one join on the
+    // entity key (user-partitioned — broadcastable while the user dim
+    // fits, hash-colocated beyond), then a bounded-key groupBy (weeks ×
+    // offsets, never user count). Offsets are exact multiples of 7 days
+    // by construction (both engines truncate weeks to Monday), so the
+    // integer division is drift-free.
+    "agg_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val firsts = ev.groupBy("user_id").agg(min(col("w")).as("cohort"))
+      val active = ev.distinct()
+      active.join(firsts, "user_id")
+        .select(to_date(col("cohort")).as("cohort_week"),
+          (datediff(col("w"), col("cohort")) / 7).cast("int")
+            .as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Exponentially time-decayed sum per event type: each observation
+    // weighted by exp(-age/τ) against a fixed anchor instant (τ = 7 days
+    // — the recency weighting feature pipelines use for engagement
+    // scores). A plain mergeable sum — the decay is a per-row scalar, so
+    // the aggregate stays map-side-partial and the shuffle key is the
+    // type domain, not the event count. Age is computed in exact integer
+    // micros before the one float op; round(,4) absorbs summation-order
+    // drift.
+    "agg_decay" -> ((s, d) => {
+      val anchorUs = lit(1706745600000000L) // 2024-02-01 00:00:00 UTC
+      val tauUs = lit(7.0 * 24 * 3600 * 1000000) // 7 days in micros
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(sum(col("value")
+            * exp(-(anchorUs - unix_micros(col("ts"))) / tauUs)), 4)
+            .as("decayed_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
 
     // Shannon entropy of the language mix per source — the corpus-balance
     // diagnostic a training-data pipeline reads before sampling weights.
@@ -968,6 +1043,16 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_bloom_prefilter" ->
+      """SELECT s_suppkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "agg_groupby_max" ->
       """SELECT l_returnflag, round(max(l_extendedprice), 4) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -1120,6 +1205,24 @@ object Relational {
         |  round(m3 / pow(m2, 1.5), 6) + 0.0 AS qty_skew,
         |  round(m4 / (m2 * m2) - 3, 6) + 0.0 AS qty_kurt
         |FROM c ORDER BY l_returnflag""".stripMargin,
+    "agg_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort FROM ev GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, w FROM ev)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', f.cohort, a.w) // 7 AS INTEGER)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_decay" ->
+      """SELECT event_type,
+        |  round(sum(value
+        |    * exp(-(1706745600000000 - epoch_us(ts)) / 604800000000.0)),
+        |    4) AS decayed_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_entropy" ->
       """WITH c AS (
         |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)

@@ -189,6 +189,55 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Time-series gap filling: densify each user's metric stream onto an
+    // hourly grid between that user's first and last active hour, then
+    // forward-fill the last observed value across the gaps (`last` with
+    // ignoreNulls over a running frame — the streaming-scan fill, one
+    // exchange on the entity key). The grid is generated per entity with
+    // `sequence(lo, hi, 1 hour)` — grid size is bounded by each entity's
+    // own time span, never by the global corpus span, so a 100 TB corpus
+    // of short-lived entities stays linear. `observed` marks real hours
+    // so downstream consumers can distinguish carried values.
+    "win_gap_fill" -> ((s, d) => {
+      val perHour = events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(sum(col("value")), 4).as("v"))
+      val grid = perHour.groupBy("user_id")
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+            .as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perHour, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          col("v").isNotNull.as("observed"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+        .orderBy("user_id", "h")
+    }),
+
+    // Conditional running total with reset: per user, the value sum since
+    // the most recent 'purchase' event (inclusive — the purchase opens its
+    // own segment). Two stacked windows: a running conditional count
+    // assigns the segment id, then the sum windows over (user, segment).
+    // The second window's partition key is a SUPERSET of the first's, so
+    // hash(user_id) already satisfies its clustering — one exchange total,
+    // the second window adds only a sort (no re-shuffle at any scale).
+    "win_cumsum_reset" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seg = sum(when(col("event_type") === "purchase", 1).otherwise(0))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val segW = Window.partitionBy(col("user_id"), col("seg"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("seg", seg)
+        .select(col("event_id"), col("user_id"), col("seg"),
+          round(sum(col("value")).over(segW), 4).as("run_since_purchase"))
+        .orderBy("event_id")
+    }),
+
     // lag/lead: inter-event deltas per user in microseconds (exact integer
     // arithmetic — no float drift between engines).
     "win_lag_lead" -> ((s, d) => {
@@ -285,6 +334,36 @@ object Windows {
         |  round(median(value) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) + 0.0 AS mov_med
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_gap_fill" ->
+      """WITH ph AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+        |           FROM ph GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |         FROM bounds)
+        |SELECT g.user_id, g.h, ph.v IS NOT NULL AS observed,
+        |  last_value(ph.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+        |FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.h = g.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
+    "win_cumsum_reset" ->
+      """SELECT event_id, user_id, seg,
+        |  round(sum(value) OVER (PARTITION BY user_id, seg
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS run_since_purchase
+        |FROM (
+        |  SELECT *, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                          ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS seg
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin
   )
 }

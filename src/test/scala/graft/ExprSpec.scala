@@ -210,6 +210,48 @@ class ExprSpec extends SparkSpec {
     assert(rows("CODEGEN_ONLY") == rows("NO_CODEGEN"))
   }
 
+  test("BloomFilter: no false negatives, bounded false positives, and the " +
+    "prefilter actually prunes") {
+    import spark.implicits._
+    import graft.expr.BloomFilter
+    // Build over every supplier key; the JVM build side and the Column
+    // probe side share the position contract — any drift shows up as a
+    // false NEGATIVE, which the bloom definition forbids.
+    val keys = Tables.supplier(spark, sfDir).select(col("s_suppkey"))
+    val bloomAgg = udaf(BloomFilter.agg)
+    val bloom = keys.agg(bloomAgg(col("s_suppkey")).as("bf"))
+    val misses = keys.crossJoin(broadcast(bloom))
+      .filter(!BloomFilter.mightContain(col("bf"), col("s_suppkey")))
+      .count()
+    assert(misses == 0, s"$misses inserted keys failed the probe")
+    // FP sanity on a disjoint key range: with n ≈ 100 keys in M = 65536
+    // bits the expected FP rate is ~1e-7, so 100k foreign probes should
+    // see at most a handful — 100 is a 1000× margin, catching only
+    // gross contract breakage (e.g. a degenerate step of 0).
+    val foreign = spark.range(1000000L, 1100000L).toDF("k")
+    val fps = foreign.crossJoin(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bf"), col("k")))
+      .count()
+    assert(fps < 100, s"$fps false positives in 100k foreign probes")
+    // And the operator's prefilter law: survivors of the bloom cut equal
+    // the exact semi-join slice plus those (few) false positives.
+    val dimKeys = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val dimBloom = dimKeys.agg(bloomAgg(col("s_suppkey")).as("bf"))
+    val fact = Tables.lineitem(spark, sfDir)
+    val survivors = fact.crossJoin(broadcast(dimBloom))
+      .filter(BloomFilter.mightContain(col("bf"), col("l_suppkey")))
+      .count()
+    val exact = fact.join(dimKeys, col("l_suppkey") === col("s_suppkey"),
+      "left_semi").count()
+    val factN = fact.count()
+    assert(survivors >= exact, "bloom dropped a true match")
+    assert(survivors < factN / 2,
+      s"prefilter kept $survivors of $factN rows — not pruning")
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into the fused expression") {
     graft.expr.GraftOptimizations.install(spark)
     val df = vecsDf.select(

@@ -77,6 +77,26 @@ class GraphSpec extends SparkSpec {
     InternalCaches.unpersistAll()
   }
 
+  test("shortestPaths: chain hops, unreachable nodes absent, min over " +
+    "multiple paths, multi-source takes the nearer seed") {
+    // Chain 1→2→3→4→5 plus shortcut 1→4: hops(4) = 1 (min over the
+    // 3-hop chain path), hops(5) = 2; 6→7 is a separate component —
+    // never reached, absent from the result.
+    val g = directed((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (6L, 7L))
+    val seeds = Seq(1L).toDF("node")
+    val got = ops.Graph.shortestPaths(g, seeds, 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+    InternalCaches.unpersistAll()
+
+    // Two seeds: each node settles at distance to its NEAREST seed.
+    val multi = ops.Graph.shortestPaths(g, Seq(1L, 6L).toDF("node"), 4)
+      .as[(Long, Int)].collect().toMap
+    assert(multi(6L) === 0 && multi(7L) === 1 && multi(5L) === 2)
+    InternalCaches.unpersistAll()
+  }
+
   test("graph_triangles query matches the naive canonical 3-way join at sf0.001") {
     val oriented = ops.Graph.queries("graph_triangles")(spark, sfDir)
       .as[Long].head()
