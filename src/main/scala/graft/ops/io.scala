@@ -117,6 +117,43 @@ object IO {
         .orderBy("r_regionkey")
     }),
 
+    // Robust ingest: a CSV batch polluted with malformed rows (bad
+    // numeric field, wrong arity, empty garbage) read in PERMISSIVE mode
+    // — the 100 TB ingest reality that a crawl batch is never clean and
+    // one bad line must quarantine itself into the declared corrupt-
+    // record column, not kill the job. The query reports the good/bad
+    // split plus an aggregate over the CLEAN slice, so the oracle checks
+    // that quarantining neither drops nor corrupts good rows.
+    "scan_csv_malformed" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "badcsv")
+      nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").csv(dir)
+      Seq("not_a_number,NATION_X,9",
+          "1,EXTRA,2,surplus,columns",
+          ",,,,").toDF("value")
+        .coalesce(1).write.mode("append").text(dir)
+      val raw = s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT, " +
+          "_bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(dir)
+      // Every schema column is referenced ON PURPOSE: the CSV parser
+      // prunes to the referenced columns, and a pruned parse skips
+      // validation of the unread ones — a surplus-arity row whose FIRST
+      // field parses would silently count as clean if the aggregate only
+      // touched that field. Full-schema reference ⇒ full-row validation.
+      raw.agg(
+        count(when(col("_bad").isNull, 1)).as("n_good"),
+        count(col("_bad")).as("n_bad"),
+        sum(when(col("_bad").isNull, col("n_nationkey"))).as("key_sum"),
+        sum(when(col("_bad").isNull, length(col("n_name"))))
+          .as("name_chars"),
+        sum(when(col("_bad").isNull, col("n_regionkey"))).as("region_sum"))
+    }),
+
     // Columnar sink + scan-back: the engine's durable egress format.
     // Schema EVOLUTION across ingest batches — the lake reality that a
     // day-2 producer adds a column: batch b=1 writes the original two
@@ -366,6 +403,16 @@ object IO {
     // scan_text: rows-only (engine-local file, ✂).
     "scan_csv_schema" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    // scan_csv_malformed: the 3 planted bad lines are the operator's own
+    // fixture (not sfDir data), so the oracle pins their count as a
+    // constant and re-derives the clean-slice aggregates from the source
+    // table the good rows came from.
+    "scan_csv_malformed" ->
+      """SELECT count(*) AS n_good, CAST(3 AS BIGINT) AS n_bad,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(length(n_name)) AS BIGINT) AS name_chars,
+        |  CAST(sum(n_regionkey) AS BIGINT) AS region_sum
+        |FROM nation""".stripMargin,
     "sink_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_schema_evolution" ->

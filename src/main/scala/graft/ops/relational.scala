@@ -640,6 +640,25 @@ object Relational {
           (round(kurtosis(col("l_quantity")), 6) + 0.0).as("qty_kurt"))
         .orderBy("l_returnflag")),
 
+    // ANSI filtered aggregates: conditional counts/sums and boolean
+    // aggregates in ONE grouped pass (count_if / FILTER-style conditional
+    // sum / every / bool_or) — the profile query that otherwise spawns k
+    // separate scans. All single-pass mergeable; the conditional sum uses
+    // `when` without otherwise (null is skipped by sum), exactly SQL's
+    // FILTER (WHERE ...) semantics. DECIMAL-exact sum — summation order
+    // must not leak into the hash compare.
+    "agg_filtered" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_big"),
+          round(sum(when(col("l_discount") > 0.05,
+            col("l_extendedprice").cast("decimal(18,4)"))), 2)
+            .cast("double").as("disc_price"),
+          every(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_tax") > 0.07).as("any_hi_tax"))
+        .orderBy("l_returnflag")),
+
     // Cohort RETENTION matrix: users bucketed by first-activity week,
     // counted at each later active week offset — the growth-analytics
     // readout, and the canonical "two-level temporal rollup". Shape: one
@@ -1205,6 +1224,15 @@ object Relational {
         |  round(m3 / pow(m2, 1.5), 6) + 0.0 AS qty_skew,
         |  round(m4 / (m2 * m2) - 3, 6) + 0.0 AS qty_kurt
         |FROM c ORDER BY l_returnflag""".stripMargin,
+    "agg_filtered" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE) AS disc_price,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_tax > 0.07) AS any_hi_tax
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_retention" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('week', ts) AS w FROM events),

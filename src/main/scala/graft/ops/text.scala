@@ -685,6 +685,33 @@ object Text {
             / size(col("t")), 4).as("chars_per_tok"))
         .orderBy("doc_id")),
 
+    // Context-window CHUNKING: slice each document's token stream into
+    // overlapping windows (width 64, stride 48 → 16-token overlap) tagged
+    // (doc_id, chunk_id, n_tok, text) — how long documents become
+    // training/retrieval units under a fixed context budget. Pure per-row
+    // explode: no shuffle at all until the presentation sort, and chunk
+    // count is ⌈tokens/stride⌉ per doc, so output scales with corpus
+    // token count regardless of document-length skew. Final-window
+    // semantics: windows START at every stride offset < n (the last ones
+    // may be short) — the stride grid, not a drop-last policy.
+    "text_chunk_windows" -> ((s, d) => {
+      val width = 64
+      val stride = 48
+      val nz = filter(toks, t => length(t) > 0)
+      documents(s, d)
+        .select(col("doc_id"), nz.as("tk"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
+            lit(stride))).as(Seq("chunk_id", "start")),
+          col("tk"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("tk"), col("start") + 1, lit(width)).as("w"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("w")).as("n_tok"),
+          array_join(col("w"), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // End-to-end corpus cleaning (near-dup drop → quality gate →
     // per-language stats) — see [[cleanCorpus]] for the full story.
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
@@ -1204,6 +1231,19 @@ object Text {
         |        + (len(list_distinct(t))::DOUBLE / len(t)) * 0.5, 4) AS score
         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "text_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(0, greatest(len(tk) - 1, 0), 48)) AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_id,
+        |  CAST(len(list_slice(tk, s + 1, s + 64)) AS INTEGER) AS n_tok,
+        |  array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(t) AS INTEGER) AS n_ws,

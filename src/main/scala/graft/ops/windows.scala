@@ -238,6 +238,29 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Batch sessionization: tag every event with its session ORDINAL per
+    // user (30-minute inactivity gap) — the per-event twin of
+    // stream_session's per-session aggregate, and the id a feature
+    // pipeline joins on. Gaps-and-islands: a lag-based new-session flag,
+    // then a running sum of flags. Both windows share the user partition
+    // key, so it is one exchange + one sort; gap arithmetic in exact
+    // integer micros.
+    "win_sessionize" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prevTs = lag(col("ts"), 1).over(ord)
+      val newSess = when(prevTs.isNull
+        || unix_micros(col("ts")) - unix_micros(prevTs) > 1800000000L, 1)
+        .otherwise(0)
+      val run = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      events(s, d)
+        .withColumn("new_sess", newSess)
+        .select(col("event_id"), col("user_id"),
+          sum(col("new_sess")).over(run).as("session_no"))
+        .orderBy("event_id")
+    }),
+
     // lag/lead: inter-event deltas per user in microseconds (exact integer
     // arithmetic — no float drift between engines).
     "win_lag_lead" -> ((s, d) => {
@@ -351,6 +374,19 @@ object Windows {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
         |FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.h = g.h
         |ORDER BY g.user_id, g.h""".stripMargin,
+    "win_sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_no
+        |FROM (
+        |  SELECT *, CASE WHEN lag(ts, 1) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |ORDER BY event_id""".stripMargin,
     "win_cumsum_reset" ->
       """SELECT event_id, user_id, seg,
         |  round(sum(value) OVER (PARTITION BY user_id, seg
