@@ -196,7 +196,11 @@ object Graph {
     for (h <- 1 to maxHops) {
       // Aliases, not Dataset column refs: after the first step every
       // relation here shares lineage with `e`, and unqualified refs trip
-      // the ambiguous-self-join detector.
+      // the ambiguous-self-join detector. Only the per-step FRONTIER is
+      // persisted (eagerly — it feeds three branches: the anti-join,
+      // the next expansion, and the result union); `visited` stays a
+      // shallow union over the already-cached frontiers, so each step
+      // costs one materialization, not two.
       val next = InternalCaches.persistTracked(
         frontier.as("f").join(e.as("g"), col("f.node") === col("g.src"))
           .select(col("g.dst").as("node")).distinct()
@@ -205,10 +209,7 @@ object Graph {
             "left_anti")
           .withColumn("hops", lit(h)),
         eager = true)
-      val grown = InternalCaches.persistTracked(
-        visited.union(next), eager = true)
-      visited.unpersist()
-      visited = grown
+      visited = visited.union(next)
       frontier = next
     }
     visited

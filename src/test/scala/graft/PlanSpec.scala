@@ -613,6 +613,58 @@ class PlanSpec extends SparkSpec {
     } finally InternalCaches.unpersistAll()
   }
 
+  test("win_cumsum_reset and win_sessionize ride ONE hash exchange " +
+    "(stacked windows share the entity clustering)") {
+    // The second window's partition key is a superset of the first's
+    // (user_id, seg) ⊇ (user_id), so hash(user_id) already satisfies its
+    // clustering — a second hash exchange is the regression this pins.
+    // The presentation orderBy adds one RANGE exchange on top.
+    for (q <- Seq("win_cumsum_reset", "win_sessionize")) {
+      val shuffles = collectAll(finalPlan(q)) {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.size <= 2 && shuffles.nonEmpty,
+        s"$q: expected 1 window shuffle + 1 sort, got ${shuffles.size}:\n" +
+          s"${finalPlan(q)}")
+    }
+  }
+
+  test("join_bloom_prefilter: the bloom cut runs on the scan side, " +
+    "before any fact exchange") {
+    val plan = finalPlan("join_bloom_prefilter")
+    // Catalyst fuses the probe predicate into the one-row broadcast
+    // cross join's condition — the only place a variable-distance
+    // shiftleft appears in this plan. The cut thus happens AT the BNLJ,
+    // directly above the fact scan.
+    val probes = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if j.condition.exists(_.toString.contains("shiftleft")) => j
+    }
+    assert(probes.nonEmpty, s"no bloom probe join in the plan:\n$plan")
+    // prefilter-before-shuffle: the STREAMED (fact) side below the probe
+    // must reach the scan with no exchange — the whole point is that the
+    // fact table is cut while still scan-partitioned, so later join/agg
+    // shuffles carry only the surviving slice. (The build side holds the
+    // bloom aggregate's own SinglePartition exchange — 1 row, exempt.)
+    probes.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      val below = collectAll(streamed) { case e: ShuffleExchangeLike => e }
+      assert(below.isEmpty,
+        s"bloom probe sits above a fact exchange — the cut came too late:\n$plan")
+    }
+    // executed selectivity: survivors ≤ half the fact table (at the spec
+    // sf the dim slice is empty, so the bloom rejects everything — the
+    // degenerate best case; equality with the plain join is the oracle's
+    // job, pruning is this pin's)
+    val survivors = probes.map(_.metrics("numOutputRows").value).min
+    val factN = Tables.lineitem(spark, sfDir).count()
+    assert(survivors <= factN / 2,
+      s"bloom kept $survivors of $factN fact rows — not pruning")
+  }
+
   test("agg_mode: two stacked partial+final aggregates, bounded shuffles") {
     // (group, value) count → per-group argmax → presentation sort: both
     // aggregate levels partial-combine map-side, so the plan holds at
