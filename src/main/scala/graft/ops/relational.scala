@@ -640,6 +640,32 @@ object Relational {
           (round(kurtosis(col("l_quantity")), 6) + 0.0).as("qty_kurt"))
         .orderBy("l_returnflag")),
 
+    // Quantile BINNING against GLOBAL cut points (the feature-engineering
+    // discretizer): exact quartile cuts of the price distribution, then
+    // every row assigned its bin by comparison — two passes, with the
+    // 3-value cut relation broadcast as one row (vs win_ntile's
+    // equal-count ranks, these are VALUE bins: reproducible boundaries a
+    // scorer can ship). Cuts are rounded to 6 decimals on both sides
+    // before comparing: the interpolation arithmetic differs by ulps
+    // between engines, and an unrounded cut could flip a `<` for a row
+    // sitting exactly on it.
+    "agg_quantile_bin" -> ((s, d) => {
+      val cuts = orders(s, d).agg(
+        expr("transform(percentile(o_totalprice, array(0.25, 0.5, 0.75))," +
+          " x -> round(x, 6))").as("q"))
+      orders(s, d).crossJoin(broadcast(cuts))
+        .select(col("o_totalprice"),
+          when(col("o_totalprice") < element_at(col("q"), 1), 0)
+            .when(col("o_totalprice") < element_at(col("q"), 2), 1)
+            .when(col("o_totalprice") < element_at(col("q"), 3), 2)
+            .otherwise(3).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bin")
+    }),
+
     // ANSI filtered aggregates: conditional counts/sums and boolean
     // aggregates in ONE grouped pass (count_if / FILTER-style conditional
     // sum / every / bool_or) — the profile query that otherwise spawns k
@@ -1224,6 +1250,17 @@ object Relational {
         |  round(m3 / pow(m2, 1.5), 6) + 0.0 AS qty_skew,
         |  round(m4 / (m2 * m2) - 3, 6) + 0.0 AS qty_kurt
         |FROM c ORDER BY l_returnflag""".stripMargin,
+    "agg_quantile_bin" ->
+      """WITH c AS (
+        |  SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+        |    round(quantile_cont(o_totalprice, 0.5), 6) AS q2,
+        |    round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+        |  FROM orders)
+        |SELECT CASE WHEN o_totalprice < q1 THEN 0
+        |            WHEN o_totalprice < q2 THEN 1
+        |            WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS bin,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders, c GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_filtered" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
