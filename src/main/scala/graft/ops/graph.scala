@@ -182,9 +182,13 @@ object Graph {
     * on dense graphs; capped at depth 2 for that reason) where this
     * enumerates NODES. The edge relation is cached pre-partitioned on
     * `src`; frontiers are rank-sized relations keyed the same way, so
-    * each step is one co-partitioned join + one distinct shuffle. Visited
-    * sets are re-persisted per step and the stale handle dropped, exactly
-    * like dedup_clusters' iterative cache rotation (caches.scala).
+    * each step is one co-partitioned join + one distinct shuffle. Only
+    * the per-step FRONTIER is persisted (it feeds three branches: the
+    * anti-join, the next expansion, and the result union); the visited
+    * set stays a shallow union over the already-cached frontiers, so a
+    * step costs one materialization. Entries live until the caller's
+    * [[graft.InternalCaches.unpersistAll]] — maxHops+2 cached relations,
+    * each frontier-sized.
     */
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
                     maxHops: Int): DataFrame = {
@@ -193,14 +197,12 @@ object Graph {
     var visited = InternalCaches.persistTracked(
       seeds.select(col("node"), lit(0).as("hops")), eager = true)
     var frontier = visited
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       // Aliases, not Dataset column refs: after the first step every
       // relation here shares lineage with `e`, and unqualified refs trip
-      // the ambiguous-self-join detector. Only the per-step FRONTIER is
-      // persisted (eagerly — it feeds three branches: the anti-join,
-      // the next expansion, and the result union); `visited` stays a
-      // shallow union over the already-cached frontiers, so each step
-      // costs one materialization, not two.
+      // the ambiguous-self-join detector.
       val next = InternalCaches.persistTracked(
         frontier.as("f").join(e.as("g"), col("f.node") === col("g.src"))
           .select(col("g.dst").as("node")).distinct()
@@ -209,8 +211,15 @@ object Graph {
             "left_anti")
           .withColumn("hops", lit(h)),
         eager = true)
-      visited = visited.union(next)
-      frontier = next
+      // Early exit on an exhausted frontier: the remaining hops would
+      // each still launch the full expansion pipeline over zero rows.
+      // isEmpty on the just-materialized cache entry is a limit-1 probe.
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next)
+        frontier = next
+      }
+      h += 1
     }
     visited
   }
