@@ -1061,7 +1061,85 @@ object Text {
           size(regexp_extract_all(col("raw"),
             lit("[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}"), lit(0)))
             .as("n_masked"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination — the test-set leakage check every
+    // training-data pipeline runs before a corpus ships: flag any corpus
+    // document sharing a verbatim 8-token n-gram with the held-out
+    // benchmark set (the standard published-eval hygiene contract; 8-13
+    // token windows are the common detection grain). Benchmark set here =
+    // every 53rd doc; to make contamination observable in the synthetic
+    // fixtures, a fixed 10-token sentinel passage is planted into every
+    // benchmark doc AND every 11th corpus doc (both sides of the oracle
+    // mirror the plant), so planted docs must surface with >= 3 full-
+    // sentinel gram hits on top of any organic re-crawl overlap.
+    // Scale shape: the benchmark gram set is SMALL by construction (real
+    // holdout suites are MBs against a 100 TB corpus) -> broadcast hash
+    // join, so the corpus never shuffles on the gram key; per-doc gram
+    // dedup is array_distinct (narrow, no shuffle); the only shuffle is
+    // the per-doc hit count (map-side combined, ~1 row per doc — explode
+    // keeps a doc's grams within one partition). At real scale the gram
+    // string would hash to 64 bits first; kept verbatim here so the
+    // oracle join is exact.
+    "text_contamination" -> ((s, d) => {
+      val sentinel =
+        " shared holdout passage alpha beta gamma delta epsilon zeta eta"
+      val docs = documents(s, d)
+        .withColumn("raw",
+          when(col("doc_id") % 53 === 0 || col("doc_id") % 11 === 0,
+            concat(col("text"), lit(sentinel)))
+            .otherwise(col("text")))
+        .withColumn("tf",
+          filter(split(col("raw"), " "), x => length(x) > 0))
+      // sequence(1, size-7) is DESCENDING when size < 8 — the when-guard
+      // is load-bearing, not cosmetic
+      val grams = graft.InternalCaches.persistTracked(
+        docs.select(col("doc_id"),
+          explode(array_distinct(
+            when(size(col("tf")) >= 8,
+              transform(sequence(lit(1), size(col("tf")) - 7),
+                i => array_join(slice(col("tf"), i, lit(8)), " ")))
+              .otherwise(array().cast("array<string>")))).as("g")),
+        eager = true)
+      val bench = grams.filter(col("doc_id") % 53 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 53 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain mixture audit — the sampling-weight bookkeeping behind
+    // data-mixture balancing: per source domain, doc/token totals, the
+    // domain's share of corpus tokens, and a temperature-scaled sampling
+    // weight w_i ∝ share^0.3 (the multinomial-rebalancing exponent family
+    // used to up-weight small domains). Two tiny aggregate-of-aggregate
+    // stages; each global total rides a broadcast single-row cross join
+    // (the tfidf pattern) rather than a one-task global window, so the
+    // plan is identical whether there are 20 domains or 20 million. The
+    // per-source aggregate is persisted: it feeds its own branch and both
+    // totals, and it is the only corpus-wide scan in the plan.
+    "text_domain_mix" -> ((s, d) => {
+      val perSrc = graft.InternalCaches.persistTracked(
+        tokenizedDocs(s, d)
+          .select(col("source"),
+            size(filter(col("t"), x => length(x) > 0)).cast("long")
+              .as("n_tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")),
+        eager = true)
+      val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
+      val sh = perSrc.join(broadcast(tot))
+        .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+        .withColumn("pw", pow(col("share"), lit(0.3)))
+      val wtot = sh.agg(sum(col("pw")).as("wtot"))
+      sh.join(broadcast(wtot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 6).as("tok_share"),
+          round(col("pw") / col("wtot"), 6).as("samp_weight"))
+        .orderBy("source")
+    })
   )
 
   private def stopList: String = EnStop.map("'" + _ + "'").mkString(", ")
@@ -1398,6 +1476,54 @@ object Text {
         |  CAST(len(regexp_extract_all(raw,
         |    '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}')) AS INTEGER)
         |    AS n_masked
-        |FROM corpus ORDER BY doc_id""".stripMargin
+        |FROM corpus ORDER BY doc_id""".stripMargin,
+    // 8-grams via an 8-row string_agg window over position-indexed
+    // tokens (w = 8 drops the ragged tail) — same plant, same benchmark
+    // partition, same distinct-per-doc gram sets as the engine.
+    "text_contamination" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 OR doc_id % 11 = 0 THEN text ||
+        |      ' shared holdout passage alpha beta gamma delta epsilon zeta eta'
+        |    ELSE text END AS raw
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(raw, ' '), x -> length(x) > 0) AS t
+        |  FROM corpus),
+        |idx AS (
+        |  SELECT doc_id, unnest(t) AS token,
+        |    generate_subscripts(t, 1) AS i FROM tok),
+        |grams AS (
+        |  SELECT doc_id,
+        |    string_agg(token, ' ') OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS g,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+        |  FROM idx),
+        |g8 AS (SELECT DISTINCT doc_id, g FROM grams WHERE w = 8),
+        |bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 53 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM g8 JOIN bench USING (g)
+        |WHERE doc_id % 53 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_domain_mix" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY source),
+        |sh AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens::DOUBLE / sum(n_tokens) OVER () AS share FROM agg)
+        |SELECT source, n_docs, n_tokens,
+        |  round(share, 6) AS tok_share,
+        |  round(pow(share, 0.3) / sum(pow(share, 0.3)) OVER (), 6)
+        |    AS samp_weight
+        |FROM sh ORDER BY source""".stripMargin
   )
 }

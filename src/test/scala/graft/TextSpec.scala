@@ -364,6 +364,43 @@ class TextSpec extends SparkSpec {
       "unpersist through the persisted handle must drop the entry")
   }
 
+  test("contamination law: planted docs all flagged >= 3 hits, benchmark never") {
+    import spark.implicits._
+    val got = SparkEntry.queries("text_contamination")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val ids = Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long].collect()
+    // every planted corpus doc carries the full 10-token sentinel ->
+    // at least its 3 whole-sentinel 8-grams match the benchmark side
+    val planted = ids.filter(i => i % 11 == 0 && i % 53 != 0)
+    planted.foreach { i =>
+      assert(got.contains(i), s"planted doc $i must be flagged")
+      assert(got(i) >= 3, s"planted doc $i must have >= 3 gram hits")
+    }
+    // benchmark docs are the probe set, never part of the audited corpus
+    ids.filter(_ % 53 == 0).foreach { i =>
+      assert(!got.contains(i), s"benchmark doc $i must not be audited")
+    }
+  }
+
+  test("domain mix law: weights normalize and preserve the share order") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_domain_mix")(spark, sfDir)
+      .select($"tok_share", $"samp_weight").as[(Double, Double)].collect()
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-4,
+      "token shares must sum to 1")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4,
+      "sampling weights must sum to 1")
+    // temperature 0.3 < 1 rebalances but never reorders: weight is a
+    // strictly monotone function of share
+    val byShare = rows.sortBy(_._1).map(_._2)
+    assert(byShare.sameElements(byShare.sorted),
+      "weight order must follow share order")
+    // and it genuinely up-weights the smallest domain vs proportional
+    val (minShare, minW) = rows.minBy(_._1)
+    assert(minW > minShare, "temperature scaling must up-weight small domains")
+  }
+
   test("dedup_exact keeps one representative per content group") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
