@@ -678,4 +678,51 @@ class PlanSpec extends SparkSpec {
     assert(partials >= 2,
       "both aggregate levels must plan a partial (map-side) phase")
   }
+
+  test("text_contamination: corpus probes a broadcast gram set, never shuffles on grams") {
+    // the 100 TB contract: the benchmark gram set is the small side by
+    // construction (holdout suites are MBs) — it broadcasts, the corpus
+    // gram stream probes it in place, and the only exchange left is the
+    // per-doc hit count (map-side combined). A sort-merge join here would
+    // shuffle the full corpus gram stream on a string key.
+    val plan = finalPlan("text_contamination")
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"gram join must be a BroadcastHashJoin:\n$plan")
+    val smj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "corpus grams must never sort-merge on the gram key")
+    // the corpus (streamed) side must reach the probe without an exchange
+    // — the benchmark side's distinct may shuffle, but that relation is
+    // benchmark-sized, not corpus-sized
+    bhj.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      val below = collectAll(streamed) { case e: ShuffleExchangeLike => e }
+      assert(below.isEmpty,
+        s"corpus gram stream must probe in place, not shuffle:\n$plan")
+    }
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 3,
+      s"expected <=3 exchanges (bench distinct + hit count + presentation), got ${shuffles.size}:\n$plan")
+  }
+
+  test("text_domain_mix: global totals via broadcast, no one-task window") {
+    // both normalizations (token share, weight sum) must ride broadcast
+    // single-row joins — a Window over an empty partitionBy would funnel
+    // every domain row through ONE task, the shape that dies first at
+    // real domain cardinality (millions of sources)
+    val plan = finalPlan("text_domain_mix")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"no window node allowed in the plan:\n$plan")
+    val bcasts = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => b
+    }
+    assert(bcasts.size >= 2,
+      s"both totals must broadcast (got ${bcasts.size}):\n$plan")
+  }
 }
