@@ -310,11 +310,7 @@ object Text {
     val sig = graft.InternalCaches.persistTracked(
       sets.select(col("doc_id"), col("s"),
         graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK).as("sig")))
-    val bands = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          j => xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bhash")
+    val bands = bandKeys(sig)
     // Signature-estimate prefilter: band collisions overshoot badly on a
     // real corpus (measured 29,665 candidates for 25 true pairs at sf0.1 —
     // boilerplate-heavy buckets), and every candidate would otherwise pay
@@ -367,6 +363,97 @@ object Text {
     * `dedup_clusters` / `pipeline_clean_corpus` consume the pairs
     * order-free.
     */
+  /** Band keys (doc_id, band, bhash) off a persisted signature relation —
+    * shared by the self-join ([[lshJaccardPairs]], 16×8) and the
+    * cross-relation ingest probe ([[lshProbePairs]], 32×4). `bands`×`rows`
+    * must tile the 128-minimum signature.
+    */
+  private def bandKeys(sig: DataFrame, bands: Int = Bands,
+                       rows: Int = Rows): DataFrame =
+    sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bhash")
+
+  /** Cross-relation LSH probe: near-dup pairs (batch doc `a`, index doc
+    * `b`) between a NEW ingest batch and the standing corpus index — the
+    * incremental twin of [[lshJaccardPairs]]. Same signature → band →
+    * estimate-prefilter → exact-Jaccard pipeline, but candidates come
+    * from an equi-join of batch band keys AGAINST index band keys:
+    * O(cross-collisions), never |batch|×|index|, and at real scale the
+    * index band keys are a precomputed artifact the nightly batch probes.
+    * Hot index buckets (boilerplate bands) are salted join-style — the
+    * index row keeps ONE hash-assigned block, the batch row replicates
+    * across all blocks — so every (batch, index) collision still meets in
+    * exactly one (band, bhash, blk) bucket (recall unchanged) while the
+    * widest bucket shrinks by the block factor. Both side relations
+    * persist: each feeds its band branch, the estimate prefilter, and the
+    * exact verify.
+    *
+    * Banding is 32×4 (vs the self-join's 16×8) over the same 128-minimum
+    * signature: an ingest probe is recall-critical — a near-dup the
+    * nightly batch misses joins the index FOREVER — and the extra band
+    * rows cost O(|batch| + |index|) keys, not extra signature compute.
+    * At the 0.5 threshold the 16×8 s-curve misses a true jac≈0.73 pair
+    * ~27% of the time; 32×4 takes that to ~3·10⁻⁵ (and ~13% at exactly
+    * 0.5 — pairs AT the threshold remain statistical, as in the
+    * self-join pipeline).
+    */
+  private def lshProbePairs(index: DataFrame, batch: DataFrame,
+                            threshold: Double): DataFrame = {
+    def sigOf(sets: DataFrame) = graft.InternalCaches.persistTracked(
+      sets.select(col("doc_id"), col("s"),
+        graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK)
+          .as("sig")))
+    val isig = sigOf(index)
+    val bsig = sigOf(batch)
+    val hotWidth = intConf(index, "spark.graft.lsh.hotBucketWidth",
+      HotBucketDefault)
+    val blocks = blockCountConf(index, "spark.graft.lsh.saltBlocks",
+      SaltBlocksDefault)
+    val ib = bandKeys(isig, bands = 32, rows = 4)
+    val hot = ib.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("bw"))
+      .filter(col("bw") > hotWidth)
+      .select(col("band"), col("bhash"), lit(true).as("is_hot"))
+    val iTagged = ib.join(broadcast(hot), Seq("band", "bhash"), "left")
+      .select(col("doc_id").as("b"), col("band"), col("bhash"),
+        when(col("is_hot").isNotNull,
+          xxhash64(col("doc_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
+          .otherwise(lit(0)).as("blk"))
+    val bTagged = bandKeys(bsig, bands = 32, rows = 4)
+      .join(broadcast(hot), Seq("band", "bhash"), "left")
+      .select(col("doc_id").as("a"), col("band"), col("bhash"),
+        explode(when(col("is_hot").isNotNull,
+            sequence(lit(0), lit(blocks - 1)))
+          .otherwise(array(lit(0)))).as("blk"))
+    val cand = bTagged.join(iTagged, Seq("band", "bhash", "blk"))
+      .select(col("a"), col("b")).distinct()
+    val margin = fractionConf(index, "spark.graft.lsh.estMargin",
+      EstMarginDefault)
+    val estOk =
+      if (margin >= 1.0) cand
+      else cand
+        .join(bsig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
+        .join(isig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
+        .withColumn("est",
+          aggregate(zip_with(col("ga"), col("gb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
+        .filter(col("est") >= threshold - margin)
+        .select(col("a"), col("b"))
+    estOk
+      .join(bsig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(isig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac",
+        round(col("ni").cast("double")
+          / (size(col("sa")) + size(col("sb")) - col("ni")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     val sh = tokenizedDocs(s, d)
@@ -1063,6 +1150,34 @@ object Text {
             .as("n_masked"))
         .orderBy("doc_id")),
 
+    // NEAR-dup incremental ingest — the LSH twin of dedup_incremental: a
+    // new crawl batch probed against the standing corpus index for
+    // near-duplicates (the lightly-edited re-crawl that exact content
+    // fingerprints miss). Candidates come from a band-key equi-join of
+    // batch against index ([[lshProbePairs]]); the batch is synthesized
+    // to make both outcomes observable: every 13th doc re-ingested with
+    // its FIRST TOKEN replaced (near-dup — must match its origin) and
+    // every 13th+5 doc with its token order REVERSED — same vocabulary,
+    // disjoint shingle set (novel — must not match). Oracle: brute-force
+    // batch × index Jaccard over the same derived batch.
+    "dedup_lsh_ingest" -> ((s, d) => {
+      val p = s.sparkContext.defaultParallelism
+      val base = tokenizedDocs(s, d)
+        .repartition(p, col("doc_id"))
+        .filter(size(col("t")) >= 3)
+      val index = base.select(col("doc_id"), shingleCol(col("t")).as("s"))
+      val mutated = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(array(lit("zqx")),
+            slice(col("t"), lit(2), size(col("t")) - 1)).as("t"))
+      val reversed = base.filter(col("doc_id") % 13 === 5)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          reverse(col("t")).as("t"))
+      val batch = mutated.unionByName(reversed)
+        .select(col("doc_id"), shingleCol(col("t")).as("s"))
+      lshProbePairs(index, batch, 0.5).orderBy("a", "b")
+    }),
+
     // Benchmark decontamination — the test-set leakage check every
     // training-data pipeline runs before a corpus ships: flag any corpus
     // document sharing a verbatim 8-token n-gram with the held-out
@@ -1477,6 +1592,31 @@ object Text {
         |    '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}')) AS INTEGER)
         |    AS n_masked
         |FROM corpus ORDER BY doc_id""".stripMargin,
+    // Brute-force batch × index Jaccard over the identically-derived
+    // batch — green iff the cross-relation LSH probe has no false
+    // negatives at the threshold.
+    "dedup_lsh_ingest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+        |batch AS (
+        |  SELECT doc_id + 40000 AS doc_id, list_concat(['zqx'], t[2:]) AS t
+        |  FROM base WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id, list_reverse(t) AS t
+        |  FROM base WHERE doc_id % 13 = 5),
+        |shi AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |    for i in range(1, len(t) - 1)]) AS s FROM base),
+        |shb AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |    for i in range(1, len(t) - 1)]) AS s FROM batch),
+        |pairs AS (
+        |  SELECT b.doc_id AS a, i.doc_id AS b,
+        |    round(len(list_intersect(b.s, i.s))::DOUBLE
+        |          / len(list_distinct(b.s || i.s)), 4) AS jac
+        |  FROM shb b JOIN shi i ON true)
+        |SELECT a, b, jac FROM pairs WHERE jac >= 0.5 ORDER BY a, b""".stripMargin,
     // 8-grams via an 8-row string_agg window over position-indexed
     // tokens (w = 8 drops the ragged tail) — same plant, same benchmark
     // partition, same distinct-per-doc gram sets as the engine.

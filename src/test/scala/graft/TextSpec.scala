@@ -364,6 +364,29 @@ class TextSpec extends SparkSpec {
       "unpersist through the persisted handle must drop the entry")
   }
 
+  test("lsh ingest law: long mutated docs match their origin, reversed never do") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_lsh_ingest")(spark, sfDir)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val longIds = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) >= 30)
+      .select($"doc_id").as[Long].collect()
+    // a 1-token mutation of a >=30-token doc sits far above the 0.5
+    // threshold AND far above the 32x4 s-curve knee: the probe must
+    // recover every (mutated, origin) pair
+    longIds.filter(_ % 13 == 0).foreach { i =>
+      assert(pairs.contains((i + 40000, i)),
+        s"mutated re-ingest of doc $i must match its origin")
+    }
+    // reversal keeps the vocabulary but destroys every shingle: a
+    // reversed doc must never be tied back to its origin
+    longIds.filter(_ % 13 == 5).foreach { i =>
+      assert(!pairs.contains((i + 50000, i)),
+        s"reversed doc $i must be novel to the index")
+    }
+  }
+
   test("contamination law: planted docs all flagged >= 3 hits, benchmark never") {
     import spark.implicits._
     val got = SparkEntry.queries("text_contamination")(spark, sfDir)
