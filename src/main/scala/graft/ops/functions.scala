@@ -152,6 +152,26 @@ object Fn {
           size(map_keys(col("m"))).as("n_keys"))
         .orderBy("event_id")),
 
+    // Struct battery — the nested-record surface: construction
+    // (named fields), field access, NESTED access, lexicographic struct
+    // comparison (field-wise, ties broken by later fields — the
+    // mechanism behind struct-ordered min/max and tie-broken argmin),
+    // and structs as array elements. All scalar outputs so the oracle
+    // compares values, not engine-specific nested encodings.
+    "fn_struct" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          struct(col("o_orderkey").as("k"), col("o_orderstatus").as("s"))
+            .getField("s").as("st_status"),
+          struct(struct(col("o_totalprice").as("v")).as("outer_"))
+            .getField("outer_").getField("v").as("nested_price"),
+          (struct(col("o_totalprice"), col("o_orderkey")) <
+            struct(lit(1000.0), lit(0L))).as("below_mark"),
+          element_at(array(struct(col("o_custkey").as("a")),
+              struct(col("o_orderkey").as("a"))), 2)
+            .getField("a").as("second_a"))
+        .orderBy("o_orderkey")),
+
     // ONE Jackson parse per row: both outputs derive from a single
     // `from_json` struct materialized in its own projection. Two
     // independent JSON extractors here would each run a full parse per
@@ -273,6 +293,17 @@ object Fn {
       """SELECT event_id, event_type AS etype,
         |  CAST(user_id AS VARCHAR) AS euser, 2 AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_struct" ->
+      """SELECT o_orderkey,
+        |  struct_pack(k := o_orderkey, s := o_orderstatus).s AS st_status,
+        |  struct_pack(outer_ := struct_pack(v := o_totalprice)).outer_.v
+        |    AS nested_price,
+        |  (ROW(o_totalprice, o_orderkey) < ROW(1000.0, CAST(0 AS BIGINT)))
+        |    AS below_mark,
+        |  [struct_pack(a := o_custkey), struct_pack(a := o_orderkey)][2].a
+        |    AS second_a
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,

@@ -1150,6 +1150,50 @@ object Text {
             .as("n_masked"))
         .orderBy("doc_id")),
 
+    // The composed INGEST pipeline — what a nightly crawl drop runs end
+    // to end as ONE declarative plan Catalyst fuses: normalize (case/
+    // whitespace canonicalization) → PII mask → exact dedup against the
+    // standing index (8-byte fingerprints of the same normalized+masked
+    // form, so case-variant re-crawls are caught — the composition
+    // argument for normalizing BEFORE fingerprinting) → quality gate
+    // (>= 20 tokens) → per-source acceptance stats. The batch makes
+    // every gate observable: every 7th doc re-crawled verbatim (dropped
+    // by dedup), every 7th+1 with a novel tail (survives), every 7th+2
+    // uppercased + padded (a case-variant re-crawl — dropped ONLY
+    // because normalization precedes fingerprinting). Fingerprint
+    // equivalence vs the oracle's text equality is the documented
+    // 64-bit-collision tradeoff of dedup_incremental.
+    "pipeline_ingest" -> ((s, d) => {
+      def canon(c: Column): Column =
+        regexp_replace(regexp_replace(trim(lower(c)), "\\s+", " "),
+          "[0-9]{6,}", "<NUM>")
+      val base = documents(s, d).filter(col("text").isNotNull)
+      val batch = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 60000).as("doc_id"), col("text"),
+            col("source"))
+        .unionByName(base.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 70000).as("doc_id"),
+            concat(col("text"), lit(" zz novel tail")).as("text"),
+            col("source")))
+        .unionByName(base.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 80000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit(" ")).as("text"),
+            col("source")))
+      val indexFp = base.select(xxhash64(canon(col("text"))).as("fp"))
+        .distinct()
+      batch
+        .withColumn("clean", canon(col("text")))
+        .withColumn("fp", xxhash64(col("clean")))
+        .join(indexFp, Seq("fp"), "left_anti")
+        .withColumn("t", filter(split(col("clean"), " "),
+          x => length(x) > 0))
+        .filter(size(col("t")) >= 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("t")).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // NEAR-dup incremental ingest — the LSH twin of dedup_incremental: a
     // new crawl batch probed against the standing corpus index for
     // near-duplicates (the lightly-edited re-crawl that exact content
@@ -1592,6 +1636,42 @@ object Text {
         |    '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}')) AS INTEGER)
         |    AS n_masked
         |FROM corpus ORDER BY doc_id""".stripMargin,
+    // Text-equality dedup (vs the engine's 64-bit fingerprints) over the
+    // identically canonicalized batch — green iff every pipeline stage
+    // composes exactly.
+    "pipeline_ingest" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE text IS NOT NULL),
+        |batch AS (
+        |  SELECT doc_id + 60000 AS doc_id, text, source FROM base
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 70000, text || ' zz novel tail', source
+        |  FROM base WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 80000, '  ' || upper(text) || ' ', source
+        |  FROM base WHERE doc_id % 7 = 2),
+        |normb AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(trim(lower(text)),
+        |      '\s+', ' ', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS clean
+        |  FROM batch),
+        |idx AS (
+        |  SELECT DISTINCT
+        |    regexp_replace(regexp_replace(trim(lower(text)),
+        |      '\s+', ' ', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS clean
+        |  FROM base),
+        |survivors AS (
+        |  SELECT n.doc_id, n.source,
+        |    len(list_filter(string_split(n.clean, ' '),
+        |      x -> length(x) > 0)) AS n_tok
+        |  FROM normb n
+        |  WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.clean = n.clean))
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT)
+        |  AS n_tokens
+        |FROM survivors WHERE n_tok >= 20
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Brute-force batch × index Jaccard over the identically-derived
     // batch — green iff the cross-relation LSH probe has no false
     // negatives at the threshold.
