@@ -170,6 +170,28 @@ object Windows {
         .orderBy("o_custkey", "eff_from", "o_orderkey")
     }),
 
+    // TIME-WEIGHTED average (the TWAP mechanism): each observation is
+    // weighted by how long it remained current — sum(value·Δt)/sum(Δt)
+    // with Δt from lead(ts) — so irregular sampling stops biasing the
+    // mean toward burst periods (the flaw of a plain avg over an
+    // event stream). The last observation per user carries no duration
+    // and is excluded on BOTH engines. One exchange total: the window
+    // partitions by user_id and the following groupBy reuses that
+    // hash partitioning — Spark plans no second shuffle.
+    "win_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("value"),
+          (unix_micros(lead(col("ts"), 1).over(w))
+            - unix_micros(col("ts"))).as("dur"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg((round(sum(col("value") * col("dur")) / sum(col("dur")), 6)
+          + lit(0.0)).as("twa"))
+        .orderBy("user_id")
+    }),
+
     // Moving MEDIAN over a bounded rows-frame (per-user smoothing of the
     // metric stream — the robust twin of a moving average, immune to a
     // single spike). `percentile(·, 0.5)` as a WINDOW aggregate: Spark
@@ -277,6 +299,16 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_time_weighted" ->
+      """WITH seq AS (
+        |  SELECT user_id, value,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(value * dur) / sum(dur), 6) AS twa
+        |FROM seq WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_rank" ->
       """SELECT l_returnflag, CAST(rn AS INTEGER) AS rn,
         |  CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,

@@ -679,6 +679,16 @@ class PlanSpec extends SparkSpec {
       "both aggregate levels must plan a partial (map-side) phase")
   }
 
+  test("win_time_weighted: the groupBy reuses the window's user partitioning") {
+    // window partitionBy(user_id) then groupBy(user_id): the aggregate
+    // must ride the exchange the window already paid — two exchanges
+    // total (user hash + presentation sort), not three
+    val plan = finalPlan("win_time_weighted")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+      s"expected <=2 exchanges (user hash + sort), got ${shuffles.size}:\n$plan")
+  }
+
   test("text_contamination: corpus probes a broadcast gram set, never shuffles on grams") {
     // the 100 TB contract: the benchmark gram set is the small side by
     // construction (holdout suites are MBs) — it broadcasts, the corpus
