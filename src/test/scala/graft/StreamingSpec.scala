@@ -383,6 +383,67 @@ class StreamingSpec extends SparkSpec {
     assert(version == 2, s"expected one snapshot per micro-batch: $version")
   }
 
+  test("foreachBatch ingest dedup: streamed batches converge to the batch-pipeline index") {
+    // the streaming twin of pipeline_ingest's dedup stage: each
+    // micro-batch canonicalizes, fingerprints, anti-joins the CURRENT
+    // index, and appends only the survivors (copy-on-write versioned
+    // snapshots, as in the CDC law). Cross-batch convergence is the
+    // point — a doc admitted in batch 1 must reject its re-crawl in
+    // batch 2, and the final index must equal the one-shot batch
+    // pipeline over the union of all ingested docs.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def canon(c: org.apache.spark.sql.Column) =
+      regexp_replace(trim(lower(c)), "\\s+", " ")
+    val root = SparkSpec.scratchDir("ingest_dedup")
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    base.select(xxhash64(canon(col("text"))).as("fp")).distinct()
+      .write.parquet(s"$root/v0")
+    @volatile var current = s"$root/v0"
+    var version = 0
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        version += 1
+        val next = s"$root/v$version"
+        val idx = batch.sparkSession.read.parquet(current)
+        val fresh = batch
+          .withColumn("fp", xxhash64(canon(col("text"))))
+          .join(idx, Seq("fp"), "left_anti")
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        accepted ++= fresh.select(col("doc_id")).as[Long].collect()
+        idx.select(col("fp")).unionByName(fresh.select(col("fp")))
+          .distinct().write.mode("overwrite").parquet(next)
+        current = next
+      }.start()
+    try {
+      // 10 = case/whitespace variant of doc 1 (drop), 11 = novel (keep)
+      mem.addData((10L, "  ALPHA beta   gamma "),
+        (11L, "novel text one two"))
+      q.processAllAvailable()
+      // 12 = re-crawl of 11 ACROSS batches (drop: the index grew),
+      // 13 = variant of doc 2 (drop), 14 = novel (keep)
+      mem.addData((12L, "novel text one two"),
+        (13L, "DELTA epsilon zeta"), (14L, "second novel payload"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.sorted == Seq(11L, 14L),
+      s"accepted set diverged: ${accepted.sorted}")
+    assert(version == 2, s"expected one snapshot per micro-batch: $version")
+    val everything = base.unionByName(Seq(
+      (10L, "  ALPHA beta   gamma "), (11L, "novel text one two"),
+      (12L, "novel text one two"), (13L, "DELTA epsilon zeta"),
+      (14L, "second novel payload")).toDF("doc_id", "text"))
+    val batchIdx = everything
+      .select(xxhash64(canon(col("text"))).as("fp")).distinct()
+    val streamIdx = spark.read.parquet(current)
+    assert(streamIdx.except(batchIdx).isEmpty
+        && batchIdx.except(streamIdx).isEmpty,
+      "streamed index must equal the one-shot batch index")
+  }
+
   test("batch session_window matches the gaps-and-islands formulation") {
     // same data, two formulations — the oracle-side SQL logic re-expressed
     // on DataFrames must agree with session_window
