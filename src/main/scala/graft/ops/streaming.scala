@@ -308,4 +308,48 @@ object Streaming {
           Iterator((user, n))
       }
   }
+
+  /** One incremental Misra-Gries step at capacity `cap` — the streaming
+    * form of `Text.mgSketch`'s per-partition pass: increment a tracked
+    * token, admit a newcomer while under capacity, otherwise decrement
+    * every counter (dropping zeros; the newcomer is not kept). Folding a
+    * stream through this step IS Misra-Gries over the concatenation, so
+    * checkpointed state across micro-batches inherits the retention
+    * guarantee: any token with more than N/(cap+1) occurrences survives.
+    */
+  private[graft] def mgStep(cap: Int)(counts: Map[String, Long],
+                                      t: String): Map[String, Long] =
+    if (counts.contains(t)) counts.updated(t, counts(t) + 1)
+    else if (counts.size < cap) counts.updated(t, 1L)
+    else counts.flatMap { case (k, v) =>
+      if (v > 1) Some(k -> (v - 1)) else None }
+
+  /** Streaming heavy hitters with BOUNDED state: tokens shard by hash,
+    * each shard folds its (seq-ordered) arrivals through [[mgStep]] in
+    * per-shard `GroupState` — O(shards × cap) total state however long
+    * the stream runs, the property exact streaming counts cannot offer.
+    * Input is (seq, token); the seq ordering makes replay deterministic
+    * (StreamingSpec replays the fold to assert exact state equality).
+    * At ingest scale the shard count spreads state across executors and
+    * the per-shard sketches merge downstream exactly like the batch
+    * `text_heavy_hitters` candidate pass.
+    */
+  def streamingHeavyHitters(spark: SparkSession,
+                            input: Dataset[(Long, String)],
+                            cap: Int, shards: Int)
+      : Dataset[(Int, Map[String, Long])] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    input.groupByKey(p => math.floorMod(p._2.hashCode, shards))
+      .flatMapGroupsWithState[Map[String, Long], (Int, Map[String, Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[(Long, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val counts = rows.toSeq.sortBy(_._1).map(_._2)
+            .foldLeft(state.getOption.getOrElse(Map.empty[String, Long]))(
+              mgStep(cap))
+          state.update(counts)
+          Iterator((shard, counts))
+      }
+  }
 }

@@ -383,6 +383,65 @@ class StreamingSpec extends SparkSpec {
     assert(version == 2, s"expected one snapshot per micro-batch: $version")
   }
 
+  test("streaming Misra-Gries: bounded per-shard state equals the replayed fold, heavies survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 3
+    val shards = 4
+    // churn-heavy stream across two micro-batches: two heavy tokens
+    // drowned in one-off noise, the shape that evicts naive top-k state
+    val b1 = Seq.tabulate(60)(i => s"noise$i") ++ Seq.fill(30)("heavy1")
+    val b2 = Seq.fill(25)("heavy2") ++ Seq.tabulate(40)(i => s"late$i") ++
+      Seq.fill(15)("heavy1")
+    val seq1 = b1.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val seq2 = b2.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    val mem = MemoryStream[(Long, String)]
+    val finalState =
+      scala.collection.mutable.Map.empty[Int, Map[String, Long]]
+    val q = ops.Streaming
+      .streamingHeavyHitters(spark, mem.toDS(), cap, shards)
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[(Int, Map[String, Long])],
+         _: Long) =>
+          batch.collect().foreach { case (sh, m) => finalState(sh) = m }
+      }.start()
+    try {
+      mem.addData(seq1: _*)
+      q.processAllAvailable()
+      mem.addData(seq2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // exact replay law: two checkpointed micro-batch folds ARE the one
+    // fold over the concatenation, per shard
+    val all = seq1 ++ seq2
+    val expected = all.groupBy(p => math.floorMod(p._2.hashCode, shards))
+      .map { case (sh, rows) =>
+        sh -> rows.sortBy(_._1).map(_._2)
+          .foldLeft(Map.empty[String, Long])(ops.Streaming.mgStep(cap))
+      }
+    expected.foreach { case (sh, want) =>
+      assert(finalState.getOrElse(sh, Map.empty) == want,
+        s"shard $sh state diverged from the replayed fold")
+    }
+    // retention corollary from TRUE per-shard counts: every token over
+    // the N/(cap+1) guarantee line must still be tracked
+    all.groupBy(p => math.floorMod(p._2.hashCode, shards))
+      .foreach { case (sh, rows) =>
+        val n = rows.size
+        rows.groupBy(_._2).view.mapValues(_.size)
+          .filter(_._2 > n.toDouble / (cap + 1))
+          .foreach { case (tok, _) =>
+            assert(finalState(sh).contains(tok),
+              s"heavy token $tok evicted from shard $sh (N=$n)")
+          }
+      }
+    // bounded state: never more than cap entries per shard
+    finalState.foreach { case (sh, m) =>
+      assert(m.size <= cap, s"shard $sh state exceeded cap: ${m.size}")
+    }
+  }
+
   test("foreachBatch ingest dedup: streamed batches converge to the batch-pipeline index") {
     // the streaming twin of pipeline_ingest's dedup stage: each
     // micro-batch canonicalizes, fingerprints, anti-joins the CURRENT
