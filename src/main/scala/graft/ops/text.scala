@@ -327,29 +327,44 @@ object Text {
     // of the plan entirely (see EstMarginDefault).
     val margin = fractionConf(sets, "spark.graft.lsh.estMargin",
       EstMarginDefault)
-    val cand = saltedBandPairs(bands)
+    estimateAndVerify(saltedBandPairs(bands), sig, sig, threshold, margin)
+  }
+
+  /** Shared tail of both LSH pipelines: the signature-estimate prefilter
+    * (margin ≥ 1.0 disables it) followed by the exact-Jaccard verify.
+    * `aSig`/`bSig` are the persisted (doc_id, s, sig) relations the `a`
+    * and `b` candidate columns refer to — the SAME relation for the
+    * self-join ([[lshJaccardPairs]]), the batch/index pair for the
+    * ingest probe ([[lshProbePairs]]). One implementation so the
+    * estimate formula, the margin semantics, and the union identity can
+    * never silently diverge between the two pipelines.
+    *
+    * |A∪B| = |A|+|B|−|A∩B|: the union NEVER materializes — array_union
+    * would allocate an |A|+|B| array per candidate just to take its size
+    * (the sets are already distinct, so the identity is exact).
+    * NO presentation sort here: a consumer that doesn't need the order
+    * (clustering, the cleaning pipeline) must not pay the range
+    * exchange — whose partitioner SAMPLING pass would execute the whole
+    * post-signature candidate pipeline a second time. The public queries
+    * add their own orderBy.
+    */
+  private def estimateAndVerify(cand: DataFrame, aSig: DataFrame,
+                                bSig: DataFrame, threshold: Double,
+                                margin: Double): DataFrame = {
     val estOk =
       if (margin >= 1.0) cand
       else cand
-        .join(sig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
-        .join(sig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
+        .join(aSig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
+        .join(bSig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
         .withColumn("est",
           aggregate(zip_with(col("ga"), col("gb"),
               (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
         .filter(col("est") >= threshold - margin)
         .select(col("a"), col("b"))
-    // |A∪B| = |A|+|B|−|A∩B|: the union NEVER materializes — array_union
-    // would allocate an |A|+|B| array per candidate just to take its size
-    // (the sets are already distinct, so the identity is exact)
-    // NO presentation sort here: a consumer that doesn't need the order
-    // (clustering, the cleaning pipeline) must not pay the range
-    // exchange — whose partitioner SAMPLING pass would execute the whole
-    // post-signature candidate pipeline a second time. The public query
-    // adds its own orderBy.
     estOk
-      .join(sig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
-      .join(sig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .join(aSig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(bSig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
       .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac",
         round(col("ni").cast("double")
@@ -358,11 +373,6 @@ object Text {
       .select(col("a"), col("b"), col("jac"))
   }
 
-  /** Word-shingle MinHash-LSH near-dup pairs, UNSORTED — the shared
-    * building block: `dedup_near_minhash` adds the presentation sort;
-    * `dedup_clusters` / `pipeline_clean_corpus` consume the pairs
-    * order-free.
-    */
   /** Band keys (doc_id, band, bhash) off a persisted signature relation —
     * shared by the self-join ([[lshJaccardPairs]], 16×8) and the
     * cross-relation ingest probe ([[lshProbePairs]], 32×4). `bands`×`rows`
@@ -432,28 +442,14 @@ object Text {
       .select(col("a"), col("b")).distinct()
     val margin = fractionConf(index, "spark.graft.lsh.estMargin",
       EstMarginDefault)
-    val estOk =
-      if (margin >= 1.0) cand
-      else cand
-        .join(bsig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
-        .join(isig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
-        .withColumn("est",
-          aggregate(zip_with(col("ga"), col("gb"),
-              (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
-        .filter(col("est") >= threshold - margin)
-        .select(col("a"), col("b"))
-    estOk
-      .join(bsig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
-      .join(isig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
-      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac",
-        round(col("ni").cast("double")
-          / (size(col("sa")) + size(col("sb")) - col("ni")), 4))
-      .filter(col("jac") >= threshold)
-      .select(col("a"), col("b"), col("jac"))
+    estimateAndVerify(cand, bsig, isig, threshold, margin)
   }
 
+  /** Word-shingle MinHash-LSH near-dup pairs, UNSORTED — the shared
+    * building block: `dedup_near_minhash` adds the presentation sort;
+    * `dedup_clusters` / `pipeline_clean_corpus` consume the pairs
+    * order-free.
+    */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     val sh = tokenizedDocs(s, d)
@@ -1199,8 +1195,10 @@ object Text {
     // near-duplicates (the lightly-edited re-crawl that exact content
     // fingerprints miss). Candidates come from a band-key equi-join of
     // batch against index ([[lshProbePairs]]); the batch is synthesized
-    // to make both outcomes observable: every 13th doc re-ingested with
-    // its FIRST TOKEN replaced (near-dup — must match its origin) and
+    // to make both outcomes observable: every 13th doc of ≥25 tokens
+    // re-ingested with its FIRST TOKEN replaced (near-dup — must match
+    // its origin; the floor keeps every true pair above the s-curve
+    // knee, see inside) and
     // every 13th+5 doc with its token order REVERSED — same vocabulary,
     // disjoint shingle set (novel — must not match). Oracle: brute-force
     // batch × index Jaccard over the same derived batch.
@@ -1210,7 +1208,13 @@ object Text {
         .repartition(p, col("doc_id"))
         .filter(size(col("t")) >= 3)
       val index = base.select(col("doc_id"), shingleCol(col("t")).as("s"))
-      val mutated = base.filter(col("doc_id") % 13 === 0)
+      // ≥25-token floor: a 1-token mutation of an n-token doc sits at
+      // jac ≈ (n−5)/(n+1) ≥ 0.77, where the 32×4 band-miss probability
+      // is ≤ 1e-6 — the exact brute-force oracle stays deterministically
+      // green at any sf. Shorter mutations would land in the 0.5-0.65
+      // zone where a fixed-seed band miss is a real (1-13%) possibility.
+      val mutated = base.filter(col("doc_id") % 13 === 0
+          && size(col("t")) >= 25)
         .select((col("doc_id") + 40000).as("doc_id"),
           concat(array(lit("zqx")),
             slice(col("t"), lit(2), size(col("t")) - 1)).as("t"))
@@ -1250,15 +1254,18 @@ object Text {
             .otherwise(col("text")))
         .withColumn("tf",
           filter(split(col("raw"), " "), x => length(x) > 0))
-      // sequence(1, size-7) is DESCENDING when size < 8 — the when-guard
-      // is load-bearing, not cosmetic
+      // the codegen'd shingle expression at k=8: distinct built in, empty
+      // below 8 tokens, and containsNull = false in its static type, so
+      // the exploded gram key stays on the fast HashedRelation path (a
+      // nullable key demotes the broadcast probe ~5×; PlanSpec asserts
+      // it). No coalesce wrapper: explode of a NULL array (null text)
+      // yields zero rows, the same as the empty set — and a
+      // typedLit(Array.empty[String]) fallback would re-taint the type
+      // (Scala String element → containsNull = true).
       val grams = graft.InternalCaches.persistTracked(
         docs.select(col("doc_id"),
-          explode(array_distinct(
-            when(size(col("tf")) >= 8,
-              transform(sequence(lit(1), size(col("tf")) - 7),
-                i => array_join(slice(col("tf"), i, lit(8)), " ")))
-              .otherwise(array().cast("array<string>")))).as("g")),
+          explode(graft.expr.TextSetExprs.wordShingles(col("tf"), 8))
+            .as("g")),
         eager = true)
       val bench = grams.filter(col("doc_id") % 53 === 0)
         .select(col("g")).distinct()
@@ -1681,7 +1688,7 @@ object Text {
         |base AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
         |batch AS (
         |  SELECT doc_id + 40000 AS doc_id, list_concat(['zqx'], t[2:]) AS t
-        |  FROM base WHERE doc_id % 13 = 0
+        |  FROM base WHERE doc_id % 13 = 0 AND len(t) >= 25
         |  UNION ALL
         |  SELECT doc_id + 50000 AS doc_id, list_reverse(t) AS t
         |  FROM base WHERE doc_id % 13 = 5),

@@ -175,7 +175,12 @@ object Windows {
     // with Δt from lead(ts) — so irregular sampling stops biasing the
     // mean toward burst periods (the flaw of a plain avg over an
     // event stream). The last observation per user carries no duration
-    // and is excluded on BOTH engines. One exchange total: the window
+    // and is excluded on BOTH engines; so are ZERO-duration rows
+    // (same-timestamp bursts) — they contribute 0 to both sums, so the
+    // value is unchanged, but keeping them would let a user whose
+    // events all share one timestamp drive sum(dur) to 0 and the ANSI
+    // division to a runtime error instead of an absent group. One
+    // exchange total: the window
     // partitions by user_id and the following groupBy reuses that
     // hash partitioning — Spark plans no second shuffle.
     "win_time_weighted" -> ((s, d) => {
@@ -185,7 +190,7 @@ object Windows {
         .select(col("user_id"), col("value"),
           (unix_micros(lead(col("ts"), 1).over(w))
             - unix_micros(col("ts"))).as("dur"))
-        .filter(col("dur").isNotNull)
+        .filter(col("dur") > 0)
         .groupBy(col("user_id"))
         .agg((round(sum(col("value") * col("dur")) / sum(col("dur")), 6)
           + lit(0.0)).as("twa"))
@@ -306,8 +311,8 @@ object Windows {
         |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur
         |  FROM events)
         |SELECT user_id,
-        |  round(sum(value * dur) / sum(dur), 6) AS twa
-        |FROM seq WHERE dur IS NOT NULL
+        |  round(sum(value * dur) / sum(dur), 6) + 0.0 AS twa
+        |FROM seq WHERE dur > 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_rank" ->
       """SELECT l_returnflag, CAST(rn AS INTEGER) AS rn,

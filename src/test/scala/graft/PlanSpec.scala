@@ -698,6 +698,11 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan("text_contamination")
     val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, s"gram join must be a BroadcastHashJoin:\n$plan")
+    bhj.foreach { j =>
+      val nullable = (j.leftKeys ++ j.rightKeys).filter(_.nullable)
+      assert(nullable.isEmpty,
+        s"nullable gram keys $nullable demote the HashedRelation probe")
+    }
     val smj = collectAll(plan) {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }
