@@ -418,11 +418,29 @@ object Text {
           .as("sig")))
     val isig = sigOf(index)
     val bsig = sigOf(batch)
-    val hotWidth = intConf(index, "spark.graft.lsh.hotBucketWidth",
+    val cand = saltedProbePairs(bandKeys(isig, bands = 32, rows = 4),
+      bandKeys(bsig, bands = 32, rows = 4))
+    val margin = fractionConf(index, "spark.graft.lsh.estMargin",
+      EstMarginDefault)
+    estimateAndVerify(cand, bsig, isig, threshold, margin)
+  }
+
+  /** Salted CROSS-relation band join: candidate (a = batch doc, b =
+    * index doc) pairs for every (band, bhash) collision between the two
+    * band relations. Hot buckets (measured by INDEX-side width — the
+    * standing side is where boilerplate accumulates) salt join-style:
+    * the index row keeps one hash-assigned block, the batch row
+    * replicates across all blocks, so each cross collision meets in
+    * exactly one (band, bhash, blk) bucket — recall is unchanged for ANY
+    * layout and any dials (SaltLawSpec property), while the widest
+    * bucket shrinks by the block factor.
+    */
+  private[graft] def saltedProbePairs(ib: DataFrame,
+                                      bb: DataFrame): DataFrame = {
+    val hotWidth = intConf(ib, "spark.graft.lsh.hotBucketWidth",
       HotBucketDefault)
-    val blocks = blockCountConf(index, "spark.graft.lsh.saltBlocks",
+    val blocks = blockCountConf(ib, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
-    val ib = bandKeys(isig, bands = 32, rows = 4)
     val hot = ib.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("bw"))
       .filter(col("bw") > hotWidth)
@@ -432,17 +450,13 @@ object Text {
         when(col("is_hot").isNotNull,
           xxhash64(col("doc_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
           .otherwise(lit(0)).as("blk"))
-    val bTagged = bandKeys(bsig, bands = 32, rows = 4)
-      .join(broadcast(hot), Seq("band", "bhash"), "left")
+    val bTagged = bb.join(broadcast(hot), Seq("band", "bhash"), "left")
       .select(col("doc_id").as("a"), col("band"), col("bhash"),
         explode(when(col("is_hot").isNotNull,
             sequence(lit(0), lit(blocks - 1)))
           .otherwise(array(lit(0)))).as("blk"))
-    val cand = bTagged.join(iTagged, Seq("band", "bhash", "blk"))
+    bTagged.join(iTagged, Seq("band", "bhash", "blk"))
       .select(col("a"), col("b")).distinct()
-    val margin = fractionConf(index, "spark.graft.lsh.estMargin",
-      EstMarginDefault)
-    estimateAndVerify(cand, bsig, isig, threshold, margin)
   }
 
   /** Word-shingle MinHash-LSH near-dup pairs, UNSORTED — the shared

@@ -60,6 +60,33 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
       }
     }
 
+  // the CROSS-relation probe salting (index keeps one block, batch
+  // replicates) earns the same law: for any layout and any dials, the
+  // salted batch×index band join must produce exactly the naive
+  // cross-collision pairs — no triangle here, but the one-block-meets-
+  // all-blocks argument is just as easy to get subtly wrong
+  property("salted probe == naive cross-collision pairs, any skew, any dials") =
+    Prop.forAll(genBands, genBands, genSalt, genHotW) {
+      (iRows, bRows, saltW, hotW) =>
+        val ib = iRows.toDF("doc_id", "band", "bhash")
+        val bb = bRows.toDF("doc_id", "band", "bhash")
+        spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
+        spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+        try {
+          val got = ops.Text.saltedProbePairs(ib, bb)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val naive = (for {
+            (da, ba, ha) <- bRows; (db, bb2, hb) <- iRows
+            if ba == bb2 && ha == hb
+          } yield (da, db)).toSet
+          Prop(got == naive) :|
+            s"salt=$saltW hot=$hotW missing=${naive -- got} extra=${got -- naive}"
+        } finally {
+          spark.conf.unset("spark.graft.lsh.saltBlocks")
+          spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+        }
+    }
+
   // the OTHER hand-rolled triangle decomposition (blocked exact all-pairs
   // in similarity.scala) earns the same law: every unordered id pair
   // reaches exactly one-or-two tasks with its payload columns still
