@@ -343,6 +343,25 @@ object Relational {
     // of one. This is the manual form of AQE's skew-join split, needed
     // when a key is hot EVERY run (AQE re-splits per query) or when the
     // dimension must not broadcast. Result ≡ the unsalted join (oracle).
+    // NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // MATCH each other instead of silently dropping — the semantics a
+    // dimension with an "unknown" bucket needs. EqualNullSafe is still
+    // an equi-join key to Spark, so the plan stays a hash join (null
+    // hashes like any value); nothing degrades to a nested loop. Both
+    // sides are priority-level aggregates with '3-MEDIUM' nulled out, so
+    // the null=null match is observable: plain equality would lose it.
+    "join_null_safe" -> ((s, d) => {
+      def k(c: String) =
+        when(col(c) === "3-MEDIUM", lit(null)).otherwise(col(c)).as("k")
+      val l = orders(s, d).groupBy(k("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      val r = orders(s, d).groupBy(k("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      l.join(r, l("k") <=> r("k"))
+        .select(l("k"), col("n_orders"), col("total"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+
     "join_salted" -> ((s, d) => {
       val salts = 8
       val e = events(s, d)
@@ -1102,6 +1121,19 @@ object Relational {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_null_safe" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+        |    ELSE o_orderpriority END AS k, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+        |    ELSE o_orderpriority END AS k, round(sum(o_totalprice), 2)
+        |    AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT l.k, n_orders, total FROM l JOIN r
+        |  ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY l.k NULLS FIRST""".stripMargin,
     "join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
