@@ -152,6 +152,30 @@ object Fn {
           size(map_keys(col("m"))).as("n_keys"))
         .orderBy("event_id")),
 
+    // Higher-order-function battery — the lambda surface over arrays:
+    // transform / filter / exists / forall / aggregate / zip_with, each
+    // a Catalyst LambdaFunction over a 3-element per-row array (so the
+    // demo costs O(1) per row and the whole battery pipelines over the
+    // scan). zip_with is demonstrated as a self-dot-product; the oracle
+    // computes the same value through list_transform, which is the
+    // point — HOF programs are plain expressions with SQL-equivalent
+    // semantics, not black-box UDFs.
+    "fn_hof" -> ((s, d) => {
+      val arr = array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 51 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(aggregate(arr, lit(0.0), (acc, x) => acc + x), 4)
+            .as("arr_sum"),
+          size(filter(arr, x => x > 1.0)).as("n_big"),
+          exists(arr, x => x === 0.0).as("any_zero"),
+          forall(arr, x => x >= 0.0).as("all_pos"),
+          round(aggregate(zip_with(arr, arr, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x), 4).as("dot_self"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Struct battery — the nested-record surface: construction
     // (named fields), field access, NESTED access, lexicographic struct
     // comparison (field-wise, ties broken by later fields — the
@@ -293,6 +317,20 @@ object Fn {
       """SELECT event_id, event_type AS etype,
         |  CAST(user_id AS VARCHAR) AS euser, 2 AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_hof" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity + l_extendedprice + l_discount, 4) AS arr_sum,
+        |  CAST(len(list_filter([l_quantity, l_extendedprice, l_discount],
+        |    x -> x > 1.0)) AS INTEGER) AS n_big,
+        |  len(list_filter([l_quantity, l_extendedprice, l_discount],
+        |    x -> x = 0.0)) > 0 AS any_zero,
+        |  len(list_filter([l_quantity, l_extendedprice, l_discount],
+        |    x -> x < 0.0)) = 0 AS all_pos,
+        |  round(l_quantity * l_quantity
+        |    + l_extendedprice * l_extendedprice
+        |    + l_discount * l_discount, 4) AS dot_self
+        |FROM lineitem WHERE l_orderkey % 51 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_struct" ->
       """SELECT o_orderkey,
         |  struct_pack(k := o_orderkey, s := o_orderstatus).s AS st_status,
