@@ -857,6 +857,26 @@ object Text {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // WEIGHTED deterministic sampling: each doc kept with probability
+    // proportional to a quality proxy (token count, capped at 1.0 by 60
+    // tokens) — the "sample good documents harder" knob a mixture
+    // pipeline turns, with the reproducibility Dataset.sample lacks: the
+    // acceptance draw is xxhash64(doc_id, salt) mapped to [0,1), so the
+    // decision is a pure function of the doc id — layout-invariant,
+    // re-runnable, and MONOTONE in the weight (shrinking every weight
+    // yields a strict subset, the nesting law a curriculum re-sample
+    // needs; TextSpec pins determinism, the realized rate, and nesting).
+    // Rows-only check: the oracle cannot reproduce xxhash64.
+    "sample_weighted" -> ((s, d) => {
+      val w = least(lit(1.0), size(col("t")).cast("double") / 60.0)
+      val u = pmod(xxhash64(col("doc_id"), lit("wsamp")), lit(1000000))
+        .cast("double") / 1000000.0
+      tokenizedDocs(s, d)
+        .filter(u < w)
+        .select(col("doc_id"), round(w, 6).as("w"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: order-sensitive polynomial rolling hash over
     // the token stream (seed 7, base 31, mod 1e9+7); token atom =
     // ascii(first char)*131 + length. Pure integer arithmetic — identical

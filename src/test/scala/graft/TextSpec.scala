@@ -364,6 +364,39 @@ class TextSpec extends SparkSpec {
       "unpersist through the persisted handle must drop the entry")
   }
 
+  test("sample_weighted: deterministic, rate tracks mean weight, nests under shrink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val kept = SparkEntry.queries("sample_weighted")(spark, sfDir)
+      .as[(Long, Double)].collect()
+    val rerun = SparkEntry.queries("sample_weighted")(spark, sfDir)
+      .as[(Long, Double)].collect()
+    assert(kept.sameElements(rerun), "weighted sample must be deterministic")
+    // realized acceptance rate ~ mean weight (hash uniformity: the draw
+    // is independent of the weight, so E[kept/N] = mean(w))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", least(lit(1.0),
+        size(split($"text", " ")).cast("double") / 60.0).as("w"))
+      .as[(Long, Double)].collect()
+    val meanW = docs.map(_._2).sum / docs.length
+    val rate = kept.length.toDouble / docs.length
+    assert(math.abs(rate - meanW) < 0.06,
+      s"rate $rate must track mean weight $meanW")
+    // nesting: halving every weight keeps a strict subset (same draw u,
+    // smaller cut) — recompute the halved sample from first principles
+    val u = pmod(xxhash64($"doc_id", lit("wsamp")), lit(1000000))
+      .cast("double") / 1000000.0
+    val halved = Tables.documents(spark, sfDir)
+      .withColumn("t", split($"text", " "))
+      .filter(u < least(lit(1.0), size($"t").cast("double") / 60.0) / 2)
+      .select($"doc_id").as[Long].collect().toSet
+    val keptIds = kept.map(_._1).toSet
+    assert(halved.subsetOf(keptIds),
+      "halving weights must sample a subset (nesting law)")
+    assert(halved.size < keptIds.size,
+      "the halved sample must be strictly smaller on this corpus")
+  }
+
   test("lsh ingest law: long mutated docs match their origin, reversed never do") {
     import spark.implicits._
     val pairs = SparkEntry.queries("dedup_lsh_ingest")(spark, sfDir)
