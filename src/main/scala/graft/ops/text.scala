@@ -857,6 +857,77 @@ object Text {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // BPE MERGE TRAINING — the tokenizer-training step of a data
+    // pipeline, run distributed: start from character symbols per
+    // distinct word (weighted by corpus frequency — the corpus-sized
+    // stream reduces to the distinct-word relation ONCE, and every
+    // iteration after that works on vocabulary-sized data), then k
+    // times: count adjacent symbol pairs, adopt the most frequent as a
+    // merge rule (ties broken lexicographically), and apply it greedily
+    // left-to-right in every word — the standard sequential BPE
+    // semantics, exactly (TextSpec pins equality against a plain-Scala
+    // reference run). Each iteration is one aggregate job over the
+    // cached vocabulary plus a map-only merge; the argmax is the only
+    // driver round-trip (one row per iteration, the pagerank-class
+    // shape). The greedy in-word merge is an aggregate fold whose CASE
+    // branches keep ANSI element_at off the empty array.
+    // Rows-only check: no SQL engine replays an iterated argmax+rewrite.
+    "text_bpe_merges" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val k = 8
+      var seqs = graft.InternalCaches.persistTracked(
+        tokenizedDocs(s, d)
+          .select(explode(col("t")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(col("freq"), split(col("w"), "").as("seq")),
+        eager = true)
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var rank = 0
+      var exhausted = false
+      while (rank < k && !exhausted) {
+        val top = seqs.filter(size(col("seq")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(0), size(col("seq")) - 2),
+              i => struct(element_at(col("seq"), i + 1).as("a"),
+                element_at(col("seq"), i + 2).as("b")))).as("p"))
+          .groupBy(col("p.a"), col("p.b"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(desc("n"), col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          rank += 1
+          merges += ((rank, a, b, n))
+          val prev = seqs
+          seqs = graft.InternalCaches.persistTracked(
+            prev.select(col("freq"),
+              aggregate(col("seq"), array().cast("array<string>"),
+                (acc, x) =>
+                  when(size(acc) === 0, concat(acc, array(x)))
+                    .when(element_at(acc, -1) === lit(a) && x === lit(b),
+                      concat(slice(acc, lit(1), size(acc) - 1),
+                        array(lit(a + b))))
+                    .otherwise(concat(acc, array(x)))).as("seq")),
+            eager = true)
+          prev.unpersist()
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("n", LongType, nullable = false)))
+      s.createDataFrame(
+        java.util.Arrays.asList(merges.toSeq.map {
+          case (r, a, b, n) => Row(r, a, b, n) }: _*),
+        schema).orderBy("rank")
+    }),
+
     // WEIGHTED deterministic sampling: each doc kept with probability
     // proportional to a quality proxy (token count, capped at 1.0 by 60
     // tokens) — the "sample good documents harder" knob a mixture

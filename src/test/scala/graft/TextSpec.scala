@@ -364,6 +364,46 @@ class TextSpec extends SparkSpec {
       "unpersist through the persisted handle must drop the entry")
   }
 
+  test("text_bpe_merges equals a sequential reference BPE run exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("text_bpe_merges")(spark, sfDir)
+      .as[(Int, String, String, Long)].collect().toList
+    // plain-Scala reference: same vocabulary, same tie-break, same
+    // greedy left-to-right merge — sequential ground truth
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").count()
+      .as[(String, Long)].collect()
+    var seqs: Seq[(Vector[String], Long)] =
+      vocab.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val want = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    for (rank <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (sq, f) =>
+        sq.zip(sq.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        want += ((rank, a, b, n))
+        seqs = seqs.map { case (sq, f) =>
+          val out = sq.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+          }
+          (out, f)
+        }
+      }
+    }
+    assert(got == want.toList,
+      s"distributed merges diverged from the sequential reference:\n" +
+        s"got  $got\nwant ${want.toList}")
+  }
+
   test("sample_weighted: deterministic, rate tracks mean weight, nests under shrink") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
