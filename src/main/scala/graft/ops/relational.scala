@@ -336,13 +336,6 @@ object Relational {
           when(col("age_days") <= 30, col("age_days")).as("age_days"))
         .orderBy("event_id")),
 
-    // Skew-safe salted join: the fact side's join key gains a deterministic
-    // salt (derived from the row, not random — replayable plans only), the
-    // dimension side is replicated once per salt value, and the join runs
-    // on (key, salt) — a hot key's rows spread over SALTS reducers instead
-    // of one. This is the manual form of AQE's skew-join split, needed
-    // when a key is hot EVERY run (AQE re-splits per query) or when the
-    // dimension must not broadcast. Result ≡ the unsalted join (oracle).
     // NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): null keys
     // MATCH each other instead of silently dropping — the semantics a
     // dimension with an "unknown" bucket needs. EqualNullSafe is still
@@ -362,6 +355,13 @@ object Relational {
         .orderBy(asc_nulls_first("k"))
     }),
 
+    // Skew-safe salted join: the fact side's join key gains a deterministic
+    // salt (derived from the row, not random — replayable plans only), the
+    // dimension side is replicated once per salt value, and the join runs
+    // on (key, salt) — a hot key's rows spread over SALTS reducers instead
+    // of one. This is the manual form of AQE's skew-join split, needed
+    // when a key is hot EVERY run (AQE re-splits per query) or when the
+    // dimension must not broadcast. Result ≡ the unsalted join (oracle).
     "join_salted" -> ((s, d) => {
       val salts = 8
       val e = events(s, d)

@@ -937,9 +937,14 @@ object Text {
     // re-runnable, and MONOTONE in the weight (shrinking every weight
     // yields a strict subset, the nesting law a curriculum re-sample
     // needs; TextSpec pins determinism, the realized rate, and nesting).
+    // A NULL text gets weight 0, not a free pass: least() SKIPS nulls,
+    // so without the coalesce a null token array would collapse the
+    // weight to the 1.0 literal and keep the emptiest document with
+    // certainty — the inverse of quality-proportional.
     // Rows-only check: the oracle cannot reproduce xxhash64.
     "sample_weighted" -> ((s, d) => {
-      val w = least(lit(1.0), size(col("t")).cast("double") / 60.0)
+      val w = least(lit(1.0),
+        coalesce(size(col("t")).cast("double"), lit(0.0)) / 60.0)
       val u = pmod(xxhash64(col("doc_id"), lit("wsamp")), lit(1000000))
         .cast("double") / 1000000.0
       tokenizedDocs(s, d)
