@@ -152,6 +152,19 @@ object Fn {
           size(map_keys(col("m"))).as("n_keys"))
         .orderBy("event_id")),
 
+    // Binary/encoding battery: string → bytes (encode), base64 and hex
+    // renderings, and the decode(unbase64(base64(...))) roundtrip that
+    // pins both directions at once. All map-side scalar work; both
+    // engines render hex uppercase and base64 unpadded-standard.
+    "fn_encoding" -> ((s, d) =>
+      customer(s, d).filter(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey"),
+          base64(encode(col("c_mktsegment"), "UTF-8")).as("b64"),
+          hex(encode(col("c_mktsegment"), "UTF-8")).as("hx"),
+          decode(unbase64(base64(encode(col("c_mktsegment"), "UTF-8"))),
+            "UTF-8").as("roundtrip"))
+        .orderBy("c_custkey")),
+
     // Higher-order-function battery — the lambda surface over arrays:
     // transform / filter / exists / forall / aggregate / zip_with, each
     // a Catalyst LambdaFunction over a 3-element per-row array (so the
@@ -317,6 +330,14 @@ object Fn {
       """SELECT event_id, event_type AS etype,
         |  CAST(user_id AS VARCHAR) AS euser, 2 AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_encoding" ->
+      """SELECT c_custkey,
+        |  to_base64(encode(c_mktsegment)) AS b64,
+        |  hex(encode(c_mktsegment)) AS hx,
+        |  decode(from_base64(to_base64(encode(c_mktsegment))))
+        |    AS roundtrip
+        |FROM customer WHERE c_custkey % 37 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "fn_hof" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(l_quantity + l_extendedprice + l_discount, 4) AS arr_sum,

@@ -170,6 +170,24 @@ object Windows {
         .orderBy("o_custkey", "eff_from", "o_orderkey")
     }),
 
+    // Per-entity STANDARDIZATION (z-score): each event's value relative
+    // to its user's mean/stddev — the feature-engineering normalization
+    // before any scale-sensitive model. One whole-partition window (no
+    // ORDER BY → full-frame aggregates, a single user exchange); the
+    // sd = 0 / sd NULL guard returns NULL instead of the ANSI
+    // divide-by-zero a constant-valued or single-event user would
+    // otherwise trigger (same hazard class as win_time_weighted).
+    "win_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val mu = avg(col("value")).over(w)
+      val sd = stddev_samp(col("value")).over(w)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (when(sd.isNotNull && sd =!= 0.0,
+            round((col("value") - mu) / sd, 6)) + lit(0.0)).as("z"))
+        .orderBy("event_id")
+    }),
+
     // TIME-WEIGHTED average (the TWAP mechanism): each observation is
     // weighted by how long it remained current — sum(value·Δt)/sum(Δt)
     // with Δt from lead(ts) — so irregular sampling stops biasing the
@@ -304,6 +322,16 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_zscore" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, value,
+        |    avg(value) OVER (PARTITION BY user_id) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+        |    ELSE round((value - mu) / sd, 6) + 0.0 END AS z
+        |FROM s ORDER BY event_id""".stripMargin,
     "win_time_weighted" ->
       """WITH seq AS (
         |  SELECT user_id, value,
