@@ -259,6 +259,48 @@ object Similarity {
         .orderBy("vec_id", "rn")
     }),
 
+    // HYBRID retrieval with reciprocal-rank fusion: the modern RAG /
+    // training-data retrieval shape — rank the corpus by keyword match
+    // (summed query-term tf, a map-side scalar) AND by embedding cosine
+    // against a probe vector, take the top-20 of each, and fuse with
+    // RRF: score = Σ 1/(60 + rank). Scale shape: each candidate list is
+    // a TakeOrderedAndProject (k-heap, NEVER a corpus-wide window); the
+    // row_number that assigns ranks runs over the 20-row survivor set
+    // (bounded by construction, a single tiny task); the probe vector
+    // broadcasts as one row; the fusion join is 20×20. The ORDER BY is
+    // a total order (score, doc_id) on both sides of the limit, so the
+    // cut and the ranks are deterministic across engines.
+    "sim_hybrid_rrf" -> ((s, d) => {
+      val K = 20
+      val probe = vecs(s, d).filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val vecTop = vecs(s, d).filter(col("vec_id") =!= 0)
+        .join(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("v"), col("qv"), col("nrm"), col("qn")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(K)
+        .withColumn("vr", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+      val terms = Seq("join", "scan", "vector")
+      val kwTop = documents(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .select(col("doc_id"),
+          terms.map(q => size(filter(col("t"), x => x === lit(q))))
+            .reduce(_ + _).as("kw"))
+        .filter(col("doc_id") =!= 0 && col("kw") > 0)
+        .orderBy(col("kw").desc, col("doc_id")).limit(K)
+        .withColumn("kr", row_number().over(
+          Window.orderBy(col("kw").desc, col("doc_id"))))
+      vecTop.select(col("doc_id"), col("vr"))
+        .join(kwTop.select(col("doc_id"), col("kr")), Seq("doc_id"),
+          "full")
+        .select(col("doc_id"), col("kr"), col("vr"),
+          round(coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("kr")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // Embedding-cosine near-dup: every pair whose rounded cosine clears
     // the threshold — EXACT all-pairs, distributed via the triangular
     // block shuffle (no broadcast side, no single-task pair space). The
@@ -372,6 +414,42 @@ object Similarity {
         |          / (a.nrm * b.nrm), 4) AS cos
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    "sim_hybrid_rrf" ->
+      """WITH e AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        |vt AS (
+        |  SELECT a.vec_id AS doc_id,
+        |    round(list_sum([a.v[i] * q.qv[i]
+        |      for i in range(1, len(a.v)+1)]) / (a.nrm * q.qn), 4) AS cos
+        |  FROM n a, q WHERE a.vec_id <> 0),
+        |vr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+        |    AS vr
+        |  FROM (SELECT * FROM vt ORDER BY cos DESC, doc_id LIMIT 20)),
+        |kw AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'join'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'scan'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'vector'))
+        |    AS kw
+        |  FROM documents WHERE doc_id <> 0),
+        |kr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY kw DESC, doc_id)
+        |    AS kr
+        |  FROM (SELECT * FROM kw WHERE kw > 0
+        |        ORDER BY kw DESC, doc_id LIMIT 20)),
+        |f AS (
+        |  SELECT coalesce(vr.doc_id, kr.doc_id) AS doc_id,
+        |    CAST(kr.kr AS INTEGER) AS kr, CAST(vr.vr AS INTEGER) AS vr
+        |  FROM vr FULL JOIN kr ON vr.doc_id = kr.doc_id)
+        |SELECT doc_id, kr, vr,
+        |  round(coalesce(1.0 / (60 + vr), 0)
+        |    + coalesce(1.0 / (60 + kr), 0), 6) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "sim_topk_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
