@@ -336,6 +336,40 @@ object Relational {
           when(col("age_days") <= 30, col("age_days")).as("age_days"))
         .orderBy("event_id")),
 
+    // CDC snapshot diff — the change-feed READ of a copy-on-write table:
+    // row-level (op, key, before, after) between two snapshot versions,
+    // classified by a single full outer join on the key (one shuffle per
+    // side; at lake scale both sides are the same partitioned layout, so
+    // the join co-locates). v1 is synthesized from v0 with every gate
+    // observable: every 101st key deleted, every 103rd price updated
+    // (by a ROUND-FREE +1.5 — a ×1.1-then-round update hit a .5-boundary
+    // rounding-mode disagreement between engines at sf0.1; addition is
+    // the identical double on both sides) (update emitted only when the
+    // value ACTUALLY changed —
+    // unchanged rows are filtered, the contract that keeps a change feed
+    // sparse), and a +20000 key range inserted.
+    "cdc_diff" -> ((s, d) => {
+      val v0 = orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"))
+      val v1 = v0.filter(col("k") % 101 =!= 0)
+        .select(col("k"),
+          when(col("k") % 103 === 0, col("price") + 1.5)
+            .otherwise(col("price")).as("price"))
+        .unionByName(v0.filter(col("k") % 97 === 0)
+          .select((col("k") + 20000).as("k"), col("price")))
+      v0.select(col("k"), col("price").as("before"))
+        .join(v1.select(col("k"), col("price").as("after")), Seq("k"),
+          "full")
+        .select(col("k"),
+          when(col("after").isNull, lit("delete"))
+            .when(col("before").isNull, lit("insert"))
+            .otherwise(lit("update")).as("op"),
+          col("before"), col("after"))
+        .filter(col("before").isNull || col("after").isNull
+          || col("before") =!= col("after"))
+        .orderBy("k")
+    }),
+
     // NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): null keys
     // MATCH each other instead of silently dropping — the semantics a
     // dimension with an "unknown" bucket needs. EqualNullSafe is still
@@ -1121,6 +1155,25 @@ object Relational {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "cdc_diff" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |v1 AS (
+        |  SELECT k, CASE WHEN k % 103 = 0 THEN price + 1.5
+        |    ELSE price END AS price
+        |  FROM v0 WHERE k % 101 <> 0
+        |  UNION ALL
+        |  SELECT k + 20000 AS k, price FROM v0 WHERE k % 97 = 0),
+        |d AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'delete'
+        |      WHEN a.k IS NULL THEN 'insert'
+        |      ELSE 'update' END AS op,
+        |    a.price AS before, b.price AS after
+        |  FROM v0 a FULL JOIN v1 b ON a.k = b.k)
+        |SELECT k, op, before, after FROM d
+        |WHERE before IS NULL OR after IS NULL OR before <> after
+        |ORDER BY k""".stripMargin,
     "join_null_safe" ->
       """WITH l AS (
         |  SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
