@@ -857,6 +857,45 @@ object Text {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Adjacent-token PMI — the co-occurrence statistic behind vocab
+    // induction and embedding sanity checks: for every ordered adjacent
+    // bigram with support ≥ 10, pmi = ln(p(a,b)/(p(a)·p(b))), ranked.
+    // Shuffle shape: bigram and unigram counts are both map-side-combined
+    // aggregates on token keys (the corpus stream reduces to
+    // vocabulary-sized relations before any join); the two totals ride
+    // broadcast single-row joins; the unigram joins are vocabulary-sized;
+    // final ranking is TakeOrdered over the support-filtered bigrams.
+    // PMI is computed as ONE identical expression both engines, rounded
+    // to 6 — log of a ratio of exact counts, so cross-engine doubles
+    // agree to the last ulp.
+    "text_pmi" -> ((s, d) => {
+      val tf = tokenizedDocs(s, d)
+        .withColumn("tf", filter(col("t"), x => length(x) > 0))
+      // sequence(1, size-1) is DESCENDING for 1-token docs — the size
+      // guard is load-bearing
+      val bigrams = graft.InternalCaches.persistTracked(
+        tf.filter(size(col("tf")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("tf")) - 1),
+            i => struct(element_at(col("tf"), i).as("a"),
+              element_at(col("tf"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n_ab")))
+      val uni = graft.InternalCaches.persistTracked(
+        tf.select(explode(col("tf")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n")))
+      val nTot = uni.agg(sum(col("n")).as("nn"))
+      val mTot = bigrams.agg(sum(col("n_ab")).as("mm"))
+      bigrams.filter(col("n_ab") >= 10)
+        .join(uni.select(col("token").as("a"), col("n").as("na")), "a")
+        .join(uni.select(col("token").as("b"), col("n").as("nb")), "b")
+        .join(broadcast(mTot)).join(broadcast(nTot))
+        .select(col("a"), col("b"), col("n_ab"),
+          (round(log((col("n_ab").cast("double") / col("mm"))
+            / ((col("na").cast("double") / col("nn"))
+              * (col("nb").cast("double") / col("nn")))), 6) + lit(0.0))
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+    }),
+
     // BPE MERGE TRAINING — the tokenizer-training step of a data
     // pipeline, run distributed: start from character symbols per
     // distinct word (weighted by corpus frequency — the corpus-sized
@@ -1753,6 +1792,31 @@ object Text {
         |    '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}')) AS INTEGER)
         |    AS n_masked
         |FROM corpus ORDER BY doc_id""".stripMargin,
+    "text_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, unnest(t) AS token,
+        |    generate_subscripts(t, 1) AS i FROM tok),
+        |uni AS (SELECT token, count(*) AS n FROM idx GROUP BY token),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni),
+        |pairs AS (
+        |  SELECT token AS a,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        |  FROM idx),
+        |bg AS (SELECT a, b, count(*) AS n_ab FROM pairs
+        |       WHERE b IS NOT NULL GROUP BY a, b),
+        |m AS (SELECT CAST(sum(n_ab) AS BIGINT) AS mm FROM bg)
+        |SELECT a, b, n_ab,
+        |  round(ln((n_ab::DOUBLE / mm)
+        |    / ((ua.n::DOUBLE / nn) * (ub.n::DOUBLE / nn))), 6) + 0.0
+        |    AS pmi
+        |FROM bg JOIN uni ua ON bg.a = ua.token
+        |  JOIN uni ub ON bg.b = ub.token, m, tot
+        |WHERE n_ab >= 10
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     // Text-equality dedup (vs the engine's 64-bit fingerprints) over the
     // identically canonicalized batch — green iff every pipeline stage
     // composes exactly.
