@@ -336,6 +336,35 @@ object Relational {
           when(col("age_days") <= 30, col("age_days")).as("age_days"))
         .orderBy("event_id")),
 
+    // Delete-one-bucket JACKKNIFE — error bars on a corpus statistic
+    // without resampling the data: rows hash into g=10 deterministic
+    // buckets (integer arithmetic, oracle-reproducible), each bucket
+    // contributes (sum, count), and the leave-one-out means θᵢ =
+    // (S−sᵢ)/(N−nᵢ) yield se = √((g−1)/g · Σ(θᵢ−θ̄)²). Everything after
+    // the one map-side-combined bucket aggregate is 10-row arithmetic —
+    // the standard-error of a 100 TB mean costs one aggregation pass.
+    // l_quantity is integral, so every bucket sum is an exact double and
+    // the estimator is bit-deterministic across engines.
+    "agg_jackknife" -> ((s, d) => {
+      val g = 10
+      val b = lineitem(s, d)
+        .groupBy(((col("l_orderkey") * 7 + col("l_linenumber")) % g)
+          .as("bkt"))
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      val tot = b.agg(sum(col("s")).as("ss"), sum(col("n")).as("nn"))
+      // Σ(θᵢ−θ̄)² = Σθ² − (Σθ)²/g: two plain sums instead of a
+      // centered second pass; at θ ≈ 25 the cancellation costs ~8 of 16
+      // double digits, far inside the 6-decimal rounding
+      b.join(broadcast(tot))
+        .select(((col("ss") - col("s")) / (col("nn") - col("n")))
+          .as("theta"), col("ss"), col("nn"))
+        .agg(round(first(col("ss")) / first(col("nn")), 6).as("mean"),
+          round(sqrt(((lit(g) - 1).cast("double") / g)
+            * (sum(pow(col("theta"), 2))
+              - pow(sum(col("theta")), 2) / g)), 6).as("jk_se"))
+        .select(col("mean"), col("jk_se"), lit(g).as("g"))
+    }),
+
     // CDC snapshot diff — the change-feed READ of a copy-on-write table:
     // row-level (op, key, before, after) between two snapshot versions,
     // classified by a single full outer join on the key (one shuffle per
@@ -1155,6 +1184,20 @@ object Relational {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "agg_jackknife" ->
+      """WITH b AS (
+        |  SELECT (l_orderkey * 7 + l_linenumber) % 10 AS bkt,
+        |    sum(l_quantity) AS s, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(s) AS ss, CAST(sum(n) AS BIGINT) AS nn FROM b),
+        |th AS (
+        |  SELECT (ss - s) / (nn - n) AS theta, ss, nn FROM b, tot)
+        |SELECT round(any_value(ss) / any_value(nn), 6) AS mean,
+        |  round(sqrt((9.0 / 10)
+        |    * (sum(theta * theta) - sum(theta) * sum(theta) / 10)), 6)
+        |    AS jk_se,
+        |  10 AS g
+        |FROM th""".stripMargin,
     "cdc_diff" ->
       """WITH v0 AS (
         |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
