@@ -347,21 +347,28 @@ object Relational {
     // the estimator is bit-deterministic across engines.
     "agg_jackknife" -> ((s, d) => {
       val g = 10
-      val b = lineitem(s, d)
-        .groupBy(((col("l_orderkey") * 7 + col("l_linenumber")) % g)
-          .as("bkt"))
-        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      // persisted: `b` feeds both the totals branch and the theta join —
+      // uncached, the corpus-sized aggregation (the query's only big
+      // work) would run once per branch
+      val b = graft.InternalCaches.persistTracked(
+        lineitem(s, d)
+          .groupBy(((col("l_orderkey") * 7 + col("l_linenumber")) % g)
+            .as("bkt"))
+          .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n")))
       val tot = b.agg(sum(col("s")).as("ss"), sum(col("n")).as("nn"))
       // Σ(θᵢ−θ̄)² = Σθ² − (Σθ)²/g: two plain sums instead of a
       // centered second pass; at θ ≈ 25 the cancellation costs ~8 of 16
-      // double digits, far inside the 6-decimal rounding
+      // double digits, far inside the 6-decimal rounding. The greatest-0
+      // clamp (both engines) guards the near-zero-variance corner where
+      // cancellation lands a few ulps NEGATIVE — Spark's sqrt would
+      // return NaN while DuckDB hard-errors, an asymmetric failure
       b.join(broadcast(tot))
         .select(((col("ss") - col("s")) / (col("nn") - col("n")))
           .as("theta"), col("ss"), col("nn"))
         .agg(round(first(col("ss")) / first(col("nn")), 6).as("mean"),
           round(sqrt(((lit(g) - 1).cast("double") / g)
-            * (sum(pow(col("theta"), 2))
-              - pow(sum(col("theta")), 2) / g)), 6).as("jk_se"))
+            * greatest(sum(pow(col("theta"), 2))
+              - pow(sum(col("theta")), 2) / g, lit(0.0))), 6).as("jk_se"))
         .select(col("mean"), col("jk_se"), lit(g).as("g"))
     }),
 
@@ -385,7 +392,7 @@ object Relational {
           when(col("k") % 103 === 0, col("price") + 1.5)
             .otherwise(col("price")).as("price"))
         .unionByName(v0.filter(col("k") % 97 === 0)
-          .select((col("k") + 20000).as("k"), col("price")))
+          .select((col("k") + 1000000000L).as("k"), col("price")))
       v0.select(col("k"), col("price").as("before"))
         .join(v1.select(col("k"), col("price").as("after")), Seq("k"),
           "full")
@@ -1194,7 +1201,8 @@ object Relational {
         |  SELECT (ss - s) / (nn - n) AS theta, ss, nn FROM b, tot)
         |SELECT round(any_value(ss) / any_value(nn), 6) AS mean,
         |  round(sqrt((9.0 / 10)
-        |    * (sum(theta * theta) - sum(theta) * sum(theta) / 10)), 6)
+        |    * greatest(sum(theta * theta)
+        |               - sum(theta) * sum(theta) / 10, 0.0)), 6)
         |    AS jk_se,
         |  10 AS g
         |FROM th""".stripMargin,
@@ -1206,7 +1214,7 @@ object Relational {
         |    ELSE price END AS price
         |  FROM v0 WHERE k % 101 <> 0
         |  UNION ALL
-        |  SELECT k + 20000 AS k, price FROM v0 WHERE k % 97 = 0),
+        |  SELECT k + 1000000000 AS k, price FROM v0 WHERE k % 97 = 0),
         |d AS (
         |  SELECT coalesce(a.k, b.k) AS k,
         |    CASE WHEN b.k IS NULL THEN 'delete'
