@@ -336,6 +336,34 @@ object Relational {
           when(col("age_days") <= 30, col("age_days")).as("age_days"))
         .orderBy("event_id")),
 
+    // Welch two-sample t-test — "is the difference real?": means,
+    // sample variances, and counts for the two compared groups come out
+    // of ONE map-side-combined aggregate pass; the t statistic and the
+    // Welch–Satterthwaite df are 1×1-join arithmetic after that. The
+    // 2-row group relation is persisted (two branches read it); both
+    // engines compute the identical closed-form expressions, rounding
+    // absorbs the var_samp merge-order ulps.
+    "agg_ttest" -> ((s, d) => {
+      val g = graft.InternalCaches.persistTracked(
+        lineitem(s, d).filter(col("l_returnflag").isin("A", "R"))
+          .groupBy(col("l_returnflag"))
+          .agg(avg(col("l_quantity")).as("m"),
+            var_samp(col("l_quantity")).as("v"),
+            count(lit(1)).as("n")))
+      val a = g.filter(col("l_returnflag") === "A")
+        .select(col("m").as("m1"), col("v").as("v1"), col("n").as("n1"))
+      val r = g.filter(col("l_returnflag") === "R")
+        .select(col("m").as("m2"), col("v").as("v2"), col("n").as("n2"))
+      val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+      a.join(r)
+        .select(round(col("m1") - col("m2"), 6).as("mean_diff"),
+          round((col("m1") - col("m2")) / sqrt(se2), 6).as("t"),
+          round(pow(se2, 2)
+            / (pow(col("v1") / col("n1"), 2) / (col("n1") - 1)
+              + pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2)
+            .as("df"))
+    }),
+
     // Delete-one-bucket JACKKNIFE — error bars on a corpus statistic
     // without resampling the data: rows hash into g=10 deterministic
     // buckets (integer arithmetic, oracle-reproducible), each bucket
@@ -1191,6 +1219,22 @@ object Relational {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "agg_ttest" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS m,
+        |    var_samp(l_quantity) AS v, count(*) AS n
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |  GROUP BY l_returnflag),
+        |a AS (SELECT m AS m1, v AS v1, n AS n1 FROM g
+        |      WHERE l_returnflag = 'A'),
+        |r AS (SELECT m AS m2, v AS v2, n AS n2 FROM g
+        |      WHERE l_returnflag = 'R')
+        |SELECT round(m1 - m2, 6) AS mean_diff,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+        |  round(pow(v1 / n1 + v2 / n2, 2)
+        |    / (pow(v1 / n1, 2) / (n1 - 1)
+        |      + pow(v2 / n2, 2) / (n2 - 1)), 2) AS df
+        |FROM a, r""".stripMargin,
     "agg_jackknife" ->
       """WITH b AS (
         |  SELECT (l_orderkey * 7 + l_linenumber) % 10 AS bkt,
