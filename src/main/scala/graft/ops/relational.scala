@@ -336,6 +336,33 @@ object Relational {
           when(col("age_days") <= 30, col("age_days")).as("age_days"))
         .orderBy("event_id")),
 
+    // Chi-square independence test over a categorical contingency
+    // table: observed cell counts from ONE map-side-combined pass,
+    // expected = row·col/N from broadcast marginals, χ² = Σ(O−E)²/E.
+    // The cell relation is category-cardinality-sized — every join after
+    // the first aggregate is tiny — and counts are exact integers, so
+    // the statistic is deterministic across engines under rounding.
+    "agg_chi_square" -> ((s, d) => {
+      val cells = graft.InternalCaches.persistTracked(
+        lineitem(s, d)
+          .groupBy(col("l_returnflag").as("rf"),
+            col("l_linestatus").as("ls"))
+          .agg(count(lit(1)).as("o")))
+      val rowT = cells.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("nn"),
+        countDistinct(col("rf")).as("r"),
+        countDistinct(col("ls")).as("c"))
+      cells.join(broadcast(rowT), "rf").join(broadcast(colT), "ls")
+        .join(broadcast(tot))
+        .select(col("o"), col("r"), col("c"),
+          (col("rt").cast("double") * col("ct") / col("nn")).as("e"))
+        .groupBy(col("r"), col("c"))
+        .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+          .as("chi2"))
+        .select(col("chi2"), ((col("r") - 1) * (col("c") - 1)).as("df"))
+    }),
+
     // Welch two-sample t-test — "is the difference real?": means,
     // sample variances, and counts for the two compared groups come out
     // of ONE map-side-combined aggregate pass; the t statistic and the
@@ -1219,6 +1246,22 @@ object Relational {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "agg_chi_square" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT rf, CAST(sum(o) AS BIGINT) AS rt FROM cells
+        |       GROUP BY rf),
+        |ct AS (SELECT ls, CAST(sum(o) AS BIGINT) AS ct FROM cells
+        |       GROUP BY ls),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |  count(DISTINCT rf) AS r, count(DISTINCT ls) AS c FROM cells)
+        |SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+        |  CAST(any_value((r - 1) * (c - 1)) AS BIGINT) AS df
+        |FROM (
+        |  SELECT cells.o, tot.r, tot.c,
+        |    rt.rt::DOUBLE * ct.ct / tot.nn AS e
+        |  FROM cells JOIN rt USING (rf) JOIN ct USING (ls), tot)""".stripMargin,
     "agg_ttest" ->
       """WITH g AS (
         |  SELECT l_returnflag, avg(l_quantity) AS m,
