@@ -753,6 +753,31 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Classifier EVALUATION against gold labels — the confusion matrix
+    // every heuristic filter needs before it gates a corpus: the
+    // language-ID prediction (same rule as text_langid) crossed with the
+    // gold `lang` column, as cells (gold, pred, n) plus the
+    // row-normalized fraction (the diagonal rows are per-class recall).
+    // One map-side-combined pass produces the label-cardinality-sized
+    // cell relation; the gold totals ride a broadcast join.
+    "text_langid_eval" -> ((s, d) => {
+      val t = col("t")
+      val pred = when(
+        size(filter(t, tk => tk.isInCollection(EnStop))).cast("double")
+          / size(t) >= 0.02, "en").otherwise("und")
+      val cm = graft.InternalCaches.persistTracked(
+        tokenizedDocs(s, d)
+          .select(col("lang").as("gold"), pred.as("pred"))
+          .groupBy(col("gold"), col("pred"))
+          .agg(count(lit(1)).as("n")))
+      val g = cm.groupBy(col("gold")).agg(sum(col("n")).as("gold_total"))
+      cm.join(broadcast(g), "gold")
+        .select(col("gold"), col("pred"), col("n"), col("gold_total"),
+          round(col("n").cast("double") / col("gold_total"), 4)
+            .as("frac"))
+        .orderBy("gold", "pred")
+    }),
+
     // Quality scoring: token count, type/token ratio, and a bounded
     // composite score — the filter signal for corpus cleaning.
     "text_quality" -> ((s, d) => {
@@ -1616,6 +1641,19 @@ object Text {
          |       THEN 'en' ELSE 'und' END AS pred_lang
          |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "text_langid_eval" ->
+      s"""WITH s AS (
+         |  SELECT lang AS gold,
+         |    CASE WHEN len(list_filter(t, tk -> tk IN ($stopList)))::DOUBLE
+         |              / len(t) >= 0.02
+         |         THEN 'en' ELSE 'und' END AS pred
+         |  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)),
+         |cm AS (SELECT gold, pred, count(*) AS n FROM s GROUP BY 1, 2),
+         |g AS (SELECT gold, CAST(sum(n) AS BIGINT) AS gold_total FROM cm
+         |      GROUP BY gold)
+         |SELECT gold, pred, n, gold_total,
+         |  round(n::DOUBLE / gold_total, 4) AS frac
+         |FROM cm JOIN g USING (gold) ORDER BY gold, pred""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
         |  CAST(len(list_distinct(t)) AS INTEGER) AS n_uniq,
