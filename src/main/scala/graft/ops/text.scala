@@ -882,6 +882,31 @@ object Text {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Domain-concentration GINI — one number for "how skewed is the
+    // mixture": the Gini coefficient over per-source token counts via
+    // the sorted-rank identity G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n.
+    // The corpus reduces to the per-source aggregate first; the sort and
+    // rank run over the domain-cardinality-sized relation (the window is
+    // post-aggregation — never over the corpus). Integer token counts ⇒
+    // exact sums ⇒ deterministic across engines.
+    "agg_gini" -> ((s, d) => {
+      val perSrc = tokenizedDocs(s, d)
+        .select(col("source"),
+          size(filter(col("t"), x => length(x) > 0)).cast("long")
+            .as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x"), col("source"))
+      perSrc
+        .select(col("x"), row_number().over(w).as("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(
+          round(lit(2.0) * col("six") / (col("n") * col("sx"))
+            - (col("n") + 1).cast("double") / col("n"), 6).as("gini"),
+          col("n").as("n_domains"))
+    }),
+
     // Adjacent-token PMI — the co-occurrence statistic behind vocab
     // induction and embedding sanity checks: for every ordered adjacent
     // bigram with support ≥ 10, pmi = ln(p(a,b)/(p(a)·p(b))), ranked.
@@ -1830,6 +1855,19 @@ object Text {
         |    '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]{4}|[0-9]{6,}')) AS INTEGER)
         |    AS n_masked
         |FROM corpus ORDER BY doc_id""".stripMargin,
+    "agg_gini" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0))) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM per)
+        |SELECT
+        |  round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |    - (count(*) + 1)::DOUBLE / count(*), 6) AS gini,
+        |  CAST(count(*) AS BIGINT) AS n_domains
+        |FROM r""".stripMargin,
     "text_pmi" ->
       """WITH tok AS (
         |  SELECT doc_id,
