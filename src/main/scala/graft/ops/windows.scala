@@ -170,6 +170,28 @@ object Windows {
         .orderBy("o_custkey", "eff_from", "o_orderkey")
     }),
 
+    // Period-over-period PERCENT CHANGE per entity — the reporting
+    // staple: (value − prev)/prev against the previous observation in
+    // event-time order. First row per user is NULL (no prior), and a
+    // zero prior is guarded to NULL on both engines (the ANSI
+    // divide-by-zero class; fixtures carry no zeros, the guard is for
+    // the contract). Truncation is FLOOR-based, not round(): both
+    // engines compute the identical ratio double, and floor of the
+    // identical double is bit-identical, while round() hit a decimal
+    // half-boundary (8.0046875) where the engines' rounding modes
+    // disagree. One user exchange, same shape as win_lag_lead.
+    "win_pct_change" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("value"), 1).over(w)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (when(prev.isNotNull && prev =!= 0.0,
+            floor(((col("value") - prev) / prev) * 1e6) / 1e6)
+            + lit(0.0)).as("pct_change"))
+        .orderBy("event_id")
+    }),
+
     // Per-entity STANDARDIZATION (z-score): each event's value relative
     // to its user's mean/stddev — the feature-engineering normalization
     // before any scale-sensitive model. One whole-partition window (no
@@ -322,6 +344,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_pct_change" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+        |    ELSE floor(((value - prev) / prev) * 1e6) / 1e6 + 0.0
+        |    END AS pct_change
+        |FROM s ORDER BY event_id""".stripMargin,
     "win_zscore" ->
       """WITH s AS (
         |  SELECT event_id, user_id, value,
