@@ -176,6 +176,25 @@ object IO {
         .orderBy("b", "r_regionkey")
     }),
 
+    // Multi-path scan — one read over SEVERAL batch directories (the
+    // daily-drop layout: each ingest lands its own directory and a
+    // consumer reads the union without a copy). Two disjoint halves of
+    // the documents table land in separate dirs; the multi-path read
+    // must reconstruct exactly the whole table (per-lang counts vs the
+    // single-table oracle). File listing unions the paths; everything
+    // downstream is one ordinary scan.
+    "scan_multi_path" -> ((s, d) => {
+      val dir = tmpDir(d, "multipath")
+      documents(s, d).filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/day1")
+      documents(s, d).filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$dir/day2")
+      s.read.parquet(s"$dir/day1", s"$dir/day2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    }),
+
     "sink_parquet" -> ((s, d) => {
       val dir = tmpDir(d, "parquet")
       region(s, d).write.mode("overwrite").parquet(dir)
@@ -415,6 +434,10 @@ object IO {
         |FROM nation""".stripMargin,
     "sink_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_multi_path" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "scan_schema_evolution" ->
       """SELECT r_regionkey, r_name, CAST(NULL AS INTEGER) AS name_len,
         |  1 AS b FROM region

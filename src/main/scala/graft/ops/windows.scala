@@ -170,6 +170,20 @@ object Windows {
         .orderBy("o_custkey", "eff_from", "o_orderkey")
     }),
 
+    // RATIO-TO-REPORT: each event's share of its user's total — the
+    // classic reporting window (value / sum over partition). Full-frame
+    // sum, one user exchange; the total is exact-per-partition double
+    // summation whose order may differ between engines, absorbed by the
+    // rounding (shares are O(1), ulps at 1e-16).
+    "win_ratio_to_report" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (round(col("value") / sum(col("value")).over(w), 6) + lit(0.0))
+            .as("share"))
+        .orderBy("event_id")
+    }),
+
     // Period-over-period PERCENT CHANGE per entity — the reporting
     // staple: (value − prev)/prev against the previous observation in
     // event-time order. First row per user is NULL (no prior), and a
@@ -344,6 +358,11 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_ratio_to_report" ->
+      """SELECT event_id, user_id,
+        |  round(value / sum(value) OVER (PARTITION BY user_id), 6) + 0.0
+        |    AS share
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_pct_change" ->
       """WITH s AS (
         |  SELECT event_id, user_id, value,
