@@ -477,6 +477,15 @@ object Text {
   private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
     "for", "with")
 
+  /** THE language-ID decision rule (stopword-hit ratio ≥ 0.02 → "en") —
+    * one definition shared by `text_langid` and its evaluation
+    * `text_langid_eval`, so the confusion matrix always measures the
+    * classifier that actually runs (the two oracle SQL strings mirror
+    * this rule and are cross-checked by both keys' gates).
+    */
+  private def langidPred(enHits: Column, nTok: Column): Column =
+    when(enHits.cast("double") / nTok >= 0.02, "en").otherwise("und")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on content hash, keep-first (minimum doc_id). The input
     // corpus is documents ∪ a deterministic "re-crawl" of every 10th doc
@@ -745,9 +754,7 @@ object Text {
           size(filter(t, tk => tk.isInCollection(EnStop))).as("en_hits"))
         .withColumn("stop_ratio",
           round(col("en_hits").cast("double") / col("n_tok"), 4))
-        .withColumn("pred_lang",
-          when(col("en_hits").cast("double") / col("n_tok") >= 0.02, "en")
-            .otherwise("und"))
+        .withColumn("pred_lang", langidPred(col("en_hits"), col("n_tok")))
         .select(col("doc_id"), col("n_tok"), col("en_hits"),
           col("stop_ratio"), col("pred_lang"))
         .orderBy("doc_id")
@@ -762,9 +769,8 @@ object Text {
     // cell relation; the gold totals ride a broadcast join.
     "text_langid_eval" -> ((s, d) => {
       val t = col("t")
-      val pred = when(
-        size(filter(t, tk => tk.isInCollection(EnStop))).cast("double")
-          / size(t) >= 0.02, "en").otherwise("und")
+      val pred = langidPred(
+        size(filter(t, tk => tk.isInCollection(EnStop))), size(t))
       val cm = graft.InternalCaches.persistTracked(
         tokenizedDocs(s, d)
           .select(col("lang").as("gold"), pred.as("pred"))
@@ -773,7 +779,10 @@ object Text {
       val g = cm.groupBy(col("gold")).agg(sum(col("n")).as("gold_total"))
       cm.join(broadcast(g), "gold")
         .select(col("gold"), col("pred"), col("n"), col("gold_total"),
-          round(col("n").cast("double") / col("gold_total"), 4)
+          // floor-truncated, not round(): n/gold_total is a ratio of
+          // small exact integers — the class that lands on decimal
+          // half-boundaries where the engines' rounding modes disagree
+          (floor(col("n").cast("double") / col("gold_total") * 1e4) / 1e4)
             .as("frac"))
         .orderBy("gold", "pred")
     }),
@@ -1677,7 +1686,7 @@ object Text {
          |g AS (SELECT gold, CAST(sum(n) AS BIGINT) AS gold_total FROM cm
          |      GROUP BY gold)
          |SELECT gold, pred, n, gold_total,
-         |  round(n::DOUBLE / gold_total, 4) AS frac
+         |  floor(n::DOUBLE / gold_total * 1e4) / 1e4 AS frac
          |FROM cm JOIN g USING (gold) ORDER BY gold, pred""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,

@@ -174,12 +174,16 @@ object Windows {
     // classic reporting window (value / sum over partition). Full-frame
     // sum, one user exchange; the total is exact-per-partition double
     // summation whose order may differ between engines, absorbed by the
-    // rounding (shares are O(1), ulps at 1e-16).
+    // rounding (shares are O(1), ulps at 1e-16). The zero-total guard
+    // returns NULL for an all-zero user (value = 0 rows EXIST at sf0.1)
+    // instead of the asymmetric ANSI-error/inf split the sibling window
+    // guards all prevent.
     "win_ratio_to_report" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
+      val tot = sum(col("value")).over(w)
       events(s, d)
         .select(col("event_id"), col("user_id"),
-          (round(col("value") / sum(col("value")).over(w), 6) + lit(0.0))
+          (when(tot =!= 0.0, round(col("value") / tot, 6)) + lit(0.0))
             .as("share"))
         .orderBy("event_id")
     }),
@@ -188,8 +192,9 @@ object Windows {
     // staple: (value − prev)/prev against the previous observation in
     // event-time order. First row per user is NULL (no prior), and a
     // zero prior is guarded to NULL on both engines (the ANSI
-    // divide-by-zero class; fixtures carry no zeros, the guard is for
-    // the contract). Truncation is FLOOR-based, not round(): both
+    // divide-by-zero class; the sf0.1 events fixture CONTAINS value=0
+    // rows, so the guard is load-bearing at bench scale, not merely
+    // contractual). Truncation is FLOOR-based, not round(): both
     // engines compute the identical ratio double, and floor of the
     // identical double is bit-identical, while round() hit a decimal
     // half-boundary (8.0046875) where the engines' rounding modes
@@ -360,8 +365,9 @@ object Windows {
   val oracle: Map[String, String] = Map(
     "win_ratio_to_report" ->
       """SELECT event_id, user_id,
-        |  round(value / sum(value) OVER (PARTITION BY user_id), 6) + 0.0
-        |    AS share
+        |  CASE WHEN sum(value) OVER (PARTITION BY user_id) = 0 THEN NULL
+        |    ELSE round(value / sum(value) OVER (PARTITION BY user_id), 6)
+        |      + 0.0 END AS share
         |FROM events ORDER BY event_id""".stripMargin,
     "win_pct_change" ->
       """WITH s AS (
