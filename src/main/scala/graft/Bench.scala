@@ -66,15 +66,29 @@ object Bench {
       // (an instant analysis failure would otherwise print "-0.000")
       name -> (if (ok) sec else -math.max(sec, 0.001))
     }
-    // ms precision and no excess digits: the driver keeps only the TAIL of
-    // the sbt log, so the whole JSON line must stay comfortably under its
-    // buffer (r02's 9-significant-digit line was truncated → "parsed": null)
+    // The driver keeps only the TAIL of the sbt log (~2000 chars). At 176
+    // keys the full per-query map alone is >4000 chars, so any line carrying
+    // it gets its head (and the "value" total) sliced off (r06: "parsed":
+    // null, only the alphabetical s–w slice survived). Output contract:
+    //  1. full per-query JSON → BENCH_DETAIL.json next to the build (and
+    //     echoed on ONE early log line for humans / full-log captures);
+    //  2. the LAST stdout line is a short self-contained summary — total,
+    //     errors, slowest-5 — guaranteed to fit the tail buffer whole.
     def n3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    val slowest = results.sortBy { case (_, v) => -math.abs(v) }.take(5)
+      .map { case (k, v) => "\"" + k + "\":" + n3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"slowest":$slowest,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

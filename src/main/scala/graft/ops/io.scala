@@ -98,8 +98,8 @@ object IO {
 
   val queries: Map[String, Q] = Map(
     // Newline-text scan of the reference's own data.txt (O2 read path).
-    // Rows-only driver check (✂ presentation op): the file is engine-local,
-    // not an sfDir table, so no DuckDB oracle applies.
+    // Oracle: DuckDB reads the same bytes from the resource's repo source
+    // path as a delimiterless CSV (see oracle map).
     "scan_text" -> ((s, _) =>
       s.read.text(materializedResource("data.txt")).orderBy("value")),
 
@@ -419,7 +419,17 @@ object IO {
   )
 
   val oracle: Map[String, String] = Map(
-    // scan_text: rows-only (engine-local file, ✂).
+    // scan_text reads a bundled classpath resource; the oracle reads the
+    // SAME bytes from the resource's source path in the repo (stable,
+    // unlike the process-local materialized copy) as a single-column
+    // "CSV" whose delimiter (\x01) never occurs in the data — DuckDB's
+    // way to spell read-lines. quote/escape disabled so embedded quotes
+    // pass through verbatim, matching Spark's read.text.
+    "scan_text" ->
+      """SELECT value FROM read_csv(
+        |  '/root/repo/src/main/resources/reference/data.txt',
+        |  header=false, delim=E'\x01', quote='', escape='',
+        |  columns={'value':'VARCHAR'}) ORDER BY value""".stripMargin,
     "scan_csv_schema" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     // scan_csv_malformed: the 3 planted bad lines are the operator's own

@@ -136,23 +136,42 @@ object Mr {
     // (`Popen(['python', mapper], stdin=chunk)`, `Worker/worker.py:88-96`).
     // The script is deterministic (pure line transform), so this entry is
     // oracle-checkable, unlike arbitrary pipes (SURVEY.md §7.5 item 3).
+    // Env guard (§7.5 item 3's promised check): a leaner worker image may
+    // lack python3 — probed on PATH up front, and when absent the SAME
+    // line transform pipes through POSIX `tr` instead. Still a real
+    // external process per partition (the exec model under test), still
+    // byte-identical output (the lines carry no interior trimmable
+    // whitespace) — the bench/verify line degrades gracefully instead of
+    // hard-failing 32 tasks deep.
     "pipe_script" -> ((s, d) => {
       import s.implicits._
       val script = "import sys\n" +
         "for line in sys.stdin:\n" +
         "    print(line.strip().upper())"
+      val python3OnPath = sys.env.getOrElse("PATH", "")
+        .split(java.io.File.pathSeparator)
+        .exists(p => p.nonEmpty &&
+          new java.io.File(p, "python3").canExecute)
+      val cmd =
+        if (python3OnPath) Seq("python3", "-c", script)
+        else {
+          System.err.println(
+            "[pipe_script] python3 not on PATH; piping through `tr` instead")
+          Seq("tr", "[:lower:]", "[:upper:]")
+        }
       val lines = nation(s, d)
         .select(concat_ws(",", col("n_name"), col("n_nationkey")).as("line"))
         .as[String]
-      lines.rdd.pipe(Seq("python3", "-c", script))
+      lines.rdd.pipe(cmd)
         .toDF("line")
         .orderBy("line")
     }),
 
     // Partition-local sort (O5, `Worker/worker.py:179-183`): W hash runs,
     // each sorted on the key — the physical shape every MR reduce consumes.
-    // No global observable (rows-only driver check); the per-partition
-    // ordering + co-location contract is asserted in MrSpec.
+    // The row MULTISET is oracle-checked (move rows, never drop/dup/mutate);
+    // the per-partition ordering + co-location contract is asserted in
+    // MrSpec.
     "sort_within_partitions" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
@@ -223,8 +242,14 @@ object Mr {
     "mr_wordcount" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |WHERE length(token) > 0 GROUP BY token ORDER BY token""".stripMargin
-    // sort_within_partitions: rows-only (no global observable; per-partition
-    // ordering asserted in MrSpec).
+        |WHERE length(token) > 0 GROUP BY token ORDER BY token""".stripMargin,
+    // sort_within_partitions: the ROW MULTISET is the global observable
+    // (driver sorts rows before hashing) — the oracle pins that the
+    // repartition+sort moved rows without dropping/duplicating/mutating
+    // any; the per-partition ordering + co-location contract itself is
+    // asserted in MrSpec.
+    "sort_within_partitions" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -674,13 +674,17 @@ object Relational {
     // collect_set dedups inside partial-aggregate state (map-side
     // combine), so the shuffle carries per-partition distinct sets, not
     // rows; array_sort pins the output order — a set has none, and a
-    // hash-compared result can't tolerate permutation. Scale note: the
+    // hash-compared result can't tolerate permutation. The sorted set is
+    // emitted as ONE comma-joined string column: a scalar survives any
+    // downstream hash/sort compare, where an array column does not
+    // (harness compares choke on unhashable list cells). Scale note: the
     // set is bounded by the source-domain cardinality (20 here), NOT the
     // row count — collect_list would be the unbounded-state trap.
     "agg_collect_set" -> ((s, d) =>
       documents(s, d)
         .groupBy(col("lang"))
-        .agg(array_sort(collect_set(col("source"))).as("sources"),
+        .agg(array_join(array_sort(collect_set(col("source"))), ",")
+            .as("sources"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang")),
 
@@ -1440,7 +1444,8 @@ object Relational {
         |  CAST(count_if(value > 250) AS BIGINT) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_collect_set" ->
-      """SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+      """SELECT lang,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "agg_stats" ->

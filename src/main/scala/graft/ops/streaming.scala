@@ -53,7 +53,9 @@ object Streaming {
 
     // Stateful dedup on event_id (batch form; streaming form with
     // watermark in `streamingDedup`). event_ids are unique in the fixture,
-    // so the check is rows-only; the harness test feeds real duplicates.
+    // so dedup is deterministic there and the plain-projection oracle is a
+    // full hash check (identity on unique keys); the harness test feeds
+    // real duplicates to exercise the keep-one path.
     "stream_stateful_dedup" -> ((s, d) =>
       events(s, d)
         .dropDuplicates("event_id")
@@ -108,7 +110,85 @@ object Streaming {
     // form here is the semantics both must agree on. Same keyed
     // join shape as stream_interval_join — equality on user_id plans an
     // SMJ/SHJ, one shuffle per side at any scale, never a nested loop.
-    "stream_left_join" -> ((s, d) => batchIntervalJoin(s, d, "left"))
+    "stream_left_join" -> ((s, d) => batchIntervalJoin(s, d, "left")),
+
+    // WATERMARK LATE-DROP AUDIT (batch-observable twin of the
+    // streaming-only watermark behavior — the true readStream form with
+    // an actual dropped row is [[streamingTumbling]] + StreamingSpec's
+    // late-row test). Semantics: arrival order = event_id; the watermark
+    // before each arrival is max(event time over strictly-preceding
+    // arrivals) − 10 min (the micro-batch-of-one limit of Spark's
+    // watermark rule); a row the engine would drop is one whose event
+    // time is below that. Output: per-type dropped-late counts — the
+    // audit a pipeline runs BEFORE picking a watermark delay.
+    // Scale shape: the global prefix-max is the same one-task trap as
+    // text_pack_sequences' global cumsum, and gets the same two-phase
+    // fix — range-partition on event_id, per-partition running max via
+    // pid-keyed windows, then a partition-count-sized prefix relation
+    // broadcast back. Eager persist: both phases must read the SAME
+    // materialized partition assignment (range bounds are sampled;
+    // spark_partition_id is nondeterministic). The late/on-time verdict
+    // is boundary-invariant — greatest(local prefix, prior-partition
+    // max) is the global prefix max under ANY ordered partitioning —
+    // which the single-window oracle checks.
+    "stream_watermark_late" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val delayUs = 600000000L // 10 minutes
+      val e = events(s, d).select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val part = graft.InternalCaches.persistTracked(
+        e.repartitionByRange(8, col("event_id"))
+          .withColumn("pid", spark_partition_id()),
+        eager = true)
+      val localHi = part.withColumn("local_hi",
+        max(col("us")).over(
+          W.partitionBy(col("pid")).orderBy(col("event_id"))
+            .rowsBetween(W.unboundedPreceding, -1)))
+      val prior = part.groupBy(col("pid"))
+        .agg(max(col("us")).as("pmax"))
+        .withColumn("prior_hi",
+          max(col("pmax")).over(
+            W.orderBy(col("pid")).rowsBetween(W.unboundedPreceding, -1)))
+        .select(col("pid"), col("prior_hi"))
+      localHi.join(broadcast(prior), Seq("pid"))
+        // greatest skips nulls; null only when BOTH are (first row
+        // globally) → late predicate NULL → count_if false, both engines.
+        .withColumn("hi", greatest(col("local_hi"), col("prior_hi")))
+        .groupBy(col("event_type"))
+        .agg(count_if(col("us") < col("hi") - lit(delayUs)).as("n_late"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    }),
+
+    // STREAMING HEAVY HITTERS, batch-observable form: the same
+    // Misra-Gries sketch the true flatMapGroupsWithState form
+    // ([[streamingHeavyHitters]], state-law-tested in StreamingSpec)
+    // folds per shard, run here as text_heavy_hitters' two-pass batch
+    // path over the event-type stream — per-partition MG candidate
+    // summaries (bounded cap·partitions rows leave the executors), then
+    // an exact broadcast-semi recount of candidates only. MG's
+    // no-false-negative guarantee (any item with n > N/k survives some
+    // partition summary at cap ≥ k) makes the recounted output EXACTLY
+    // the true heavy hitters — deterministic and hash-comparable against
+    // a plain exact oracle, sketch error paid only in candidate slack.
+    "stream_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 5
+      val cap = 16
+      val tok = events(s, d).select(col("event_type"))
+      val sketch = graft.InternalCaches.persistTracked(
+        tok.as[String].mapPartitions(Text.mgSketch(cap))
+          .toDF("event_type", "part_rows"), eager = true)
+      val cands = sketch.filter(col("event_type") =!= "")
+        .select("event_type").distinct()
+      val total = sketch.agg(sum(col("part_rows")).as("total"))
+      tok.join(broadcast(cands), Seq("event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * k > col("total"))
+        .select(col("event_type"), col("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    })
   )
 
   /** The one attribution-join body both batch interval queries share —
@@ -190,7 +270,35 @@ object Streaming {
         |           FROM events WHERE event_type = 'click') b
         |  ON a.user_id = b.c_user AND b.c_us > a.v_us
         |     AND b.c_us <= a.v_us + 600000000
-        |ORDER BY user_id, v_us, c_us NULLS FIRST""".stripMargin
+        |ORDER BY user_id, v_us, c_us NULLS FIRST""".stripMargin,
+    // stream_stateful_dedup: event_ids are unique in the fixture, so
+    // dropDuplicates is the identity projection — a full multiset hash
+    // check (driver sorts rows before hashing; duplicates are exercised
+    // by the harness test).
+    "stream_stateful_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    // Single-window form of the two-phase prefix max: hi over strictly-
+    // preceding arrivals; first row's NULL hi → NULL predicate → not
+    // counted, matching Spark's count_if.
+    "stream_watermark_late" ->
+      """WITH a AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count_if(us < hi - 600000000) AS BIGINT) AS n_late,
+        |  count(*) AS n_rows
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Plain exact heavy hitters — the sketch+recount path must agree
+    // exactly (MG no-false-negative + exact candidate recount).
+    "stream_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT event_type, n FROM c, t WHERE n * 5 > total
+        |ORDER BY n DESC, event_type""".stripMargin
   )
 
   // ---- true Structured Streaming forms (harness-tested) -------------------
