@@ -120,11 +120,12 @@ object Similarity {
     * Determinism: centroid coordinates are rounded to 6 decimals each
     * round, so the order-dependent last-ulp of the distributed mean
     * cannot flip a boundary assignment between runs. Seeds are the K
-    * lowest vec_ids — deterministic, no RNG. d² = |v|² + |c|² − 2·v·c
-    * over the fused codegen'd dot. Rows-only driver check (an iterative
-    * float refinement has no stable SQL oracle); the assignment
-    * self-consistency, objective-descent, and determinism laws live in
-    * AccuracySpec.
+    * lowest vec_ids — deterministic, no RNG. d² is the sequential
+    * Σ(v_j−c_j)² fold inside [[graft.expr.CentroidScores]]. That
+    * determinism is strong enough for a FULL SQL oracle (r7): 3 unrolled
+    * assign/update CTE rounds in DuckDB reproduce the output
+    * bit-for-bit. The assignment self-consistency, objective-descent,
+    * and determinism laws additionally live in AccuracySpec.
     *
     * [[ivfCentroids]] runs the training loop and returns the final K-row
     * centroid relation `(cid, c)` (persisted — the consumers read it
@@ -201,9 +202,10 @@ object Similarity {
     // the source's cell is always near the top of the clone's centroid
     // ranking. Cost envelope: probe replication is nprobe×q rows, pair
     // work stays Σ(probe∩cell) after ONE shuffle on the cell id — the
-    // same shape that survives a 1000× corpus. Rows-only driver check
-    // (inherits the trainer's no-SQL-oracle status); the planted-clone
-    // recall law in AccuracySpec is the end-to-end accuracy pin.
+    // same shape that survives a 1000× corpus. Fully oracle-gated (r7):
+    // the DuckDB side replays the k-means rounds then the probe+rank
+    // stage; the planted-clone recall law in AccuracySpec remains the
+    // end-to-end accuracy pin.
     "sim_ann_ivf_trained" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       val nprobe = Text.intConf(embeddings(s, d), "spark.graft.ivf.nprobe", 2)
@@ -485,6 +487,93 @@ object Similarity {
         |          ORDER BY cos DESC, nbr_id) AS rn
         |      FROM p)
         |SELECT vec_id, label, CAST(rn AS INTEGER) AS rn, nbr_id, cos
-        |FROM r WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+    // FULL k-means SQL replay (r7): the training loop is deterministic by
+    // construction — id-prefix seeds, centroids rounded to 6 decimals per
+    // round (absorbs distributed-sum last-ulp), argmin tie-broken by cid —
+    // so 3 unrolled assign/update CTE rounds reproduce the Spark output
+    // bit-for-bit. d² is the same sequential Σ(v_j-c_j)² fold
+    // (list_zip + list_sum ≡ the codegen'd loop, exact double equality
+    // verified row-for-row at sf0.01 before this oracle landed). An empty
+    // cell vanishes from the update in both engines (groupBy emits no
+    // row). Constants pinned to the query defaults: k=8 seeds, 3 rounds,
+    // dim 64, nprobe=2, top-3.
+    "sim_ivf_train" ->
+      (ivfReplayCtes +
+      """a4 AS (SELECT vec_id, v, cid AS cell, d2 FROM (
+        |    SELECT x.vec_id, x.v, c.cid, x2.d2,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY x2.d2, c.cid) AS rn
+        |    FROM v x CROSS JOIN u3 c
+        |    CROSS JOIN LATERAL (
+        |      SELECT list_sum(list_transform(list_zip(x.v, c.c),
+        |        z -> (z[1] - z[2])*(z[1] - z[2]))) AS d2) x2
+        |  ) WHERE rn = 1)
+        |SELECT vec_id, cell, round(d2, 4) AS d2 FROM a4
+        |ORDER BY vec_id""".stripMargin),
+    // Same replay, then the multi-probe search stage: probes = the
+    // nprobe=2 nearest trained centroids per vector (rn ≤ 2 of the same
+    // ranking), index = the argmin cell (rn = 1); cosine rounded to 4
+    // BEFORE ranking, exactly as the Spark side does.
+    "sim_ann_ivf_trained" ->
+      (ivfReplayCtes +
+      """ap AS (SELECT vec_id, v, cid AS cell, d2, rn FROM (
+        |    SELECT x.vec_id, x.v, c.cid, x2.d2,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY x2.d2, c.cid) AS rn
+        |    FROM v x CROSS JOIN u3 c
+        |    CROSS JOIN LATERAL (
+        |      SELECT list_sum(list_transform(list_zip(x.v, c.c),
+        |        z -> (z[1] - z[2])*(z[1] - z[2]))) AS d2) x2
+        |  ) WHERE rn <= 2),
+        |nn AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm,
+        |         cell, rn FROM ap),
+        |idx AS (SELECT vec_id AS nbr_id, v AS bv, nrm AS bn, cell AS bcell
+        |        FROM nn WHERE rn = 1),
+        |probes AS (SELECT vec_id, v, nrm, cell AS pcell FROM nn),
+        |pairs AS (
+        |  SELECT p.vec_id, i.nbr_id,
+        |    round(list_sum([p.v[j] * i.bv[j] for j in range(1, len(p.v)+1)])
+        |          / (p.nrm * i.bn), 4) AS cos
+        |  FROM probes p
+        |  JOIN idx i ON p.pcell = i.bcell AND p.vec_id <> i.nbr_id)
+        |SELECT vec_id, CAST(rn AS INTEGER) AS rn, nbr_id, cos FROM (
+        |  SELECT vec_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, nbr_id) AS rn
+        |  FROM pairs) WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)
   )
+
+  /** Shared CTE prefix for the two IVF oracles: embeddings widened to
+    * double, id-prefix seeds (k=8), and 3 unrolled Lloyd's rounds — each
+    * an argmin assignment (sequential Σ(v−c)² fold, ties by cid) and a
+    * per-(cell, pos) mean rounded to 6 decimals, re-assembled in pos
+    * order. Mirrors [[ivfCentroids]] exactly.
+    */
+  private def ivfReplayCtes: String = {
+    def assign(prev: String, name: String): String =
+      s"""$name AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT x.vec_id, x.v, c.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY x2.d2, c.cid) AS rn
+         |    FROM v x CROSS JOIN $prev c
+         |    CROSS JOIN LATERAL (
+         |      SELECT list_sum(list_transform(list_zip(x.v, c.c),
+         |        z -> (z[1] - z[2])*(z[1] - z[2]))) AS d2) x2
+         |  ) WHERE rn = 1)""".stripMargin
+    def update(a: String, name: String): String =
+      s"""$name AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell AS cid, t.j AS pos, round(avg(v[t.j]), 6) AS m
+         |    FROM $a, range(1, 65) t(j) GROUP BY cell, t.j)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v
+       |       WHERE vec_id < 8),
+       |${assign("c0", "a1")}, ${update("a1", "u1")},
+       |${assign("u1", "a2")}, ${update("a2", "u2")},
+       |${assign("u2", "a3")}, ${update("a3", "u3")},
+       |""".stripMargin
+  }
 }
