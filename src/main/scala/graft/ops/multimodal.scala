@@ -131,9 +131,12 @@ object Multimodal {
         .orderBy("doc_id")),
 
     // Partition-batched decode + feature extraction through the stub.
-    // Rows-only driver check (the fake decode is engine-local user code —
-    // exactly the class of op the oracle can't express); determinism and
-    // schema are asserted in MultimodalSpec.
+    // Oracle-gated (r7): the stub's byte math is deterministic, and on
+    // this ASCII corpus byte values ≡ codepoints, so DuckDB replays it
+    // exactly (a non-ASCII row would hash-mismatch — the gate itself
+    // guards the assumption). Batching/determinism/schema laws stay in
+    // MultimodalSpec; a REAL codec swap would return this key to
+    // rows-only, which is the honest trade.
     "mm_decode_features" -> ((s, d) =>
       extractFeatures(mediaTable(s, d)).toDF()
         .select(col("doc_id"), col("width"), col("height"),
@@ -189,7 +192,21 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm_decode_features: rows-only (stubbed decode is engine-local).
+    // mm_decode_features (r7): exact replay of decodeStub's byte math.
+    // Byte length ≡ char length and byte value ≡ codepoint on the ASCII
+    // corpus (a non-ASCII row would fail the gate, guarding the
+    // assumption); `//`/`%` on DuckDB BIGINTs match the stub's integer
+    // ops; the n=0 coalesce mirrors the stub's empty-payload 0.0.
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |  CAST(greatest(1, length(text) % 640) AS INTEGER) AS width,
+        |  CAST(greatest(1, (length(text) // 7) % 480) AS INTEGER)
+        |    AS height,
+        |  round(coalesce(
+        |    list_sum([unicode(c)::DOUBLE for c in string_split(text, '')])
+        |      / nullif(length(text), 0), 0), 4) AS mean_byte
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "mm_ingest_binary" ->
       """SELECT CAST(8 AS BIGINT) AS n_files,
         |  CAST(sum(octet_length(encode(text))) + count(*) AS BIGINT)

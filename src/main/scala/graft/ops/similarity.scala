@@ -154,8 +154,21 @@ object Similarity {
         col("sc").getItem(0).getField("cid").as("cell"),
         col("sc").getItem(0).getField("d2").as("d2"))
 
+  /** IVF cell count: conf override, else the standard nlist ∝ √n sizing
+    * (k = max(8, round(√(n/8)))) — a FIXED k makes within-cell pair work
+    * Ω(n²/k), which the sf1 bench measured as a 13.9× cost on 10× data;
+    * √n cells caps it at O(n^1.5). The count() is a one-scalar
+    * control-plane read (parquet metadata). At sf0.01 (n=500) the
+    * formula yields exactly 8, so the bit-exact DuckDB replay oracle is
+    * unchanged — and the oracle computes k from count(*) the same way,
+    * so the two sides stay in lockstep at ANY sf.
+    */
+  private def ivfK(s: SparkSession, d: String): Int =
+    Text.intConf(embeddings(s, d), "spark.graft.ivf.k",
+      math.max(8, math.round(math.sqrt(embeddings(s, d).count() / 8.0)).toInt))
+
   private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
-    val k = Text.intConf(embeddings(s, d), "spark.graft.ivf.k", 8)
+    val k = ivfK(s, d)
     val iters = Text.intConf(embeddings(s, d), "spark.graft.ivf.iters", 3)
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     var cents = graft.InternalCaches.persistTracked(
@@ -496,8 +509,11 @@ object Similarity {
     // (list_zip + list_sum ≡ the codegen'd loop, exact double equality
     // verified row-for-row at sf0.01 before this oracle landed). An empty
     // cell vanishes from the update in both engines (groupBy emits no
-    // row). Constants pinned to the query defaults: k=8 seeds, 3 rounds,
-    // dim 64, nprobe=2, top-3.
+    // row). Constants pinned to the query defaults: 3 rounds, dim 64,
+    // nprobe=2, top-3; the seed count replays the adaptive
+    // k = max(8, round(√(n/8))) from [[ivfK]] via a scalar subquery on
+    // count(*) — both sides derive k from the data, so they stay in
+    // lockstep at any sf (= 8 at the sf0.01 gate).
     "sim_ivf_train" ->
       (ivfReplayCtes +
       """a4 AS (SELECT vec_id, v, cid AS cell, d2 FROM (
@@ -545,7 +561,8 @@ object Similarity {
   )
 
   /** Shared CTE prefix for the two IVF oracles: embeddings widened to
-    * double, id-prefix seeds (k=8), and 3 unrolled Lloyd's rounds — each
+    * double, id-prefix seeds (adaptive k, [[ivfK]] replayed from
+    * count(*)), and 3 unrolled Lloyd's rounds — each
     * an argmin assignment (sequential Σ(v−c)² fold, ties by cid) and a
     * per-(cell, pos) mean rounded to 6 decimals, re-assembled in pos
     * order. Mirrors [[ivfCentroids]] exactly.
@@ -570,7 +587,8 @@ object Similarity {
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v
-       |       WHERE vec_id < 8),
+       |       WHERE vec_id < (SELECT greatest(8,
+       |         CAST(round(sqrt(count(*) / 8.0)) AS BIGINT)) FROM v)),
        |${assign("c0", "a1")}, ${update("a1", "u1")},
        |${assign("u1", "a2")}, ${update("a2", "u2")},
        |${assign("u2", "a3")}, ${update("a3", "u3")},
