@@ -413,10 +413,150 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("rn"), col("nbr_id"),
           col("cos"))
         .orderBy("vec_id", "rn")
+    }),
+
+    // INT8 symmetric per-vector quantization of the embedding column —
+    // the 4× memory/IO compression a 100 TB ANN index runs on (float32
+    // corpus → int8 codes + one float scale per vector). scale =
+    // max|x|/127 (zero-vector guarded at 1e-12); q_i = clamp_{±127}
+    // (floor(x_i/scale + 0.5)) — floor(·+0.5) SPELLED OUT rather than
+    // round() so both engines execute the identical IEEE expression.
+    // Emits the code vector as a joined string (driver compare hashes
+    // scalars), the scale, and the per-vector reconstruction MSE.
+    // Scale shape: map-only codegen projection, zero shuffle; at
+    // cluster scale this writes the quantized index partition-parallel.
+    "embed_quantize_int8" -> ((s, d) =>
+      vecs(s, d)
+        .withColumn("scale",
+          greatest(array_max(transform(col("v"), x => abs(x))),
+            lit(1e-12)) / 127.0)
+        .withColumn("q", transform(col("v"), x =>
+          greatest(lit(-127.0),
+            least(lit(127.0), floor(x / col("scale") + 0.5))).cast("int")))
+        // scale/mse land on arbitrary doubles — round() hits half-
+        // boundary disagreements between engines (observed: 3.85e-7),
+        // so both are emitted as floor(x·10⁹ + 0.5) integers: the same
+        // IEEE expression on the same double is bit-deterministic.
+        .select(col("vec_id"),
+          floor(col("scale") * 1e9 + 0.5).cast("long").as("scale_ppb"),
+          array_join(col("q"), ",").as("codes"),
+          floor(
+            aggregate(zip_with(col("v"), col("q"),
+                (a, b) => (a - b * col("scale")) * (a - b * col("scale"))),
+              lit(0.0), (acc, x) => acc + x) / size(col("v")) * 1e9 + 0.5)
+            .cast("long").as("mse_ppb"))
+        .orderBy("vec_id")),
+
+    // Quantization-quality evaluation: for each probe (the bounded
+    // vec_id < ProbeCount set, as sim_topk_cosine), the top-5 float
+    // neighbors vs the top-5 neighbors under int8-reconstructed vectors
+    // (q·scale, norms recomputed) — recall@5 = |overlap|/5. The go/no-go
+    // gate before switching an ANN deployment to the compressed index.
+    // Scale shape: two bounded-probe broadcast joins (corpus never
+    // shuffles) + a 5-row-per-probe overlap join; O(q·n) like its float
+    // twin, with q fixed.
+    "sim_recall_int8" -> ((s, d) => {
+      val p = s.sparkContext.defaultParallelism
+      val deq = vecs(s, d)
+        .withColumn("scale",
+          greatest(array_max(transform(col("v"), x => abs(x))),
+            lit(1e-12)) / 127.0)
+        .withColumn("vq", transform(col("v"), x =>
+          greatest(lit(-127.0),
+            least(lit(127.0), floor(x / col("scale") + 0.5)))
+            * col("scale")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("vq"),
+          sqrt(graft.expr.VectorExprs.dot(col("vq"), col("vq"))).as("nq"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      def top5(vecCol: String, nrmCol: String): DataFrame = {
+        val corpus = deq.repartition(p, col("vec_id"))
+          .select(col("vec_id").as("nbr_id"), col(vecCol).as("bv"),
+            col(nrmCol).as("bn"))
+        val probes = broadcast(deq.filter(col("vec_id") < ProbeCount)
+          .select(col("vec_id"), col(vecCol).as("pv"),
+            col(nrmCol).as("pn")))
+        corpus.join(probes, col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            cosine(col("pv"), col("bv"), col("pn"), col("bn")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("vec_id"), col("nbr_id"))
+      }
+      // the two rankings share deq's lineage — rename BOTH of the
+      // quantized side's columns so the join never resolves through the
+      // ambiguous self-join attributes
+      val fl = top5("v", "nrm")
+      val qt = top5("vq", "nq")
+        .withColumnRenamed("vec_id", "qvec_id")
+        .withColumnRenamed("nbr_id", "qnbr_id")
+      fl.join(qt, col("vec_id") === col("qvec_id")
+            && col("nbr_id") === col("qnbr_id"), "left")
+        .groupBy(col("vec_id"))
+        .agg(count(col("qnbr_id")).cast("int").as("n_match"))
+        .select(col("vec_id"), col("n_match"),
+          round(col("n_match") / 5.0, 2).as("recall5"))
+        .orderBy("vec_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Exact replay of the quantizer: same floor(x/scale + 0.5) spelling,
+    // same 1e-12 zero guard, doubles end to end.
+    "embed_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max([abs(x) for x in v]), 1e-12) / 127.0
+        |          AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        [CAST(greatest(-127.0, least(127.0,
+        |           floor(x / scale + 0.5))) AS INTEGER)
+        |         for x in v] AS q FROM s)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_ppb,
+        |  array_to_string(q, ',') AS codes,
+        |  CAST(floor(list_sum(list_transform(list_zip(v, q),
+        |    z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)))
+        |    / len(v) * 1e9 + 0.5) AS BIGINT) AS mse_ppb
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // Both rankings replayed (float and int8-reconstructed), then the
+    // per-probe overlap; cosine rounded to 4 BEFORE ranking, ties by
+    // nbr_id, exactly as the Spark side.
+    "sim_recall_int8" ->
+      """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |dq AS (SELECT vec_id, v, nrm,
+        |         [greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+        |            * scale for x in v] AS vq
+        |       FROM (SELECT vec_id, v, nrm,
+        |               greatest(list_max([abs(x) for x in v]), 1e-12)
+        |                 / 127.0 AS scale FROM n)),
+        |d2 AS (SELECT vec_id, v, nrm, vq,
+        |         sqrt(list_sum([x*x for x in vq])) AS nq FROM dq),
+        |fl AS (SELECT vec_id, nbr_id FROM (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_sum([a.v[i] * b.v[i]
+        |        for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm), 4)
+        |        DESC, b.vec_id) AS rn
+        |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100) WHERE rn <= 5),
+        |qt AS (SELECT vec_id, nbr_id FROM (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_sum([a.vq[i] * b.vq[i]
+        |        for i in range(1, len(a.vq)+1)]) / (a.nq * b.nq), 4)
+        |        DESC, b.vec_id) AS rn
+        |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100) WHERE rn <= 5)
+        |SELECT fl.vec_id, CAST(count(qt.nbr_id) AS INTEGER) AS n_match,
+        |  round(count(qt.nbr_id) / 5.0, 2) AS recall5
+        |FROM fl LEFT JOIN qt
+        |  ON fl.vec_id = qt.vec_id AND fl.nbr_id = qt.nbr_id
+        |GROUP BY fl.vec_id ORDER BY fl.vec_id""".stripMargin,
     "dedup_near_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v

@@ -969,7 +969,9 @@ object Text {
     // driver round-trip (one row per iteration, the pagerank-class
     // shape). The greedy in-word merge is an aggregate fold whose CASE
     // branches keep ANSI element_at off the empty array.
-    // Rows-only check: no SQL engine replays an iterated argmax+rewrite.
+    // Oracle-gated (r7): [[bpeReplaySql]] unrolls the 8 argmax+rewrite
+    // rounds in DuckDB — the greedy fold IS string replace() on a
+    // delimiter-wrapped form; row-identical to this output at the gate.
     "text_bpe_merges" -> ((s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -1049,6 +1051,93 @@ object Text {
         .filter(u < w)
         .select(col("doc_id"), round(w, 6).as("w"))
         .orderBy("doc_id")
+    }),
+
+    // TEMPERATURE-FLATTENED language mix — the multilingual rebalancing
+    // knob (sample languages ∝ n^α, α = 0.7): per-language keep rate
+    // r_l = (n_l / n_min)^(α-1) ≤ 1, so the smallest language keeps
+    // everything and the head language is downsampled toward the
+    // flattened share. The acceptance draw is an md5 gate (first 8 hex
+    // chars → uint32 / 2³²) on (lang, doc_id) — unlike the xxhash64
+    // samplers above, md5 is REPLAYABLE in the oracle, so this sampler
+    // is hash-gated AND fully driver-checked: deterministic,
+    // layout-invariant, and a pure function of the row (re-runnable on
+    // any cluster). Scale shape: the rate relation is |langs| rows
+    // riding a broadcast join; the corpus maps through one filter —
+    // no shuffle beyond the final |langs|-row aggregate.
+    "sample_temperature" -> ((s, d) => {
+      // α = 0.7 ⇒ exponent α−1 written as the LITERAL -0.3 so the
+      // Scala and DuckDB sides parse the identical double (0.7 - 1.0
+      // differs from parsed -0.3 in the last ulp, and the unrounded
+      // rate feeds the acceptance gate).
+      val counts = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+      val rates = counts.join(broadcast(nmin))
+        .withColumn("rate",
+          pow(col("n_docs").cast("double") / col("n_min"), -0.3))
+      val draw = conv(substring(
+          md5(concat(col("lang"), lit(":"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").cast("double") / math.pow(2.0, 32)
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), "lang")
+        .withColumn("kept", (draw < col("rate")).cast("int"))
+        .groupBy(col("lang"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          round(first(col("rate")), 6).as("rate"),
+          sum(col("kept")).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // URL-CANONICALIZATION dedup — the crawl-frontier/WARC dedup step
+    // that runs BEFORE any content hash: scheme/host case-folded,
+    // `www.` stripped, fragment dropped, tracking params (utm_*, ref)
+    // removed, empty query/trailing-slash artifacts collapsed; docs
+    // agreeing on the canonical form are one page. The messy URL is
+    // synthesized deterministically per doc (case/www./utm/ref/fragment
+    // variance from doc_id residues; the path collides on doc_id % 40 ×
+    // v = doc_id % 2, so canonical groups are real multi-doc groups).
+    // The canonicalizer is a pure regexp chain — RE2-safe (no
+    // lookarounds), so the oracle replays it verbatim. Scale shape: one
+    // map-only projection then a hash groupBy on the canonical string —
+    // the exact-dedup regime.
+    "dedup_url" -> ((s, d) => {
+      val doc = documents(s, d)
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTP")),
+        lit("://"),
+        when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Docs.Example.COM/doc/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=u"), col("doc_id").cast("string"),
+        lit("&v="), (col("doc_id") % 2).cast("string"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("&ref=r"), (col("doc_id") % 7).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("#sec"), (col("doc_id") % 2).cast("string")))
+          .otherwise(lit("")))
+      val noFrag = regexp_replace(url, "#.*", "")
+      val hostRaw = regexp_extract(noFrag, "^[A-Za-z]+://[^/]+", 0)
+      val host = regexp_replace(lower(hostRaw), "://www\\.", "://")
+      val rest = expr("substring(no_frag, length(host_raw) + 1)")
+      val clean = regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*", ""),
+            "&+", "&"),
+          "\\?&", "?"),
+        "[?&]+$", "")
+      val canon = regexp_replace(
+        regexp_replace(concat(host, clean), "/\\?", "?"), "/$", "")
+      doc
+        .withColumn("no_frag", noFrag)
+        .withColumn("host_raw", hostRaw)
+        .withColumn("host", host)
+        .withColumn("canon", canon)
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+        .orderBy("canon")
     }),
 
     // Document fingerprint: order-sensitive polynomial rolling hash over
@@ -1537,7 +1626,101 @@ object Text {
       .orderBy("lang")
   }
 
+  /** FULL BPE-training SQL replay (r7): 8 unrolled merge rounds. The
+    * engine's left-to-right non-overlapping merge fold over a token
+    * sequence is EXACTLY SQL `replace()` semantics on a delimiter-wrapped
+    * string form — each token wrapped as ␟t␟ (chr 31, absent from the
+    * corpus, gate-guarded by the match itself), so the pattern ␟a␟␟b␟ →
+    * ␟ab␟ (a) only matches whole tokens, (b) resumes scanning AFTER the
+    * replacement, and (c) never lets this round's merged token re-merge —
+    * the three laws of the engine's fold (`text.scala` text_bpe_merges).
+    * Pair counts re-derive per round by re-splitting on ␟␟; argmax ties
+    * break (n DESC, a, b) binary-collated in both engines. Verified
+    * row-identical against the Spark dump before landing.
+    */
+  private def bpeReplaySql: String = {
+    val S = "chr(31)"
+    def pair(prev: String, m: Int): String =
+      s"""m$m AS (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT z[1] AS a, z[2] AS b, freq FROM (
+         |      SELECT unnest(list_zip(toks, toks[2:])) AS z, freq FROM (
+         |        SELECT freq, list_transform(string_split(s, $S||$S),
+         |          x -> replace(x, $S, '')) AS toks FROM $prev))
+         |    WHERE z[2] IS NOT NULL)
+         |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+    def rewrite(prev: String, m: Int): String =
+      s"""s$m AS (
+         |  SELECT freq, replace(s, $S||m.a||$S||$S||m.b||$S,
+         |    $S||m.a||m.b||$S) AS s FROM $prev, m$m m)""".stripMargin
+    val rounds = (1 to 8).flatMap(m =>
+      Seq(pair(s"s${m - 1}", m), rewrite(s"s${m - 1}", m)))
+    val sel = (1 to 8).map(m =>
+      s"""SELECT $m AS rank, a AS "left", b AS "right", n FROM m$m""")
+    s"""WITH s0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    $S || array_to_string(string_split(w, ''), $S||$S) || $S AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(rank AS INTEGER) AS rank, "left", "right", n
+       |FROM (${sel.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeReplaySql,
+    // md5 is computable in both engines (unlike xxhash64), so this
+    // sampler's acceptance gate replays EXACTLY: same 8-hex-char prefix,
+    // same 2^32 divisor, same literal -0.3 exponent.
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           GROUP BY lang),
+        |mn AS (SELECT min(n_docs) AS n_min FROM c),
+        |r AS (SELECT lang, n_docs,
+        |        pow(n_docs::DOUBLE / n_min, -0.3) AS rate FROM c, mn),
+        |k AS (SELECT d.lang, CASE WHEN
+        |        CAST(('0x' || substr(md5(d.lang || ':' || d.doc_id), 1, 8))
+        |          AS BIGINT)::DOUBLE / 4294967296.0 < r.rate
+        |        THEN 1 ELSE 0 END AS kept
+        |      FROM documents d JOIN r ON d.lang = r.lang)
+        |SELECT r.lang, r.n_docs, round(r.rate, 6) AS rate,
+        |  CAST(sum(k.kept) AS BIGINT) AS n_kept
+        |FROM r JOIN k ON r.lang = k.lang
+        |GROUP BY r.lang, r.n_docs, r.rate ORDER BY r.lang""".stripMargin,
+    // Verbatim replay of the URL grammar + the canonicalizer regexp
+    // chain (RE2-safe by design; DuckDB regexp_replace needs the
+    // explicit 'g' flag Spark applies by default).
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Docs.Example.COM/doc/' || (doc_id % 40)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=u' || doc_id || '&v=' || (doc_id % 2)
+        |    || (CASE WHEN doc_id % 6 = 0
+        |          THEN '&ref=r' || (doc_id % 7) ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |          THEN '#sec' || (doc_id % 2) ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nf
+        |       FROM u),
+        |s2 AS (SELECT doc_id, nf,
+        |         regexp_extract(nf, '^[A-Za-z]+://[^/]+') AS hr FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         replace(lower(hr), '://www.', '://') AS host,
+        |         substr(nf, length(hr) + 1) AS rest FROM s2),
+        |s4 AS (SELECT doc_id, host,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(rest, '(utm_[a-z]+|ref)=[^&]*', '', 'g'),
+        |           '&+', '&', 'g'), '\?&', '?', 'g'),
+        |           '[?&]+$', '', 'g') AS clean FROM s3),
+        |cn AS (SELECT doc_id,
+        |        regexp_replace(regexp_replace(host || clean,
+        |          '/\?', '?', 'g'), '/$', '', 'g') AS canon FROM s4)
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM cn GROUP BY canon ORDER BY canon""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -176,4 +176,43 @@ class AccuracySpec extends SparkSpec {
     val (o2, a2) = run(3)
     assert(o1 == o2 && a1 == a2, "training must be run-deterministic")
   }
+
+  test("embed_quantize_int8: reconstruction error bounded by scale/2") {
+    // The defining property of a round-to-nearest quantizer: every
+    // component reconstructs within half a quantization step, so the
+    // per-vector MSE is ≤ (scale/2)² — checked through the emitted
+    // floor-scaled integers (scale_ppb/mse_ppb are floor(x·1e9 + 0.5)).
+    val rows = SparkEntry.queries("embed_quantize_int8")(spark, sfDir)
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val scale = r.getAs[Long]("scale_ppb").toDouble / 1e9
+      val mse = r.getAs[Long]("mse_ppb").toDouble / 1e9
+      assert(mse <= scale * scale / 4 + 1e-9,
+        s"vec ${r.getAs[Long]("vec_id")}: mse $mse exceeds (scale/2)²")
+      val codes = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127), "code out of ±127")
+      assert(codes.exists(c => math.abs(c) == 127),
+        "max-|x| component must hit full code range")
+    }
+  }
+
+  test("sim_recall_int8: recall@5 well-formed and int8 preserves most " +
+    "neighbors") {
+    // int8 on 64-dim vectors perturbs each cosine by ~1e-2 — most top-5
+    // sets survive. The law pins the metric's well-formedness per probe
+    // and a floor on the corpus-level mean (far below the observed
+    // value, far above what a broken quantizer could score).
+    val rows = SparkEntry.queries("sim_recall_int8")(spark, sfDir)
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_match")
+      assert(n >= 0 && n <= 5, s"n_match $n out of range")
+      assert(math.abs(r.getAs[Double]("recall5") - n / 5.0) < 0.005 + 1e-9,
+        "recall5 must be n_match/5 (2-decimal rounded)")
+    }
+    val mean = rows.map(_.getAs[Int]("n_match")).sum / (5.0 * rows.length)
+    assert(mean >= 0.5, s"mean recall@5 $mean — quantization broke ranking")
+  }
 }

@@ -506,4 +506,47 @@ class TextSpec extends SparkSpec {
     val dups = df.filter("n_copies = 2").count()
     assert(dups == (total + 9) / 10)
   }
+
+  test("sample_temperature: flattening laws") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_temperature")(spark, sfDir)
+      .select($"n_docs", $"rate", $"n_kept").as[(Long, Double, Long)]
+      .collect()
+    assert(rows.length >= 2, "needs ≥2 languages to rebalance")
+    // the smallest language keeps everything (rate 1); rates are
+    // ANTI-monotone in size (bigger language ⇒ smaller keep rate) —
+    // the definition of temperature flattening
+    val bySize = rows.sortBy(_._1)
+    assert(math.abs(bySize.head._2 - 1.0) < 1e-9,
+      "smallest language must keep rate 1")
+    assert(bySize.map(_._2).sliding(2)
+        .forall { case Array(a, b) => b <= a + 1e-9 },
+      "keep rate must not increase with language size")
+    rows.foreach { case (n, r, k) =>
+      assert(k <= n && r > 0 && r <= 1 + 1e-9, s"ill-formed row ($n,$r,$k)")
+    }
+    // the realized sample is genuinely flatter than the input: the
+    // head language's kept count shrinks toward the tail's
+    val head = rows.maxBy(_._1)
+    assert(head._3 < head._1, "head language must actually be downsampled")
+  }
+
+  test("dedup_url: canonical forms are clean and groups conserve docs") {
+    val df = SparkEntry.queries("dedup_url")(spark, sfDir)
+    val rows = df.collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_dupes")).sum == total,
+      "every doc lands in exactly one canonical group")
+    assert(rows.exists(_.getAs[Long]("n_dupes") > 1),
+      "fixture must contain real URL duplicates")
+    rows.map(_.getAs[String]("canon")).foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("ref="),
+        s"tracking/fragment survived: $c")
+      assert(c.startsWith("https://") || c.startsWith("http://"),
+        s"scheme not lowercased: $c")
+      assert(!c.contains("www."), s"www. survived: $c")
+      assert(!c.endsWith("/") && !c.endsWith("?") && !c.endsWith("&"),
+        s"trailing artifact survived: $c")
+    }
+  }
 }
