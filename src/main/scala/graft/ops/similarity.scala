@@ -455,50 +455,74 @@ object Similarity {
     // Scale shape: two bounded-probe broadcast joins (corpus never
     // shuffles) + a 5-row-per-probe overlap join; O(q·n) like its float
     // twin, with q fixed.
-    "sim_recall_int8" -> ((s, d) => {
-      val p = s.sparkContext.defaultParallelism
-      val deq = vecs(s, d)
+    "sim_recall_int8" -> ((s, d) =>
+      recallVsVariant(s, d)(base => base
         .withColumn("scale",
           greatest(array_max(transform(col("v"), x => abs(x))),
             lit(1e-12)) / 127.0)
         .withColumn("vq", transform(col("v"), x =>
           greatest(lit(-127.0),
             least(lit(127.0), floor(x / col("scale") + 0.5)))
-            * col("scale")))
-        .select(col("vec_id"), col("v"), col("nrm"), col("vq"),
-          sqrt(graft.expr.VectorExprs.dot(col("vq"), col("vq"))).as("nq"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nbr_id"))
-      def top5(vecCol: String, nrmCol: String): DataFrame = {
-        val corpus = deq.repartition(p, col("vec_id"))
-          .select(col("vec_id").as("nbr_id"), col(vecCol).as("bv"),
-            col(nrmCol).as("bn"))
-        val probes = broadcast(deq.filter(col("vec_id") < ProbeCount)
-          .select(col("vec_id"), col(vecCol).as("pv"),
-            col(nrmCol).as("pn")))
-        corpus.join(probes, col("vec_id") =!= col("nbr_id"))
-          .select(col("vec_id"), col("nbr_id"),
-            cosine(col("pv"), col("bv"), col("pn"), col("bn")).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("vec_id"), col("nbr_id"))
-      }
-      // the two rankings share deq's lineage — rename BOTH of the
-      // quantized side's columns so the join never resolves through the
-      // ambiguous self-join attributes
-      val fl = top5("v", "nrm")
-      val qt = top5("vq", "nq")
-        .withColumnRenamed("vec_id", "qvec_id")
-        .withColumnRenamed("nbr_id", "qnbr_id")
-      fl.join(qt, col("vec_id") === col("qvec_id")
-            && col("nbr_id") === col("qnbr_id"), "left")
-        .groupBy(col("vec_id"))
-        .agg(count(col("qnbr_id")).cast("int").as("n_match"))
-        .select(col("vec_id"), col("n_match"),
-          round(col("n_match") / 5.0, 2).as("recall5"))
-        .orderBy("vec_id")
-    })
+            * col("scale"))))),
+
+    // Matryoshka-style dimension-truncation gate: the SAME recall@5
+    // question for the other production compression — search on a
+    // 16-dim prefix of the 64-dim embedding (4× fewer dot-product
+    // flops and index bytes). Which compression an ANN deployment can
+    // afford — int8 codes or a truncated prefix — is exactly the pair
+    // of recall gates this and `sim_recall_int8` measure.
+    "sim_recall_prefix" -> ((s, d) =>
+      recallVsVariant(s, d)(base => base
+        .withColumn("vq", slice(col("v"), 1, 16))))
   )
+
+  /** Shared harness of the recall@5 gates: per bounded probe
+    * ([[ProbeCount]]), the top-5 neighbors under the exact float vectors
+    * vs the top-5 under a VARIANT representation (the `variant` callback
+    * adds a `vq` column — quantized, truncated, …; its norm is
+    * recomputed here) — n_match/recall@5 per probe. Both rankings are
+    * bounded-probe broadcast joins: the corpus never shuffles, pair work
+    * is O(q·n) with q fixed, and the overlap join is 5 rows/probe.
+    * Cosine rounds to 4 BEFORE ranking, ties by nbr_id — deterministic
+    * across engines, so the oracle replays both rankings verbatim.
+    */
+  private def recallVsVariant(s: SparkSession, d: String)(
+      variant: DataFrame => DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val deq = variant(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("vq"),
+        sqrt(graft.expr.VectorExprs.dot(col("vq"), col("vq"))).as("nq"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    def top5(vecCol: String, nrmCol: String): DataFrame = {
+      val corpus = deq.repartition(p, col("vec_id"))
+        .select(col("vec_id").as("nbr_id"), col(vecCol).as("bv"),
+          col(nrmCol).as("bn"))
+      val probes = broadcast(deq.filter(col("vec_id") < ProbeCount)
+        .select(col("vec_id"), col(vecCol).as("pv"),
+          col(nrmCol).as("pn")))
+      corpus.join(probes, col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          cosine(col("pv"), col("bv"), col("pn"), col("bn")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("vec_id"), col("nbr_id"))
+    }
+    // the two rankings share deq's lineage — rename BOTH of the variant
+    // side's columns so the join never resolves through the ambiguous
+    // self-join attributes
+    val fl = top5("v", "nrm")
+    val qt = top5("vq", "nq")
+      .withColumnRenamed("vec_id", "qvec_id")
+      .withColumnRenamed("nbr_id", "qnbr_id")
+    fl.join(qt, col("vec_id") === col("qvec_id")
+          && col("nbr_id") === col("qnbr_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(col("qnbr_id")).cast("int").as("n_match"))
+      .select(col("vec_id"), col("n_match"),
+        round(col("n_match") / 5.0, 2).as("recall5"))
+      .orderBy("vec_id")
+  }
 
   val oracle: Map[String, String] = Map(
     // Exact replay of the quantizer: same floor(x/scale + 0.5) spelling,
@@ -520,43 +544,18 @@ object Similarity {
         |    z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)))
         |    / len(v) * 1e9 + 0.5) AS BIGINT) AS mse_ppb
         |FROM q ORDER BY vec_id""".stripMargin,
-    // Both rankings replayed (float and int8-reconstructed), then the
-    // per-probe overlap; cosine rounded to 4 BEFORE ranking, ties by
-    // nbr_id, exactly as the Spark side.
-    "sim_recall_int8" ->
-      """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
-        |      FROM e),
-        |dq AS (SELECT vec_id, v, nrm,
+    // Both rankings replayed (float and variant-reconstructed), then
+    // the per-probe overlap; cosine rounded to 4 BEFORE ranking, ties
+    // by nbr_id, exactly as the Spark side.
+    "sim_recall_int8" -> recallReplaySql(
+      """dq AS (SELECT vec_id, v, nrm,
         |         [greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
         |            * scale for x in v] AS vq
         |       FROM (SELECT vec_id, v, nrm,
         |               greatest(list_max([abs(x) for x in v]), 1e-12)
-        |                 / 127.0 AS scale FROM n)),
-        |d2 AS (SELECT vec_id, v, nrm, vq,
-        |         sqrt(list_sum([x*x for x in vq])) AS nq FROM dq),
-        |fl AS (SELECT vec_id, nbr_id FROM (
-        |  SELECT a.vec_id, b.vec_id AS nbr_id,
-        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |      round(list_sum([a.v[i] * b.v[i]
-        |        for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm), 4)
-        |        DESC, b.vec_id) AS rn
-        |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 100) WHERE rn <= 5),
-        |qt AS (SELECT vec_id, nbr_id FROM (
-        |  SELECT a.vec_id, b.vec_id AS nbr_id,
-        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |      round(list_sum([a.vq[i] * b.vq[i]
-        |        for i in range(1, len(a.vq)+1)]) / (a.nq * b.nq), 4)
-        |        DESC, b.vec_id) AS rn
-        |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 100) WHERE rn <= 5)
-        |SELECT fl.vec_id, CAST(count(qt.nbr_id) AS INTEGER) AS n_match,
-        |  round(count(qt.nbr_id) / 5.0, 2) AS recall5
-        |FROM fl LEFT JOIN qt
-        |  ON fl.vec_id = qt.vec_id AND fl.nbr_id = qt.nbr_id
-        |GROUP BY fl.vec_id ORDER BY fl.vec_id""".stripMargin,
+        |                 / 127.0 AS scale FROM n))""".stripMargin),
+    "sim_recall_prefix" -> recallReplaySql(
+      "dq AS (SELECT vec_id, v, nrm, v[1:16] AS vq FROM n)"),
     "dedup_near_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
@@ -699,6 +698,41 @@ object Similarity {
         |      ORDER BY cos DESC, nbr_id) AS rn
         |  FROM pairs) WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)
   )
+
+  /** Oracle builder for the recall@5 gates ([[recallVsVariant]] replay):
+    * `variantCte` must define `dq(vec_id, v, nrm, vq)` from the norm'd
+    * base relation `n`; the builder ranks top-5 under v and under vq
+    * (norm recomputed), then counts the per-probe overlap.
+    */
+  private def recallReplaySql(variantCte: String): String =
+    s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+       |      FROM e),
+       |$variantCte,
+       |d2 AS (SELECT vec_id, v, nrm, vq,
+       |         sqrt(list_sum([x*x for x in vq])) AS nq FROM dq),
+       |fl AS (SELECT vec_id, nbr_id FROM (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      round(list_sum([a.v[i] * b.v[i]
+       |        for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm), 4)
+       |        DESC, b.vec_id) AS rn
+       |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100) WHERE rn <= 5),
+       |qt AS (SELECT vec_id, nbr_id FROM (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      round(list_sum([a.vq[i] * b.vq[i]
+       |        for i in range(1, len(a.vq)+1)]) / (a.nq * b.nq), 4)
+       |        DESC, b.vec_id) AS rn
+       |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100) WHERE rn <= 5)
+       |SELECT fl.vec_id, CAST(count(qt.nbr_id) AS INTEGER) AS n_match,
+       |  round(count(qt.nbr_id) / 5.0, 2) AS recall5
+       |FROM fl LEFT JOIN qt
+       |  ON fl.vec_id = qt.vec_id AND fl.nbr_id = qt.nbr_id
+       |GROUP BY fl.vec_id ORDER BY fl.vec_id""".stripMargin
 
   /** Shared CTE prefix for the two IVF oracles: embeddings widened to
     * double, id-prefix seeds (adaptive k, [[ivfK]] replayed from

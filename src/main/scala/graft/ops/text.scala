@@ -57,6 +57,107 @@ object Text {
   private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("t", toks)
 
+  /** The distributed BPE training loop shared by `text_bpe_merges`
+    * (emits the rules) and `text_bpe_encode` (applies them): corpus
+    * reduces ONCE to the weighted distinct-word vocabulary, then k=8
+    * rounds of pair-count → argmax (ties (n desc, a, b)) → greedy
+    * left-to-right in-word merge. One 1-row collect per round — the
+    * pagerank-class control-plane read. Returns (rank, left, right, n).
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long)] = {
+    val k = 8
+    var seqs = graft.InternalCaches.persistTracked(
+      tokenizedDocs(s, d)
+        .select(explode(col("t")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"), split(col("w"), "").as("seq")),
+      eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      val top = seqs.filter(size(col("seq")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("seq")) - 2),
+            i => struct(element_at(col("seq"), i + 1).as("a"),
+              element_at(col("seq"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rank += 1
+        merges += ((rank, a, b, n))
+        val prev = seqs
+        seqs = graft.InternalCaches.persistTracked(
+          prev.select(col("freq"),
+            aggregate(col("seq"), array().cast("array<string>"),
+              (acc, x) =>
+                when(size(acc) === 0, concat(acc, array(x)))
+                  .when(element_at(acc, -1) === lit(a) && x === lit(b),
+                    concat(slice(acc, lit(1), size(acc) - 1),
+                      array(lit(a + b))))
+                  .otherwise(concat(acc, array(x)))).as("seq")),
+          eager = true)
+        prev.unpersist()
+      }
+    }
+    seqs.unpersist()
+    merges.toSeq
+  }
+
+  /** documents + a `canon` column: the messy synthetic URL (case/www./
+    * tracking/fragment variance from doc_id residues; path collides on
+    * doc_id % 40 so canonical groups are real multi-doc groups) pushed
+    * through the canonicalizer — scheme/host case-fold, `www.` strip,
+    * fragment drop, `utm_*`/`ref` param removal, empty-query and
+    * trailing-slash collapse. The regexp chain is RE2-safe (no
+    * lookarounds) so the DuckDB oracle replays it verbatim (with the
+    * explicit 'g' flag ≡ Spark's replace-all default). Map-only.
+    * Shared by `dedup_url` (crawl dedup) and `sample_split_leakproof`
+    * (group-atomic split assignment).
+    */
+  private def canonUrlDocs(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTP")),
+      lit("://"),
+      when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Docs.Example.COM/doc/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=u"), col("doc_id").cast("string"),
+      lit("&v="), (col("doc_id") % 2).cast("string"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("&ref=r"), (col("doc_id") % 7).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("#sec"), (col("doc_id") % 2).cast("string")))
+        .otherwise(lit("")))
+    val noFrag = regexp_replace(url, "#.*", "")
+    val hostRaw = regexp_extract(noFrag, "^[A-Za-z]+://[^/]+", 0)
+    val host = regexp_replace(lower(hostRaw), "://www\\.", "://")
+    val rest = expr("substring(no_frag, length(host_raw) + 1)")
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*", ""),
+          "&+", "&"),
+        "\\?&", "?"),
+      "[?&]+$", "")
+    val canon = regexp_replace(
+      regexp_replace(concat(host, clean), "/\\?", "?"), "/$", "")
+    documents(s, d)
+      .withColumn("no_frag", noFrag)
+      .withColumn("host_raw", hostRaw)
+      .withColumn("canon", canon)
+      .drop("no_frag", "host_raw")
+  }
+
   /** One partition's Misra-Gries pass for `text_heavy_hitters`: at most
     * `cap` surviving (token, 0) candidate rows plus a ("", partitionRows)
     * sentinel carrying the partition's token total. Retention guarantee
@@ -975,57 +1076,57 @@ object Text {
     "text_bpe_merges" -> ((s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val k = 8
-      var seqs = graft.InternalCaches.persistTracked(
-        tokenizedDocs(s, d)
-          .select(explode(col("t")).as("w"))
-          .filter(length(col("w")) > 0)
-          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-          .select(col("freq"), split(col("w"), "").as("seq")),
-        eager = true)
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, Long)]
-      var rank = 0
-      var exhausted = false
-      while (rank < k && !exhausted) {
-        val top = seqs.filter(size(col("seq")) >= 2)
-          .select(col("freq"),
-            explode(transform(sequence(lit(0), size(col("seq")) - 2),
-              i => struct(element_at(col("seq"), i + 1).as("a"),
-                element_at(col("seq"), i + 2).as("b")))).as("p"))
-          .groupBy(col("p.a"), col("p.b"))
-          .agg(sum(col("freq")).as("n"))
-          .orderBy(desc("n"), col("a"), col("b"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, n) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          rank += 1
-          merges += ((rank, a, b, n))
-          val prev = seqs
-          seqs = graft.InternalCaches.persistTracked(
-            prev.select(col("freq"),
-              aggregate(col("seq"), array().cast("array<string>"),
-                (acc, x) =>
-                  when(size(acc) === 0, concat(acc, array(x)))
-                    .when(element_at(acc, -1) === lit(a) && x === lit(b),
-                      concat(slice(acc, lit(1), size(acc) - 1),
-                        array(lit(a + b))))
-                    .otherwise(concat(acc, array(x)))).as("seq")),
-            eager = true)
-          prev.unpersist()
-        }
-      }
       val schema = StructType(Seq(
         StructField("rank", IntegerType, nullable = false),
         StructField("left", StringType, nullable = false),
         StructField("right", StringType, nullable = false),
         StructField("n", LongType, nullable = false)))
       s.createDataFrame(
-        java.util.Arrays.asList(merges.toSeq.map {
+        java.util.Arrays.asList(bpeTrain(s, d).map {
           case (r, a, b, n) => Row(r, a, b, n) }: _*),
         schema).orderBy("rank")
+    }),
+
+    // BPE APPLICATION — the other half of tokenizer training: encode
+    // every document with the 8 learned merge rules and report the
+    // compression (symbols before = characters, symbols after = merged
+    // units). The per-word greedy merge is executed AS the string-
+    // replace form directly (each word delimiter-wrapped ␟c₁␟␟c₂␟…,
+    // then one replace(␟a␟␟b␟ → ␟ab␟) per rule in rank order — same
+    // left-to-right non-overlap semantics as the training fold, and the
+    // exact form the oracle replays). The 8 rules are driver literals
+    // (one scalar collect each during training, pagerank-class); the
+    // encode itself is a MAP-ONLY codegen'd string pipeline over the
+    // corpus — at 100 TB this is the embarrassingly-parallel pass.
+    "text_bpe_encode" -> ((s, d) => {
+      val sep = ""
+      val rules = bpeTrain(s, d)
+      val wrapped = (w: Column) =>
+        concat(lit(sep), array_join(split(w, ""), sep + sep), lit(sep))
+      // one replace per rule in rank order — Java Matcher.replaceAll has
+      // the same left-to-right non-overlap + resume-after-replacement
+      // semantics as the training fold and the oracle's replace()
+      val encodeOne = (w: Column) => rules.foldLeft(wrapped(w)) {
+        case (acc, (_, a, b, _)) =>
+          regexp_replace(acc,
+            java.util.regex.Pattern.quote(sep + a + sep + sep + b + sep),
+            java.util.regex.Matcher.quoteReplacement(sep + a + b + sep))
+      }
+      // merging never changes the letter count, only the separator
+      // count: len(encoded) = letters + 2·symbols ⇒ symbols =
+      // (len(encoded) − len(w)) / 2 — ONE encode pass per word
+      tokenizedDocs(s, d)
+        .select(col("doc_id"),
+          filter(col("t"), w => length(w) > 0).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          aggregate(transform(col("ws"), w => length(w).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_sym_before"),
+          aggregate(
+            transform(col("ws"), w =>
+              ((length(encodeOne(w)) - length(w)) / 2).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_sym_after"))
+        .orderBy("doc_id")
     }),
 
     // WEIGHTED deterministic sampling: each doc kept with probability
@@ -1101,43 +1202,34 @@ object Text {
     // lookarounds), so the oracle replays it verbatim. Scale shape: one
     // map-only projection then a hash groupBy on the canonical string —
     // the exact-dedup regime.
-    "dedup_url" -> ((s, d) => {
-      val doc = documents(s, d)
-      val url = concat(
-        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTP")),
-        lit("://"),
-        when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
-        lit("Docs.Example.COM/doc/"), (col("doc_id") % 40).cast("string"),
-        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-        lit("?utm_source=u"), col("doc_id").cast("string"),
-        lit("&v="), (col("doc_id") % 2).cast("string"),
-        when(col("doc_id") % 6 === 0,
-          concat(lit("&ref=r"), (col("doc_id") % 7).cast("string")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("#sec"), (col("doc_id") % 2).cast("string")))
-          .otherwise(lit("")))
-      val noFrag = regexp_replace(url, "#.*", "")
-      val hostRaw = regexp_extract(noFrag, "^[A-Za-z]+://[^/]+", 0)
-      val host = regexp_replace(lower(hostRaw), "://www\\.", "://")
-      val rest = expr("substring(no_frag, length(host_raw) + 1)")
-      val clean = regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*", ""),
-            "&+", "&"),
-          "\\?&", "?"),
-        "[?&]+$", "")
-      val canon = regexp_replace(
-        regexp_replace(concat(host, clean), "/\\?", "?"), "/$", "")
-      doc
-        .withColumn("no_frag", noFrag)
-        .withColumn("host_raw", hostRaw)
-        .withColumn("host", host)
-        .withColumn("canon", canon)
+    "dedup_url" -> ((s, d) =>
+      canonUrlDocs(s, d)
         .groupBy(col("canon"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
-        .orderBy("canon")
+        .orderBy("canon")),
+
+    // GROUP-ATOMIC train/val/test split — the leakage guard a training
+    // pipeline needs at assignment time: the split unit is the
+    // canonical-URL group (the `dedup_url` canonicalizer), NOT the doc,
+    // so trivial near-dups of one page can never straddle train and
+    // test. Assignment = md5(canon) 32-bit prefix → [0,1): < 0.8 train,
+    // < 0.9 val, else test — exhaustive and disjoint by construction
+    // (one CASE), deterministic, layout-invariant, and oracle-
+    // replayable. Scale shape: the canonicalizer is map-only; the
+    // per-(split) rollup groups on a 3-value key; group-atomicity needs
+    // NO extra shuffle because the gate is a pure function of canon.
+    "sample_split_leakproof" -> ((s, d) => {
+      val u = conv(substring(md5(col("canon")), 1, 8), 16, 10)
+        .cast("long").cast("double") / math.pow(2.0, 32)
+      canonUrlDocs(s, d)
+        .withColumn("split",
+          when(u < 0.8, lit("train"))
+            .when(u < 0.9, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("canon")).as("n_groups"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("split")
     }),
 
     // Document fingerprint: order-sensitive polynomial rolling hash over
@@ -1638,7 +1730,12 @@ object Text {
     * break (n DESC, a, b) binary-collated in both engines. Verified
     * row-identical against the Spark dump before landing.
     */
-  private def bpeReplaySql: String = {
+  /** Training CTE prefix shared by [[bpeReplaySql]] and
+    * [[bpeEncodeReplaySql]]: s0 (delimiter-wrapped weighted vocabulary)
+    * then 8 rounds of m_i (argmax pair) / s_i (rewrite). Ends WITHOUT a
+    * trailing comma — consumers append `,\n` + their own CTEs.
+    */
+  private def bpeTrainCtes: String = {
     val S = "chr(31)"
     def pair(prev: String, m: Int): String =
       s"""m$m AS (
@@ -1655,16 +1752,92 @@ object Text {
          |    $S||m.a||m.b||$S) AS s FROM $prev, m$m m)""".stripMargin
     val rounds = (1 to 8).flatMap(m =>
       Seq(pair(s"s${m - 1}", m), rewrite(s"s${m - 1}", m)))
-    val sel = (1 to 8).map(m =>
-      s"""SELECT $m AS rank, a AS "left", b AS "right", n FROM m$m""")
     s"""WITH s0 AS (
        |  SELECT CAST(count(*) AS BIGINT) AS freq,
        |    $S || array_to_string(string_split(w, ''), $S||$S) || $S AS s
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
        |${rounds.mkString(",\n")}
-       |SELECT CAST(rank AS INTEGER) AS rank, "left", "right", n
+       |""".stripMargin
+  }
+
+  private def bpeReplaySql: String = {
+    val sel = (1 to 8).map(m =>
+      s"""SELECT $m AS rank, a AS "left", b AS "right", n FROM m$m""")
+    bpeTrainCtes +
+    s"""SELECT CAST(rank AS INTEGER) AS rank, "left", "right", n
        |FROM (${sel.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
+  }
+
+  /** Shared CTE prefix replaying [[canonUrlDocs]]: the synthetic URL
+    * grammar + the canonicalizer regexp chain, ending in `cn(doc_id,
+    * canon)`. Used by the `dedup_url` and `sample_split_leakproof`
+    * oracles.
+    */
+  private def urlCanonCtes: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+      |    || 'Docs.Example.COM/doc/' || (doc_id % 40)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || '?utm_source=u' || doc_id || '&v=' || (doc_id % 2)
+      |    || (CASE WHEN doc_id % 6 = 0
+      |          THEN '&ref=r' || (doc_id % 7) ELSE '' END)
+      |    || (CASE WHEN doc_id % 3 = 0
+      |          THEN '#sec' || (doc_id % 2) ELSE '' END) AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nf
+      |       FROM u),
+      |s2 AS (SELECT doc_id, nf,
+      |         regexp_extract(nf, '^[A-Za-z]+://[^/]+') AS hr FROM s1),
+      |s3 AS (SELECT doc_id,
+      |         replace(lower(hr), '://www.', '://') AS host,
+      |         substr(nf, length(hr) + 1) AS rest FROM s2),
+      |s4 AS (SELECT doc_id, host,
+      |         regexp_replace(regexp_replace(regexp_replace(
+      |           regexp_replace(rest, '(utm_[a-z]+|ref)=[^&]*', '', 'g'),
+      |           '&+', '&', 'g'), '\?&', '?', 'g'),
+      |           '[?&]+$', '', 'g') AS clean FROM s3),
+      |cn AS (SELECT doc_id,
+      |        regexp_replace(regexp_replace(host || clean,
+      |          '/\?', '?', 'g'), '/$', '', 'g') AS canon FROM s4)
+      |""".stripMargin
+
+  /** [[bpeReplaySql]]'s training CTEs + the ENCODE stage: per doc, each
+    * word wrapped ␟c₁␟␟c₂␟…, the 8 learned rules applied as one
+    * replace() each in rank order (cross-joined 1-row m1…m8 CTEs),
+    * symbols after = (len(encoded) − len(word)) / 2 — the letter count
+    * is merge-invariant, only separators disappear.
+    */
+  private def bpeEncodeReplaySql: String = {
+    val S = "chr(31)"
+    val wrapped =
+      s"($S || array_to_string(string_split(w, ''), $S||$S) || $S)"
+    val chain = (1 to 8).foldLeft(wrapped) { (acc, m) =>
+      s"replace($acc, $S||m$m.a||$S||$S||m$m.b||$S, $S||m$m.a||m$m.b||$S)"
+    }
+    bpeTrainCtes +
+    s""",
+       |docs AS (
+       |  SELECT doc_id,
+       |    [w for w in string_split(text, ' ') if length(w) > 0] AS ws
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum([length(w) for w in ws]) AS BIGINT)
+       |      AS n_sym_before,
+       |    CAST(list_sum(list_transform(ws, w ->
+       |      (length($chain) - length(w)) // 2)) AS BIGINT) AS n_sym_after
+       |  FROM docs
+       |  CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3 CROSS JOIN m4
+       |  CROSS JOIN m5 CROSS JOIN m6 CROSS JOIN m7 CROSS JOIN m8)
+       |SELECT doc_id, n_words,
+       |  coalesce(n_sym_before, 0) AS n_sym_before,
+       |  coalesce(n_sym_after, 0) AS n_sym_after
+       |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -1691,36 +1864,27 @@ object Text {
     // chain (RE2-safe by design; DuckDB regexp_replace needs the
     // explicit 'g' flag Spark applies by default).
     "dedup_url" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
-        |    || '://'
-        |    || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
-        |    || 'Docs.Example.COM/doc/' || (doc_id % 40)
-        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-        |    || '?utm_source=u' || doc_id || '&v=' || (doc_id % 2)
-        |    || (CASE WHEN doc_id % 6 = 0
-        |          THEN '&ref=r' || (doc_id % 7) ELSE '' END)
-        |    || (CASE WHEN doc_id % 3 = 0
-        |          THEN '#sec' || (doc_id % 2) ELSE '' END) AS url
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nf
-        |       FROM u),
-        |s2 AS (SELECT doc_id, nf,
-        |         regexp_extract(nf, '^[A-Za-z]+://[^/]+') AS hr FROM s1),
-        |s3 AS (SELECT doc_id,
-        |         replace(lower(hr), '://www.', '://') AS host,
-        |         substr(nf, length(hr) + 1) AS rest FROM s2),
-        |s4 AS (SELECT doc_id, host,
-        |         regexp_replace(regexp_replace(regexp_replace(
-        |           regexp_replace(rest, '(utm_[a-z]+|ref)=[^&]*', '', 'g'),
-        |           '&+', '&', 'g'), '\?&', '?', 'g'),
-        |           '[?&]+$', '', 'g') AS clean FROM s3),
-        |cn AS (SELECT doc_id,
-        |        regexp_replace(regexp_replace(host || clean,
-        |          '/\?', '?', 'g'), '/$', '', 'g') AS canon FROM s4)
-        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_dupes
-        |FROM cn GROUP BY canon ORDER BY canon""".stripMargin,
+      (urlCanonCtes +
+      """SELECT canon, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM cn GROUP BY canon ORDER BY canon""".stripMargin),
+    // Same canon CTEs, then the md5 split gate — group-atomic because
+    // the gate is a pure function of canon.
+    "sample_split_leakproof" ->
+      (urlCanonCtes +
+      """SELECT split, CAST(count(DISTINCT canon) AS BIGINT) AS n_groups,
+        |  count(*) AS n_docs FROM (
+        |  SELECT canon, CASE
+        |    WHEN CAST(('0x' || substr(md5(canon), 1, 8)) AS BIGINT)::DOUBLE
+        |      / 4294967296.0 < 0.8 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(canon), 1, 8)) AS BIGINT)::DOUBLE
+        |      / 4294967296.0 < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM cn)
+        |GROUP BY split ORDER BY split""".stripMargin),
+    // Training replay (the bpeReplaySql CTEs) + the apply stage: each
+    // word delimiter-wrapped, one replace per learned rule in rank
+    // order, symbols recovered as (len(encoded) − len(word)) / 2.
+    "text_bpe_encode" -> bpeEncodeReplaySql,
     "pipeline_clean_corpus" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -215,4 +215,23 @@ class AccuracySpec extends SparkSpec {
     val mean = rows.map(_.getAs[Int]("n_match")).sum / (5.0 * rows.length)
     assert(mean >= 0.5, s"mean recall@5 $mean — quantization broke ranking")
   }
+
+  test("recall gates separate the two compressions: int8 ≫ 16-dim prefix " +
+    "on unstructured embeddings") {
+    // The pair of gates must MEASURE, not flatter: int8 keeps all 64
+    // dims (per-cosine error ~1e-2 ⇒ recall ≈ 1), while a 16-dim prefix
+    // of an embedding with no matryoshka training throws away 3/4 of
+    // independent variance ⇒ recall collapses. A recall harness that
+    // can't show this contrast on this corpus is measuring nothing.
+    def mean(key: String): Double = {
+      val rows = SparkEntry.queries(key)(spark, sfDir).collect()
+      rows.map(_.getAs[Int]("n_match")).sum / (5.0 * rows.length)
+    }
+    val i8 = mean("sim_recall_int8")
+    val pf = mean("sim_recall_prefix")
+    assert(i8 >= 0.8, s"int8 recall $i8 — near-lossless expected")
+    assert(pf <= 0.5, s"prefix recall $pf — collapse expected on " +
+      "unstructured embeddings")
+    assert(i8 > pf + 0.3, s"gates failed to separate: int8 $i8 vs prefix $pf")
+  }
 }

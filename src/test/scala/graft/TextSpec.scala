@@ -531,6 +531,34 @@ class TextSpec extends SparkSpec {
     assert(head._3 < head._1, "head language must actually be downsampled")
   }
 
+  test("text_bpe_encode: compression laws") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_bpe_encode")(spark, sfDir)
+      .select($"n_words", $"n_sym_before", $"n_sym_after")
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (w, before, after) =>
+      assert(after <= before, "a merge can only shrink the symbol count")
+      assert(after >= w, "every word keeps at least one symbol")
+    }
+    val (tb, ta) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(ta < tb,
+      s"8 learned merges must compress the corpus ($tb -> $ta)")
+  }
+
+  test("sample_split_leakproof: exhaustive, all splits, train-dominant") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_split_leakproof")(spark, sfDir)
+      .select($"split", $"n_groups", $"n_docs").as[(String, Long, Long)]
+      .collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total, "split must be exhaustive on docs")
+    assert(rows.map(_._1).sorted.sameElements(Array("test", "train", "val")),
+      "all three splits must be non-empty")
+    val frac = rows.find(_._1 == "train").get._3.toDouble / total
+    assert(frac > 0.6 && frac < 0.95,
+      s"train fraction $frac outside the 80% ± group-variance band")
+  }
+
   test("dedup_url: canonical forms are clean and groups conserve docs") {
     val df = SparkEntry.queries("dedup_url")(spark, sfDir)
     val rows = df.collect()
