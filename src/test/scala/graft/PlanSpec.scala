@@ -724,6 +724,44 @@ class PlanSpec extends SparkSpec {
       s"expected <=3 exchanges (bench distinct + hit count + presentation), got ${shuffles.size}:\n$plan")
   }
 
+  test("embed_quantize_int8 is a pure map: zero exchanges") {
+    // the quantizer's 100 TB contract: one codegen'd projection over the
+    // corpus — any exchange in this plan is pure waste (the op writes a
+    // compressed index partition-parallel). The final orderBy is the
+    // presentation sort the driver compare needs; everything below it
+    // must be shuffle-free, so the only allowed exchange is that sort's.
+    val plan = finalPlan("embed_quantize_int8")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"map-only op: at most the presentation sort's exchange:\n$plan")
+  }
+
+  test("recall gates broadcast the probe side; the corpus never " +
+    "broadcasts") {
+    // both rankings must be bounded-probe broadcast joins with the
+    // pushed vec_id bound on every broadcast branch — an unbounded
+    // corpus broadcast is the first OOM at scale
+    for (key <- Seq("sim_recall_int8", "sim_recall_prefix")) {
+      val s = planString(key)
+      assert(s.contains("LessThan(vec_id,100)"),
+        s"$key: probe bound must push to the broadcast-side scan:\n$s")
+      val bcasts = collectAll(finalPlan(key)) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => b
+      }
+      assert(bcasts.nonEmpty, s"$key: probe side must broadcast")
+    }
+  }
+
+  test("sample_temperature: rates broadcast, the corpus never shuffles " +
+    "on lang") {
+    // the |langs|-row rate relation must come to the corpus (broadcast
+    // hash join), not the corpus to it — the corpus-side shuffle on a
+    // 5-value key is the skew trap at scale
+    val plan = finalPlan("sample_temperature")
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"rate join must be broadcast:\n$plan")
+  }
+
   test("text_domain_mix: global totals via broadcast, no one-task window") {
     // both normalizations (token share, weight sum) must ride broadcast
     // single-row joins — a Window over an empty partitionBy would funnel
