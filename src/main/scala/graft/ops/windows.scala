@@ -275,6 +275,41 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Per-row EWMA over each user's event stream — the online-smoothing
+    // feature a monitoring/feature pipeline computes next to the raw
+    // value (agg_decay is the AGGREGATED decayed total; this is the
+    // per-row series). The recursion y_t = αx_t + (1−α)y_{t−1} is
+    // closed-form over a bounded 12-row window: Σ x_i·(1−α)^(n−1−i)
+    // · α / (1 − (1−α)^n) — the finite-window normalized EWMA, exactly
+    // expressible (and oracle-replayable) with a collected window list +
+    // one indexed fold, no recursion. Scale shape: ONE exchange on the
+    // entity key, bounded 12-element frame state per row.
+    "win_ewma" -> ((s, d) => {
+      // α = 0.3, 1−α SPELLED as the literal 0.7 (computing 1.0 − 0.3
+      // differs from the parsed 0.7 in the last ulp, and the oracle
+      // parses literals)
+      val a = lit(0.3)
+      val oneMinusA = lit(0.7)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-11, 0)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          collect_list(col("value")).over(w).as("win"))
+        .select(col("event_id"), col("user_id"),
+          // collect_list SKIPS nulls: an all-null frame is EMPTY, and
+          // 1 − 0.7⁰ = 0 would divide by zero under ANSI — null out
+          // the smoothed value exactly when there is nothing to smooth
+          when(size(col("win")) > 0,
+            floor(
+              aggregate(
+                transform(col("win"), (x, i) =>
+                  x * pow(oneMinusA, size(col("win")) - 1 - i)),
+                lit(0.0), (acc, x) => acc + x)
+                * a / (lit(1.0) - pow(oneMinusA, size(col("win"))))
+                * 1e6 + 0.5).cast("long")).as("ewma_ppm"))
+        .orderBy("event_id")
+    }),
+
     // Time-series gap filling: densify each user's metric stream onto an
     // hourly grid between that user's first and last active hour, then
     // forward-fill the last observed value across the gaps (`last` with
@@ -363,6 +398,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same collected 12-row frame, same indexed fold, same 0.3/0.7
+    // literals, same floor(x·1e6 + 0.5) integerization.
+    "win_ewma" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(floor(
+        |    list_sum([win[i] * pow(0.7, len(win) - i)
+        |              for i in range(1, len(win) + 1)])
+        |      * 0.3 / (1.0 - pow(0.7, len(win))) * 1e6 + 0.5) AS BIGINT)
+        |    AS ewma_ppm
+        |FROM f ORDER BY event_id""".stripMargin,
     "win_ratio_to_report" ->
       """SELECT event_id, user_id,
         |  CASE WHEN sum(value) OVER (PARTITION BY user_id) = 0 THEN NULL
