@@ -81,14 +81,23 @@ object Bench {
     val total = results.map { case (_, v) => math.abs(v) }.sum
     val full =
       s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // the detail file is a convenience artifact — a reporting side
+    // effect must never lose the run (an unwritable cwd would otherwise
+    // throw AFTER all queries completed, before either stdout line)
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
-    java.nio.file.Files.write(detailPath,
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val detailNote = scala.util.Try {
+      java.nio.file.Files.write(detailPath,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      detailPath.toAbsolutePath.toString
+    }.recover { case e =>
+      System.err.println(s"[bench] detail write failed: $e")
+      "unwritable"
+    }.get
     println(full)
     val slowest = results.sortBy { case (_, v) => -math.abs(v) }.take(5)
       .map { case (k, v) => "\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"slowest":$slowest,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"slowest":$slowest,"detail":"$detailNote","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -137,7 +137,8 @@ object Mr {
     // The script is deterministic (pure line transform), so this entry is
     // oracle-checkable, unlike arbitrary pipes (SURVEY.md §7.5 item 3).
     // Env guard (§7.5 item 3's promised check): a leaner worker image may
-    // lack python3 — probed on PATH up front, and when absent the SAME
+    // lack python3 — probed with a 1-row pipe job ON THE EXECUTORS (the
+    // machines rdd.pipe actually runs on), and when absent the SAME
     // line transform pipes through POSIX `tr` instead. Still a real
     // external process per partition (the exec model under test), still
     // byte-identical output (the lines carry no interior trimmable
@@ -148,15 +149,23 @@ object Mr {
       val script = "import sys\n" +
         "for line in sys.stdin:\n" +
         "    print(line.strip().upper())"
-      val python3OnPath = sys.env.getOrElse("PATH", "")
-        .split(java.io.File.pathSeparator)
-        .exists(p => p.nonEmpty &&
-          new java.io.File(p, "python3").canExecute)
+      // probe WHERE the pipe runs: rdd.pipe executes on EXECUTORS, so a
+      // driver-side PATH check guards the wrong machine (review finding
+      // — a leaner worker image would pass the probe and then fail 32
+      // tasks deep). One 1-row pipe job answers for the actual workers;
+      // in local mode it degenerates to the driver check it replaces.
+      val python3OnWorkers = scala.util.Try {
+        s.sparkContext.parallelize(Seq("probe"), 1)
+          .pipe(Seq("python3", "-c",
+            "import sys\nfor l in sys.stdin:\n    print(l.strip())"))
+          .count() == 1L
+      }.getOrElse(false)
       val cmd =
-        if (python3OnPath) Seq("python3", "-c", script)
+        if (python3OnWorkers) Seq("python3", "-c", script)
         else {
           System.err.println(
-            "[pipe_script] python3 not on PATH; piping through `tr` instead")
+            "[pipe_script] python3 not usable on workers; " +
+              "piping through `tr` instead")
           Seq("tr", "[:lower:]", "[:upper:]")
         }
       val lines = nation(s, d)

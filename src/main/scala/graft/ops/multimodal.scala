@@ -137,10 +137,14 @@ object Multimodal {
     // guards the assumption). Batching/determinism/schema laws stay in
     // MultimodalSpec; a REAL codec swap would return this key to
     // rows-only, which is the honest trade.
+    // mean_byte is an integer-ratio double — round(x, 4) is the
+    // cross-engine half-boundary class this repo bans (review finding);
+    // floor(x·1e4 + 0.5) is the same IEEE expression in both engines.
     "mm_decode_features" -> ((s, d) =>
       extractFeatures(mediaTable(s, d)).toDF()
         .select(col("doc_id"), col("width"), col("height"),
-          round(col("mean_byte"), 4).as("mean_byte"))
+          floor(col("mean_byte") * 1e4 + 0.5).cast("long")
+            .as("mean_byte_e4"))
         .orderBy("doc_id")),
 
     // Resize through the media pipeline, gated on the SIZE contract (the
@@ -196,15 +200,18 @@ object Multimodal {
     // Byte length ≡ char length and byte value ≡ codepoint on the ASCII
     // corpus (a non-ASCII row would fail the gate, guarding the
     // assumption); `//`/`%` on DuckDB BIGINTs match the stub's integer
-    // ops; the n=0 coalesce mirrors the stub's empty-payload 0.0.
+    // ops; the n=0 coalesce mirrors the stub's empty-payload 0.0; the
+    // mean is floor-scaled (same IEEE expression as the Spark side) —
+    // round(x, 4) on an integer ratio is the banned half-boundary class.
     "mm_decode_features" ->
       """SELECT doc_id,
         |  CAST(greatest(1, length(text) % 640) AS INTEGER) AS width,
         |  CAST(greatest(1, (length(text) // 7) % 480) AS INTEGER)
         |    AS height,
-        |  round(coalesce(
+        |  CAST(floor(coalesce(
         |    list_sum([unicode(c)::DOUBLE for c in string_split(text, '')])
-        |      / nullif(length(text), 0), 0), 4) AS mean_byte
+        |      / nullif(length(text), 0), 0) * 1e4 + 0.5) AS BIGINT)
+        |    AS mean_byte_e4
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
     "mm_ingest_binary" ->

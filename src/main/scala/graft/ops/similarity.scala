@@ -164,7 +164,9 @@ object Similarity {
     * so the two sides stay in lockstep at ANY sf.
     */
   private def ivfK(s: SparkSession, d: String): Int =
-    Text.intConf(embeddings(s, d), "spark.graft.ivf.k",
+    // conf FIRST: intConf's by-value default would run the count() job
+    // even with the override set (review finding, round 7)
+    s.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(
       math.max(8, math.round(math.sqrt(embeddings(s, d).count() / 8.0)).toInt))
 
   private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
@@ -426,13 +428,8 @@ object Similarity {
     // Scale shape: map-only codegen projection, zero shuffle; at
     // cluster scale this writes the quantized index partition-parallel.
     "embed_quantize_int8" -> ((s, d) =>
-      vecs(s, d)
-        .withColumn("scale",
-          greatest(array_max(transform(col("v"), x => abs(x))),
-            lit(1e-12)) / 127.0)
-        .withColumn("q", transform(col("v"), x =>
-          greatest(lit(-127.0),
-            least(lit(127.0), floor(x / col("scale") + 0.5))).cast("int")))
+      withInt8Codes(vecs(s, d))
+        .withColumn("q", transform(col("qf"), x => x.cast("int")))
         // scale/mse land on arbitrary doubles — round() hits half-
         // boundary disagreements between engines (observed: 3.85e-7),
         // so both are emitted as floor(x·10⁹ + 0.5) integers: the same
@@ -456,14 +453,9 @@ object Similarity {
     // shuffles) + a 5-row-per-probe overlap join; O(q·n) like its float
     // twin, with q fixed.
     "sim_recall_int8" -> ((s, d) =>
-      recallVsVariant(s, d)(base => base
-        .withColumn("scale",
-          greatest(array_max(transform(col("v"), x => abs(x))),
-            lit(1e-12)) / 127.0)
-        .withColumn("vq", transform(col("v"), x =>
-          greatest(lit(-127.0),
-            least(lit(127.0), floor(x / col("scale") + 0.5)))
-            * col("scale"))))),
+      recallVsVariant(s, d)(base => withInt8Codes(base)
+        .withColumn("vq",
+          transform(col("qf"), x => x * col("scale"))))),
 
     // Matryoshka-style dimension-truncation gate: the SAME recall@5
     // question for the other production compression — search on a
@@ -698,6 +690,36 @@ object Similarity {
         |      ORDER BY cos DESC, nbr_id) AS rn
         |  FROM pairs) WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)
   )
+
+  /** THE int8 quantizer, defined once (review finding r7: it was
+    * spelled four times — two Scala copies + two SQL copies — while
+    * every copy's comment demanded they stay "the identical IEEE
+    * expression"). Adds `scale` = max|x|/127 (zero-guarded at 1e-12)
+    * and `qf` = clamp±127(floor(x/scale + 0.5)) as DOUBLE codes;
+    * `embed_quantize_int8` casts them to int, the recall variant
+    * dequantizes with ·scale. [[int8SqlCte]] is the same two steps in
+    * SQL for the oracles.
+    */
+  private def withInt8Codes(base: DataFrame): DataFrame =
+    base
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))),
+          lit(1e-12)) / 127.0)
+      .withColumn("qf", transform(col("v"), x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x / col("scale") + 0.5)))))
+
+  /** SQL twin of [[withInt8Codes]]: a CTE body computing (vec_id, v,
+    * `extra` passthrough columns, scale, qf) from a relation named
+    * `prev` with (vec_id, v, ...extra).
+    */
+  private def int8SqlCte(prev: String, extra: String): String =
+    s"""SELECT vec_id, v, $extra scale,
+       |         [greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+       |          for x in v] AS qf
+       |       FROM (SELECT vec_id, v, $extra
+       |               greatest(list_max([abs(x) for x in v]), 1e-12)
+       |                 / 127.0 AS scale FROM $prev)""".stripMargin
 
   /** Oracle builder for the recall@5 gates ([[recallVsVariant]] replay):
     * `variantCte` must define `dq(vec_id, v, nrm, vq)` from the norm'd

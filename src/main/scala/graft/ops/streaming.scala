@@ -131,11 +131,28 @@ object Streaming {
     // is boundary-invariant — greatest(local prefix, prior-partition
     // max) is the global prefix max under ANY ordered partitioning —
     // which the single-window oracle checks.
+    //
+    // The fixture's ts is MONOTONE in event_id, so the raw stream alone
+    // would make this audit vacuous (n_late ≡ 0 at every sf — a
+    // sign-flipped predicate or a wrong delay unit would still pass,
+    // review finding r7). The arrival stream therefore includes a
+    // deterministic REPLAY tail: every 97th event re-arrives after the
+    // whole stream (arrival id + 10⁷) carrying its ORIGINAL event time
+    // — the redelivery pattern watermarks exist for. ~1% of rows, late
+    // by minutes up to the full 30-day stream span, so n_late is a
+    // nonzero, density-sensitive count (104 of 10104 at sf0.01): a
+    // flipped sign counts ~all base rows instead, a wrong delay unit
+    // shifts the count — both now observable at the gate, while the
+    // monotone base stream pins the not-late branch.
     "stream_watermark_late" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val delayUs = 600000000L // 10 minutes
-      val e = events(s, d).select(col("event_id"), col("event_type"),
+      val base = events(s, d).select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
+      val replay = base.filter(col("event_id") % 97 === 0)
+        .select((col("event_id") + 10000000L).as("event_id"),
+          col("event_type"), col("us"))
+      val e = base.unionByName(replay)
       val part = graft.InternalCaches.persistTracked(
         e.repartitionByRange(8, col("event_id"))
           .withColumn("pid", spark_partition_id()),
@@ -163,32 +180,15 @@ object Streaming {
     // STREAMING HEAVY HITTERS, batch-observable form: the same
     // Misra-Gries sketch the true flatMapGroupsWithState form
     // ([[streamingHeavyHitters]], state-law-tested in StreamingSpec)
-    // folds per shard, run here as text_heavy_hitters' two-pass batch
-    // path over the event-type stream — per-partition MG candidate
-    // summaries (bounded cap·partitions rows leave the executors), then
-    // an exact broadcast-semi recount of candidates only. MG's
-    // no-false-negative guarantee (any item with n > N/k survives some
-    // partition summary at cap ≥ k) makes the recounted output EXACTLY
-    // the true heavy hitters — deterministic and hash-comparable against
-    // a plain exact oracle, sketch error paid only in candidate slack.
-    "stream_heavy_hitters" -> ((s, d) => {
-      import s.implicits._
-      val k = 5
-      val cap = 16
-      val tok = events(s, d).select(col("event_type"))
-      val sketch = graft.InternalCaches.persistTracked(
-        tok.as[String].mapPartitions(Text.mgSketch(cap))
-          .toDF("event_type", "part_rows"), eager = true)
-      val cands = sketch.filter(col("event_type") =!= "")
-        .select("event_type").distinct()
-      val total = sketch.agg(sum(col("part_rows")).as("total"))
-      tok.join(broadcast(cands), Seq("event_type"))
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
-        .filter(col("n") * k > col("total"))
-        .select(col("event_type"), col("n"))
-        .orderBy(col("n").desc, col("event_type"))
-    })
+    // folds per shard, run here as the SHARED [[Text.mgHeavyHitters]]
+    // two-pass batch path over the event-type stream — see that helper
+    // for the sketch/recount plan shape and the no-false-negative
+    // pigeonhole argument (one copy to maintain, review finding r7).
+    // Deterministic and hash-comparable against a plain exact oracle;
+    // sketch error paid only in candidate slack.
+    "stream_heavy_hitters" -> ((s, d) =>
+      Text.mgHeavyHitters(events(s, d).select(col("event_type")),
+        "event_type", k = 5, cap = 16))
   )
 
   /** The one attribution-join body both batch interval queries share —
@@ -278,15 +278,20 @@ object Streaming {
     "stream_stateful_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
-    // Single-window form of the two-phase prefix max: hi over strictly-
-    // preceding arrivals; first row's NULL hi → NULL predicate → not
-    // counted, matching Spark's count_if.
+    // Single-window form of the two-phase prefix max over the SAME
+    // base ∪ replay arrival stream; first row's NULL hi → NULL
+    // predicate → not counted, matching Spark's count_if.
     "stream_watermark_late" ->
-      """WITH a AS (
-        |  SELECT event_id, event_type, epoch_us(ts) AS us,
-        |    max(epoch_us(ts)) OVER (ORDER BY event_id
+      """WITH arr AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, event_type, epoch_us(ts)
+        |  FROM events WHERE event_id % 97 = 0),
+        |a AS (
+        |  SELECT event_id, event_type, us,
+        |    max(us) OVER (ORDER BY event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
-        |  FROM events)
+        |  FROM arr)
         |SELECT event_type,
         |  CAST(count_if(us < hi - 600000000) AS BIGINT) AS n_late,
         |  count(*) AS n_rows

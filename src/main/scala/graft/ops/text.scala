@@ -167,6 +167,36 @@ object Text {
     * one stream element per surviving counter. Amortized O(1) per input
     * element: each decrement pays down exactly one earlier increment.
     */
+  /** The full exact-at-sketch-cost heavy-hitter pipeline over a 1-column
+    * stream relation: per-partition Misra-Gries candidate summaries
+    * (bounded cap·partitions rows leave the executors), then an exact
+    * broadcast-semi recount of candidates only, n·k > total cut. MG's
+    * no-false-negative guarantee (any item with n > N/k survives some
+    * partition summary at cap ≥ k) makes the output EXACTLY the true
+    * heavy hitters. Shared by `text_heavy_hitters` (token stream) and
+    * `stream_heavy_hitters` (event-type stream) — one copy of the
+    * pigeonhole reasoning to maintain (review finding r7).
+    */
+  private[ops] def mgHeavyHitters(stream: DataFrame, keyCol: String,
+      k: Int, cap: Int): DataFrame = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val keyed = stream.select(col(keyCol))
+    // eager: cands and total read this relation from two branches of
+    // the final plan; an unpopulated entry would run the sketch twice.
+    val sketch = graft.InternalCaches.persistTracked(
+      keyed.as[String].mapPartitions(mgSketch(cap))
+        .toDF(keyCol, "part_rows"), eager = true)
+    val cands = sketch.filter(col(keyCol) =!= "").select(keyCol).distinct()
+    val total = sketch.agg(sum(col("part_rows")).as("total"))
+    keyed.join(broadcast(cands), Seq(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * k > col("total"))
+      .select(col(keyCol), col("n"))
+      .orderBy(col("n").desc, col(keyCol))
+  }
+
   private[graft] def mgSketch(cap: Int)(
       it: Iterator[String]): Iterator[(String, Long)] = {
     var seen = 0L
@@ -749,27 +779,12 @@ object Text {
     //     vocabulary. Output = exactly the true heavy hitters with exact
     //     counts — deterministic, hash-comparable, sketch error paid only
     //     in candidate-list slack.
-    "text_heavy_hitters" -> ((s, d) => {
-      import s.implicits._
-      val k = 100
-      val cap = 400
-      val tok = documents(s, d)
-        .select(explode(toks).as("token"))
-        .filter(length(col("token")) > 0)
-      // eager: cands and total read this relation from two branches of
-      // the final plan; an unpopulated entry would run the sketch twice.
-      val sketch = graft.InternalCaches.persistTracked(
-        tok.as[String].mapPartitions(mgSketch(cap))
-          .toDF("token", "part_rows"), eager = true)
-      val cands = sketch.filter(col("token") =!= "").select("token").distinct()
-      val total = sketch.agg(sum(col("part_rows")).as("total"))
-      tok.join(broadcast(cands), Seq("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
-        .filter(col("n") * k > col("total"))
-        .select(col("token"), col("n"))
-        .orderBy(col("n").desc, col("token"))
-    }),
+    "text_heavy_hitters" -> ((s, d) =>
+      mgHeavyHitters(
+        documents(s, d)
+          .select(explode(toks).as("token"))
+          .filter(length(col("token")) > 0),
+        "token", k = 100, cap = 400)),
 
     // SEQUENCE PACKING for pretraining batches: documents pack in doc_id
     // order into fixed token-budget sequences (budget 2048); a doc's
@@ -1815,29 +1830,35 @@ object Text {
     val S = "chr(31)"
     val wrapped =
       s"($S || array_to_string(string_split(w, ''), $S||$S) || $S)"
+    // the rules ride a GUARANTEED-single-row CTE of coalesced scalar
+    // subqueries (subqueries are illegal inside DuckDB lambdas, and a
+    // direct CROSS JOIN m$m would annihilate every doc row if training
+    // exhausts before round m and m$m is EMPTY — 0-row oracle vs
+    // one-per-doc engine output). A missing rule degrades to a
+    // never-matching chr(30) pattern (absent from the corpus), i.e. a
+    // no-op replace, exactly like the engine's shorter foldLeft.
+    val ruleCols = (1 to 8).map(m =>
+      s"""coalesce((SELECT $S||a||$S||$S||b||$S FROM m$m), chr(30)) AS p$m,
+         |  coalesce((SELECT $S||a||b||$S FROM m$m), '') AS r$m""".stripMargin)
     val chain = (1 to 8).foldLeft(wrapped) { (acc, m) =>
-      s"replace($acc, $S||m$m.a||$S||$S||m$m.b||$S, $S||m$m.a||m$m.b||$S)"
+      s"replace($acc, p$m, r$m)"
     }
     bpeTrainCtes +
     s""",
+       |rules AS (SELECT
+       |  ${ruleCols.mkString(",\n  ")}),
        |docs AS (
        |  SELECT doc_id,
        |    [w for w in string_split(text, ' ') if length(w) > 0] AS ws
-       |  FROM documents),
-       |enc AS (
-       |  SELECT doc_id,
-       |    CAST(len(ws) AS BIGINT) AS n_words,
-       |    CAST(list_sum([length(w) for w in ws]) AS BIGINT)
-       |      AS n_sym_before,
-       |    CAST(list_sum(list_transform(ws, w ->
-       |      (length($chain) - length(w)) // 2)) AS BIGINT) AS n_sym_after
-       |  FROM docs
-       |  CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3 CROSS JOIN m4
-       |  CROSS JOIN m5 CROSS JOIN m6 CROSS JOIN m7 CROSS JOIN m8)
-       |SELECT doc_id, n_words,
-       |  coalesce(n_sym_before, 0) AS n_sym_before,
-       |  coalesce(n_sym_after, 0) AS n_sym_after
-       |FROM enc ORDER BY doc_id""".stripMargin
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum([length(w) for w in ws]), 0) AS BIGINT)
+       |    AS n_sym_before,
+       |  CAST(coalesce(list_sum(list_transform(ws, w ->
+       |    (length($chain) - length(w)) // 2)), 0) AS BIGINT)
+       |    AS n_sym_after
+       |FROM docs CROSS JOIN rules ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

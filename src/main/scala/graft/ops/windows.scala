@@ -399,19 +399,25 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     // Same collected 12-row frame, same indexed fold, same 0.3/0.7
-    // literals, same floor(x·1e6 + 0.5) integerization.
+    // literals, same floor(x·1e6 + 0.5) integerization. DuckDB's list()
+    // keeps NULLs where Spark's collect_list drops them — the frame is
+    // the same 12 ROWS, so collect first, then list_filter the NULLs
+    // out (pre-filtering ROWS would change the frame), and null the
+    // result on an empty filtered list exactly as the engine does.
     "win_ewma" ->
-      """WITH f AS (
+      """WITH f0 AS (
         |  SELECT event_id, user_id,
         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win
-        |  FROM events)
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS raw
+        |  FROM events),
+        |f AS (SELECT event_id, user_id,
+        |        list_filter(raw, x -> x IS NOT NULL) AS win FROM f0)
         |SELECT event_id, user_id,
-        |  CAST(floor(
+        |  CASE WHEN len(win) > 0 THEN CAST(floor(
         |    list_sum([win[i] * pow(0.7, len(win) - i)
         |              for i in range(1, len(win) + 1)])
         |      * 0.3 / (1.0 - pow(0.7, len(win))) * 1e6 + 0.5) AS BIGINT)
-        |    AS ewma_ppm
+        |  ELSE NULL END AS ewma_ppm
         |FROM f ORDER BY event_id""".stripMargin,
     "win_ratio_to_report" ->
       """SELECT event_id, user_id,

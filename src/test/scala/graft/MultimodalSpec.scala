@@ -24,7 +24,7 @@ class MultimodalSpec extends SparkSpec {
     val schema = SparkEntry.queries("mm_decode_features")(spark, sfDir)
       .schema.map(f => (f.name, f.dataType.simpleString))
     assert(schema == Seq(("doc_id", "bigint"), ("width", "int"),
-      ("height", "int"), ("mean_byte", "double")))
+      ("height", "int"), ("mean_byte_e4", "bigint")))
   }
 
   test("decode runs per partition, touching every row exactly once") {
