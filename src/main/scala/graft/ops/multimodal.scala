@@ -176,6 +176,38 @@ object Multimodal {
           sum(col("length")).as("total_bytes"))
     }),
 
+    // WebDataset-style SHARD MANIFEST — the packing step that turns a
+    // row-per-sample corpus into fixed-size shard units for sequential
+    // training reads: samples ordered deterministically within each
+    // source, packed by the EXCLUSIVE running byte total (shard_idx =
+    // cum_bytes_before / SHARD — a sample lands in the shard its first
+    // byte falls into), manifest = one row per shard with item count,
+    // byte total, and the id range a reader needs to seek. Scale shape:
+    // the prefix sum partitions by SOURCE — per-group windows, never a
+    // single global-ordering task (a truly global shard stream would
+    // use the standard two-pass prefix sum: per-partition totals
+    // collected once, broadcast as offsets); skew is bounded by the
+    // largest source, and the manifest itself is shard-cardinality
+    // sized. Fully oracle-replayed (window + integer division).
+    "mm_shard_manifest" -> ((s, d) => {
+      val shardBytes = 4096L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          coalesce(octet_length(col("text")).cast("long"), lit(0L)).as("nb"))
+        .withColumn("shard_idx",
+          floor(coalesce(sum(col("nb")).over(w), lit(0L))
+            / lit(shardBytes.toDouble)).cast("long"))
+        .groupBy(col("source"), col("shard_idx"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("nb")).as("shard_bytes"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy("source", "shard_idx")
+    }),
+
     // Frame sampling as a 1→N generator over binary: every 4th 64-byte
     // frame with its index; the (index, frame-length) stream is fully
     // determined by the payload length, so the oracle checks the whole
@@ -223,6 +255,26 @@ object Multimodal {
       """SELECT doc_id,
         |  CAST(least(octet_length(encode(text)), 256) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Exact replay of the per-source exclusive prefix sum + integer
+    // shard assignment. DuckDB sums BIGINT into HUGEINT — every
+    // aggregate is cast back to BIGINT to match Spark's long.
+    "mm_shard_manifest" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS nb
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, nb,
+        |    CAST(floor(CAST(coalesce(sum(nb) OVER (
+        |        PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) / 4096.0) AS BIGINT) AS shard_idx
+        |  FROM b)
+        |SELECT source, shard_idx, count(*) AS n_items,
+        |  CAST(sum(nb) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM c GROUP BY source, shard_idx
+        |ORDER BY source, shard_idx""".stripMargin,
     "mm_frames" ->
       """WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents)

@@ -57,6 +57,17 @@ object Text {
   private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("t", toks)
 
+  /** 32-bit uniform draw from the md5 prefix of `key` — the acceptance
+    * gate shared by the deterministic samplers. md5 (unlike xxhash64) is
+    * computable in DuckDB (`CAST(('0x' || substr(md5(k),1,8)) AS
+    * BIGINT)`), so every sampler built on this gate is fully
+    * oracle-replayable while keeping the properties that matter at
+    * 100 TB: the draw is a pure function of the ROW KEY — layout-
+    * invariant, rerun-stable, and nestable across rates.
+    */
+  private[ops] def md5u32(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+
   /** The distributed BPE training loop shared by `text_bpe_merges`
     * (emits the rules) and `text_bpe_encode` (applies them): corpus
     * reduces ONCE to the weighted distinct-word vocabulary, then k=8
@@ -977,33 +988,36 @@ object Text {
         .orderBy("doc_id")),
 
     // Deterministic content-hash sampling: keep a doc iff
-    // xxhash64(doc_id) mod 100 < 10. Unlike Dataset.sample (whose draw
-    // depends on partition layout), the decision is a pure function of
-    // the KEY — the same 10% sample comes back on any cluster size, any
-    // partitioning, any rerun: the reproducibility a 100 TB pipeline
-    // needs to version its subsets. Rows-only driver check (DuckDB has no
-    // xxhash64); proportion/determinism laws in TextSpec.
+    // md5u32("hs:" + doc_id) mod 100 < 10. Unlike Dataset.sample (whose
+    // draw depends on partition layout), the decision is a pure function
+    // of the KEY — the same 10% sample comes back on any cluster size,
+    // any partitioning, any rerun: the reproducibility a 100 TB pipeline
+    // needs to version its subsets. The md5 gate replays verbatim in the
+    // oracle (full hash-compare), plus proportion/determinism laws in
+    // TextSpec.
     "sample_hash" -> ((s, d) =>
       documents(s, d)
-        .filter(pmod(xxhash64(col("doc_id")), lit(100)) < 10)
+        .filter(pmod(md5u32(concat(lit("hs:"), col("doc_id").cast("string"))),
+          lit(100L)) < 10)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")),
 
     // Stratified deterministic sample: per-LANGUAGE rates over the same
-    // layout-invariant xxhash64 gate as sample_hash — downsample the
+    // layout-invariant md5 gate as sample_hash — downsample the
     // head language (en, 10%), keep more of the tail (40%): the
     // rebalancing pass a multilingual training mix runs. Dataset.sampleBy
     // has the per-stratum rate contract but not the reproducibility one
     // (its draw depends on seed + partition layout). Because the gate is
     // the SAME hash on the same key, samples at different rates nest:
     // the 10% en-subset is a strict subset of any higher-rate rerun —
-    // versioned-subset lineage for free. Rows-only driver check (DuckDB
-    // has no xxhash64); rate/determinism/nesting laws in TextSpec.
+    // versioned-subset lineage for free. Oracle-replayed md5 gate +
+    // rate/determinism/nesting laws in TextSpec.
     "sample_stratified" -> ((s, d) =>
       documents(s, d)
         .withColumn("rate",
           when(col("lang") === "en", lit(10)).otherwise(lit(40)))
-        .filter(pmod(xxhash64(col("doc_id")), lit(100)) < col("rate"))
+        .filter(pmod(md5u32(concat(lit("hs:"), col("doc_id").cast("string"))),
+          lit(100L)) < col("rate"))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
@@ -1148,7 +1162,7 @@ object Text {
     // proportional to a quality proxy (token count, capped at 1.0 by 60
     // tokens) — the "sample good documents harder" knob a mixture
     // pipeline turns, with the reproducibility Dataset.sample lacks: the
-    // acceptance draw is xxhash64(doc_id, salt) mapped to [0,1), so the
+    // acceptance draw is md5u32("ws:" + doc_id) mapped to [0,1), so the
     // decision is a pure function of the doc id — layout-invariant,
     // re-runnable, and MONOTONE in the weight (shrinking every weight
     // yields a strict subset, the nesting law a curriculum re-sample
@@ -1156,13 +1170,13 @@ object Text {
     // A NULL text gets weight 0, not a free pass: least() SKIPS nulls,
     // so without the coalesce a null token array would collapse the
     // weight to the 1.0 literal and keep the emptiest document with
-    // certainty — the inverse of quality-proportional.
-    // Rows-only check: the oracle cannot reproduce xxhash64.
+    // certainty — the inverse of quality-proportional. The md5 gate
+    // replays verbatim in the oracle (full hash-compare).
     "sample_weighted" -> ((s, d) => {
       val w = least(lit(1.0),
         coalesce(size(col("t")).cast("double"), lit(0.0)) / 60.0)
-      val u = pmod(xxhash64(col("doc_id"), lit("wsamp")), lit(1000000))
-        .cast("double") / 1000000.0
+      val u = md5u32(concat(lit("ws:"), col("doc_id").cast("string")))
+        .cast("double") / math.pow(2.0, 32)
       tokenizedDocs(s, d)
         .filter(u < w)
         .select(col("doc_id"), round(w, 6).as("w"))
@@ -1202,6 +1216,49 @@ object Text {
         .agg(first(col("n_docs")).as("n_docs"),
           round(first(col("rate")), 6).as("rate"),
           sum(col("kept")).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic per-stratum RESERVOIR — "k uniform docs per
+    // language", the versioned eval-subset draw: rank docs inside each
+    // language by the md5 draw (a uniform permutation that is a pure
+    // function of the key — reservoir sampling's distribution without
+    // its scan-order dependence) and keep the first k=20; doc_id
+    // tiebreak makes the rank total. Scale shape: one per-language
+    // window — the heaviest language bounds the task; when k ≪ group
+    // size the skew-proof alternative is the bounded top-k aggregator
+    // (the win_topk_per_group pattern). Fully oracle-replayed.
+    "sample_reservoir" -> ((s, d) => {
+      val u = md5u32(concat(lit("rs:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(u.asc, col("doc_id").asc)
+      documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // DATA-MIXTURE EPOCH FACTORS — the repeat-factor table a mixture
+    // sampler consumes: for a uniform-over-languages target mix,
+    // epochs_l = n_max / n_l (each subset repeated until it matches the
+    // head language — "equalize by oversampling", the Pile-style
+    // up-weighting), alongside the natural share the corpus has today.
+    // Exact integer ratios into one rounded double each ⇒ cross-engine
+    // deterministic. Scale shape: one map-side-combined groupBy to
+    // language cardinality, a broadcast single-row totals join — the
+    // corpus is never shuffled wide.
+    "pipeline_mix_epochs" -> ((s, d) => {
+      val counts = documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_tot"),
+        max(col("n_docs")).as("n_max"))
+      counts.join(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_tot"), 6)
+            .as("natural_share"),
+          round(col("n_max").cast("double") / col("n_docs"), 6)
+            .as("epochs"))
         .orderBy("lang")
     }),
 
@@ -1863,9 +1920,50 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "text_bpe_merges" -> bpeReplaySql,
-    // md5 is computable in both engines (unlike xxhash64), so this
-    // sampler's acceptance gate replays EXACTLY: same 8-hex-char prefix,
-    // same 2^32 divisor, same literal -0.3 exponent.
+    // md5 is computable in both engines (unlike xxhash64), so the
+    // samplers' acceptance gates replay EXACTLY: same salted key, same
+    // 8-hex-char prefix, same mod-100 / 2^32 mapping.
+    "sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(('0x' || substr(md5('hs:' || doc_id), 1, 8)) AS BIGINT)
+        |      % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5('hs:' || doc_id), 1, 8)) AS BIGINT)
+        |      % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+        |ORDER BY doc_id""".stripMargin,
+    // Weight = least(1, n_tokens/60) exactly as the engine computes it
+    // (split on single spaces). The coalesce is load-bearing on BOTH
+    // sides: least() skips NULLs in both engines, so a NULL text would
+    // otherwise collapse the weight to the 1.0 literal.
+    "sample_weighted" ->
+      """SELECT doc_id,
+        |  round(least(1.0,
+        |    coalesce(len(string_split(text, ' ')), 0)::DOUBLE / 60.0), 6)
+        |    AS w
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('ws:' || doc_id), 1, 8)) AS BIGINT)
+        |        ::DOUBLE / 4294967296.0
+        |      < least(1.0,
+        |          coalesce(len(string_split(text, ' ')), 0)::DOUBLE / 60.0)
+        |ORDER BY doc_id""".stripMargin,
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5('rs:' || doc_id), 1, 8))
+        |      AS BIGINT), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "pipeline_mix_epochs" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+        |             CAST(max(n_docs) AS BIGINT) AS n_max FROM c)
+        |SELECT lang, n_docs,
+        |  round(n_docs::DOUBLE / n_tot, 6) AS natural_share,
+        |  round(n_max::DOUBLE / n_docs, 6) AS epochs
+        |FROM c, t ORDER BY lang""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
         |           GROUP BY lang),

@@ -25,20 +25,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read the nanos as long and truncate to micros —
-    * exactly what DuckDB does when it loads the same file into its
-    * microsecond TIMESTAMP — so both engines see identical instants.
+  /** `events.ts` has shipped in two testdata generations: parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read as
+    * long via `nanosAsLong` and truncate to micros) and native
+    * TIMESTAMP(MICROS) without timezone (scanned as TIMESTAMP_NTZ).
+    * Branch on the SCANNED type so either generation loads identically:
+    * the NTZ micros are cast to the session-UTC instant type every
+    * consumer already assumes — value-identical under the UTC session
+    * timezone, and exactly the microsecond instants DuckDB sees when it
+    * loads the same file.
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session construction (Verify/Bench/SparkSpec builders) — a loader
+    * The legacy path requires `spark.sql.legacy.parquet.nanosAsLong=true`
+    * at session construction (Verify/Bench/SparkSpec builders) — a loader
     * must never mutate session config as a plan-build side effect (racy
     * across concurrent queries, leaks into unrelated reads).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

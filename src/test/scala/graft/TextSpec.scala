@@ -264,7 +264,9 @@ class TextSpec extends SparkSpec {
     assert(rerun == ids)
     val reshuffled = Tables.documents(spark, sfDir)
       .repartition(7, col("lang"))
-      .filter(pmod(xxhash64(col("doc_id")), lit(100)) < 10)
+      .filter(pmod(
+        conv(substring(md5(concat(lit("hs:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(100L)) < 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(reshuffled == ids,
       "hash sampling must not depend on partition layout")
@@ -424,8 +426,8 @@ class TextSpec extends SparkSpec {
       s"rate $rate must track mean weight $meanW")
     // nesting: halving every weight keeps a strict subset (same draw u,
     // smaller cut) — recompute the halved sample from first principles
-    val u = pmod(xxhash64($"doc_id", lit("wsamp")), lit(1000000))
-      .cast("double") / 1000000.0
+    val u = conv(substring(md5(concat(lit("ws:"), $"doc_id".cast("string"))),
+      1, 8), 16, 10).cast("long").cast("double") / math.pow(2.0, 32)
     val halved = Tables.documents(spark, sfDir)
       .withColumn("t", split($"text", " "))
       .filter(u < least(lit(1.0), size($"t").cast("double") / 60.0) / 2)
