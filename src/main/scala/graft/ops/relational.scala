@@ -877,6 +877,38 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // POPULATION-STABILITY-INDEX drift monitor — the one-number "did the
+    // value distribution move" check a continuously-ingesting pipeline
+    // runs between a reference window and the current one: events split
+    // at the midpoint instant, values binned at fixed width 50,
+    // psi = Σ_b (q_b − p_b)·ln(q_b/p_b) with add-½ smoothing so buckets
+    // empty on one side stay finite (p = (n+½)/(N+½B)). PSI < 0.1 is
+    // the conventional "stable" band. Scale shape: one map-side-combined
+    // groupBy to BUCKET cardinality (~10 rows at width 50), single-row
+    // totals and midpoint ride broadcast joins — the event stream is
+    // never shuffled wide, and the log-sum runs over the bucket
+    // relation. Exact-count ratios into one rounded double ⇒
+    // cross-engine deterministic at 6 decimals.
+    "agg_drift_psi" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(unix_micros(col("ts")).as("us"), col("value"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val counts = ev.join(broadcast(mid))
+        .select(floor(col("value") / 50.0).cast("long").as("bucket"),
+          (col("us") <= col("mid")).cast("long").as("is_ref"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("is_ref")).as("nr"),
+          sum(lit(1L) - col("is_ref")).as("nc"))
+      val tot = counts.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"),
+        count(lit(1)).as("nb"))
+      val p = (col("nr") + 0.5) / (col("tr") + col("nb") * 0.5)
+      val q = (col("nc") + 0.5) / (col("tc") + col("nb") * 0.5)
+      counts.join(broadcast(tot))
+        .select(((q - p) * log(q / p)).as("term"))
+        .agg(round(sum(col("term")), 6).as("psi"),
+          count(lit(1)).as("n_buckets"))
+    }),
+
     // Shannon entropy of the language mix per source — the corpus-balance
     // diagnostic a training-data pipeline reads before sampling weights.
     // Two stacked partial-agged groupBys (domain-bounded shuffle keys,
@@ -1541,6 +1573,28 @@ object Relational {
         |    4) AS decayed_sum,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same midpoint split, same width-50 bins, same add-half smoothing,
+    // same natural log — the psi sum is a ~10-term double fold rounded
+    // to 6, inside cross-engine agreement for exact-count ratios.
+    "agg_drift_psi" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |c AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |    CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nr,
+        |    CAST(sum(CASE WHEN us <= mid THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS nc
+        |  FROM ev, m GROUP BY 1),
+        |t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+        |             CAST(sum(nc) AS BIGINT) AS tc,
+        |             count(*) AS nb FROM c)
+        |SELECT round(sum(
+        |    ((nc + 0.5) / (tc + 0.5 * nb) - (nr + 0.5) / (tr + 0.5 * nb))
+        |    * ln(((nc + 0.5) / (tc + 0.5 * nb))
+        |         / ((nr + 0.5) / (tr + 0.5 * nb)))), 6) AS psi,
+        |  count(*) AS n_buckets
+        |FROM c, t""".stripMargin,
     "agg_entropy" ->
       """WITH c AS (
         |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)

@@ -68,6 +68,29 @@ object Text {
   private[ops] def md5u32(key: Column): Column =
     conv(substring(md5(key), 1, 8), 16, 10).cast("long")
 
+  /** Winnowed (MOSS) fingerprint stream for docs carrying a token array
+    * `t`: (doc_id, fp) with per-doc-distinct w=4 window minima over the
+    * token 3-gram polynomial hash (131-base, same ascii·131+len atoms as
+    * `text_fingerprint`). Guarantee: any shared span of ≥ k+w−1 = 6
+    * tokens selects at least one identical fingerprint in both docs —
+    * the law TextSpec drives over synthetic two-doc corpora. Stepwise
+    * column materialization is load-bearing (see [[tokenizedDocs]]):
+    * each stage references the PREVIOUS materialized column so lambda
+    * references are array reads, never re-derivations. The ≥ 6-token
+    * filter also guards `sequence(1, n)`, which is DESCENDING for n < 1.
+    */
+  private[graft] def winnowedFingerprints(docs: DataFrame): DataFrame =
+    docs.filter(size(col("t")) >= 6)
+      .withColumn("a", transform(col("t"),
+        tk => (ascii(tk) * 131 + length(tk)).cast("long")))
+      .withColumn("h", transform(sequence(lit(1), size(col("a")) - 2),
+        i => (element_at(col("a"), i) * 17161L
+          + element_at(col("a"), i + 1) * 131L
+          + element_at(col("a"), i + 2)) % 1000000007L))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("h")) - 3),
+          j => array_min(slice(col("h"), j, lit(4)))))).as("fp"))
+
   /** The distributed BPE training loop shared by `text_bpe_merges`
     * (emits the rules) and `text_bpe_encode` (applies them): corpus
     * reduces ONCE to the weighted distinct-word vocabulary, then k=8
@@ -1318,6 +1341,35 @@ object Text {
             (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
         .orderBy("doc_id")),
 
+    // WINNOWING fingerprints (the MOSS scheme): per doc, hash every
+    // token 3-gram (polynomial over the same ascii·131+len atoms as
+    // text_fingerprint), slide a w=4 window over the hash stream, keep
+    // each window's MINIMUM — the classic guarantee that any shared
+    // span of ≥ k+w−1 tokens yields at least one IDENTICAL selected
+    // fingerprint in both docs, at ~1/w the storage of full shingling.
+    // Cross-doc matches (≥ 2 shared fingerprints) are the memorization/
+    // plagiarism audit exact containment misses on partial overlaps.
+    // Scale shape: the sketch is MAP-ONLY per doc (no shuffle until
+    // fingerprints are vocabulary-sized); the pair join runs on
+    // posting lists capped at 50 docs (ubiquitous "stop fingerprints"
+    // are dropped — the winnowing analog of stopword removal), so pair
+    // fan-out is bounded at C(50,2) per fingerprint, never quadratic in
+    // the corpus. Fully oracle-replayed (same atoms, same windows).
+    "text_winnowing" -> ((s, d) => {
+      val fps = graft.InternalCaches.persistTracked(
+        winnowedFingerprints(tokenizedDocs(s, d)))
+      fps.groupBy(col("fp"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 50))
+        .select(explode(flatten(transform(col("ids"), a =>
+          transform(filter(col("ids"), b => b > a),
+            b => struct(a.as("a"), b.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("a", "b")
+    }),
+
     // CROSS-corpus line-level exact dedup (the C4/RefinedWeb cleaning
     // step document-level dedup misses: boilerplate lines recurring
     // across otherwise-distinct documents). "Lines" here are fixed
@@ -2200,6 +2252,36 @@ object Text {
         |       for tk in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Verbatim replay of the winnowing sketch: same atoms as
+    // text_fingerprint, same 3-gram polynomial (131² = 17161), same
+    // w=4 window minima (inclusive slice h[j:j+3]), same 2..50
+    // posting-list band, same ≥2-shared-fingerprint pair cut.
+    "text_winnowing" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |at AS (
+        |  SELECT doc_id,
+        |    [(ascii(tk) * 131 + length(tk))::BIGINT for tk in t] AS a
+        |  FROM tk),
+        |h AS (
+        |  SELECT doc_id,
+        |    [(a[i] * 17161 + a[i+1] * 131 + a[i+2]) % 1000000007
+        |     for i in range(1, len(a) - 1)] AS h
+        |  FROM at),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_min(h[j:j+3])
+        |                   for j in range(1, len(h) - 2)]) AS fps
+        |  FROM h),
+        |un AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        |keep AS (SELECT f FROM un GROUP BY f
+        |         HAVING count(*) BETWEEN 2 AND 50),
+        |uk AS (SELECT u.doc_id, u.f FROM un u JOIN keep k USING (f))
+        |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+        |FROM uk x JOIN uk y ON x.f = y.f AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 2
+        |ORDER BY a, b""".stripMargin,
     "dedup_lines" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -60,6 +60,39 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.sameElements(doc0.take(32)))
   }
 
+  test("mm_shard_manifest: per-source conservation, ordered disjoint " +
+    "id ranges") {
+    val m = SparkEntry.queries("mm_shard_manifest")(spark, sfDir).collect()
+    val bySrc = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(octet_length(col("text")).cast("long"), lit(0L)))
+          .as("nb"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    m.groupBy(_.getString(0)).foreach { case (src, shards) =>
+      // packing conserves: every doc in exactly one shard, every byte
+      // accounted for
+      assert(shards.map(_.getLong(2)).sum == bySrc(src)._1,
+        s"$src: item counts must sum to the source's doc count")
+      assert(shards.map(_.getLong(3)).sum == bySrc(src)._2,
+        s"$src: shard bytes must sum to the source's corpus bytes")
+      val ordered = shards.sortBy(_.getLong(1))
+      // strictly increasing from 0 (an over-shard-size sample may
+      // legally skip an index; density is not part of the contract)
+      assert(ordered.head.getLong(1) == 0L,
+        s"$src: first shard must be index 0")
+      assert(ordered.map(_.getLong(1)).distinct.length == ordered.length,
+        s"$src: shard indices must be unique")
+      ordered.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getLong(5) < y.getLong(4),
+            s"$src: shard id ranges must be disjoint and ordered")
+        case _ => ()
+      }
+    }
+  }
+
   test("metadata projection prunes the payload from the feature read") {
     // metadata-only query: the blob column must not survive into the
     // aggregate (column pruning over the derived payload)

@@ -561,6 +561,72 @@ class TextSpec extends SparkSpec {
       s"train fraction $frac outside the 80% ± group-variance band")
   }
 
+  test("text_winnowing: shared >=6-token span guarantees a shared " +
+    "fingerprint; short docs excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, "one two three four five six seven " + span),
+      (2L, span + " nine ten eleven twelve thirteen"),
+      (3L, "tiny doc here"), // < 6 tokens: no window fits
+      (4L, "completely different words entirely unrelated content stream"))
+      .toDF("doc_id", "text").withColumn("t", split($"text", " "))
+    val fps = ops.Text.winnowedFingerprints(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(!fps.contains(3L), "sub-window doc must produce no fingerprints")
+    // the winnowing guarantee: a shared 8-token span (≥ k+w−1 = 6)
+    // must select at least one identical fingerprint in both docs
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "shared span must winnow to a shared fingerprint")
+    assert((fps(1L) & fps.getOrElse(4L, Set.empty[Long])).isEmpty,
+      "disjoint vocabularies must not collide")
+  }
+
+  test("sample_reservoir: exactly min(20, n_lang) per language, dense " +
+    "ranks, deterministic") {
+    val rows = SparkEntry.queries("sample_reservoir")(spark, sfDir).collect()
+    val perLang = rows.groupBy(_.getString(1))
+    val totals = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val got = perLang.getOrElse(lang, Array.empty)
+      assert(got.length == math.min(20L, n),
+        s"$lang: ${got.length} sampled of $n")
+      assert(got.map(_.getInt(2)).sorted.toSeq == (1 to got.length),
+        s"$lang: ranks must be dense 1..k")
+    }
+    val rerun = SparkEntry.queries("sample_reservoir")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.toString).toSeq == rerun.map(_.toString).toSeq,
+      "reservoir draw must be a pure function of the keys")
+  }
+
+  test("pipeline_mix_epochs: head language pins 1 epoch, factors >= 1, " +
+    "shares sum to 1") {
+    val rows = SparkEntry.queries("pipeline_mix_epochs")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.exists(_._4 == 1.0),
+      "the best-represented language runs exactly one epoch")
+    assert(rows.forall(_._4 >= 1.0), "repeat factors never downsample")
+    val shareSum = rows.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4,
+      s"natural shares must sum to 1, got $shareSum")
+  }
+
+  test("agg_drift_psi: non-negative, single summary row, deterministic") {
+    val r = SparkEntry.queries("agg_drift_psi")(spark, sfDir).collect()
+    assert(r.length == 1)
+    // each PSI term is (q−p)·ln(q/p) — factors share sign, so PSI ≥ 0
+    assert(r.head.getDouble(0) >= 0.0, "PSI is a sum of non-negative terms")
+    assert(r.head.getLong(1) >= 1L)
+    val rerun = SparkEntry.queries("agg_drift_psi")(spark, sfDir).collect()
+    assert(r.head.toString == rerun.head.toString)
+  }
+
   test("dedup_url: canonical forms are clean and groups conserve docs") {
     val df = SparkEntry.queries("dedup_url")(spark, sfDir)
     val rows = df.collect()
