@@ -893,12 +893,16 @@ object Relational {
       val ev = events(s, d)
         .select(unix_micros(col("ts")).as("us"), col("value"))
       val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
-      val counts = ev.join(broadcast(mid))
-        .select(floor(col("value") / 50.0).cast("long").as("bucket"),
-          (col("us") <= col("mid")).cast("long").as("is_ref"))
-        .groupBy(col("bucket"))
-        .agg(sum(col("is_ref")).as("nr"),
-          sum(lit(1L) - col("is_ref")).as("nc"))
+      // persisted: the totals branch would otherwise re-derive the whole
+      // scan+aggregate subtree (two more corpus passes at scale for a
+      // ~10-row relation)
+      val counts = graft.InternalCaches.persistTracked(
+        ev.join(broadcast(mid))
+          .select(floor(col("value") / 50.0).cast("long").as("bucket"),
+            (col("us") <= col("mid")).cast("long").as("is_ref"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("is_ref")).as("nr"),
+            sum(lit(1L) - col("is_ref")).as("nc")))
       val tot = counts.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"),
         count(lit(1)).as("nb"))
       val p = (col("nr") + 0.5) / (col("tr") + col("nb") * 0.5)

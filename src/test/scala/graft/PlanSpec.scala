@@ -778,4 +778,57 @@ class PlanSpec extends SparkSpec {
     assert(bcasts.size >= 2,
       s"both totals must broadcast (got ${bcasts.size}):\n$plan")
   }
+
+  test("text_winnowing: no join node at all — pairs expand from capped " +
+    "posting lists") {
+    // the pair stream is generated INSIDE the fingerprint aggregate via
+    // HOF expansion of the ≤50-doc posting list, so the plan must carry
+    // no join of any kind (the classic failure is a shingle self-join
+    // that goes quadratic on a hot fingerprint)
+    val plan = finalPlan("text_winnowing")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"posting-list expansion needs no join:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
+  test("mm_shard_manifest: the prefix-sum window partitions by source " +
+    "(never a global single-partition window)") {
+    val plan = finalPlan("mm_shard_manifest")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected a window node:\n$plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"window must partition by source, not move all rows to one task:\n$plan")
+  }
+
+  test("agg_drift_psi: midpoint and totals ride broadcasts; the event " +
+    "stream never shuffles wide") {
+    val plan = finalPlan("agg_drift_psi")
+    // the totals join broadcasts at top level; the midpoint broadcast
+    // sits inside the persisted bucket relation's cached subtree (its
+    // text still shows in plan.toString, but collectAll does not
+    // recurse into InMemoryRelation)
+    val bcasts = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => b
+    }
+    assert(bcasts.nonEmpty,
+      s"totals must broadcast (got ${bcasts.size}):\n$plan")
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastExchange"),
+      s"single-row joins must be broadcasts:\n$plan")
+    // allowed exchanges: the midpoint min/max single-partition, the
+    // bucket-cardinality hash exchange, and the two tiny aggregates
+    // over the PERSISTED bucket relation (totals + final psi row) —
+    // without the persist the totals branch re-derives the whole scan
+    val wide = collectAll(plan) { case e: ShuffleExchangeLike => e }
+    assert(wide.size <= 4, s"unexpected wide shuffle count:\n$plan")
+    // the bucket relation must be served from the persisted handle —
+    // both downstream consumers (totals + psi terms) read the cache,
+    // not a re-derived scan subtree
+    assert(plan.toString.contains("InMemoryTableScan"),
+      s"bucket counts must come from the persisted relation:\n$plan")
+  }
 }
