@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Synthesize the bench-only sf1 fixture (dev tool; the shipped Scala
+library does not depend on this). Reconstructs the round-7 construction
+documented in BASELINE.md §"Scale validation" on top of whatever testdata
+generation is current:
+
+- documents x10: copy k rotates a-z by k (a character bijection, so
+  gram/shingle statistics and every within-copy similarity are exactly
+  preserved while cross-copy vocabularies stay disjoint - "10x more
+  documents of the same kind"); doc_id offset per copy.
+- events x10: event_id AND user_id offset per copy (un-offset users would
+  let the per-user stream joins match across copies - output would grow
+  x100 on x10 data by construction, a fixture artifact, not a plan
+  property); value/ts distributions verbatim - x10 rows, same shape.
+- lineitem x10: per-copy key offsets on order/part/supp (the join graph
+  gains 10 identical components).
+- all other tables symlinked from the source sf dir.
+
+Usage: make_sf1.py [src_dir] [dst_dir]   (defaults sf0.1 -> /tmp/graft_sf1)
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+COPIES = 10
+
+ROT_TABLES = {"documents"}
+
+
+def rotate_text(col: pa.ChunkedArray, k: int) -> pa.Array:
+    """Rotate a-z by k (bijection; non-letters untouched)."""
+    if k == 0:
+        return col.combine_chunks()
+    src = "abcdefghijklmnopqrstuvwxyz"
+    dst = src[k:] + src[:k]
+    py = col.to_pylist()
+    table = str.maketrans(src, dst)
+    return pa.array([None if t is None else t.translate(table) for t in py],
+                    type=pa.string())
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    for name in tables:
+        src_path = f"{SRC}/{name}.parquet"
+        dst_path = f"{DST}/{name}.parquet"
+        if os.path.lexists(dst_path):
+            os.remove(dst_path)
+        if name == "documents":
+            t = pq.read_table(src_path)
+            parts = []
+            for k in range(COPIES):
+                cols = {}
+                for field in t.schema:
+                    c = t.column(field.name)
+                    if field.name == "doc_id":
+                        cols[field.name] = pc.add(c, k * 10_000_000)
+                    elif field.name == "text":
+                        cols[field.name] = rotate_text(c, k)
+                    else:
+                        cols[field.name] = c
+                parts.append(pa.table(cols))
+            pq.write_table(pa.concat_tables(parts), dst_path)
+        elif name == "events":
+            t = pq.read_table(src_path)
+            parts = []
+            off = {"event_id": 100_000_000, "user_id": 10_000_000}
+            for k in range(COPIES):
+                cols = {f.name: (pc.add(t.column(f.name), k * off[f.name])
+                                 if f.name in off else t.column(f.name))
+                        for f in t.schema}
+                parts.append(pa.table(cols))
+            pq.write_table(pa.concat_tables(parts), dst_path)
+        elif name == "lineitem":
+            t = pq.read_table(src_path)
+            parts = []
+            off = {"l_orderkey": 100_000_000, "l_partkey": 10_000_000,
+                   "l_suppkey": 1_000_000}
+            for k in range(COPIES):
+                cols = {f.name: (pc.add(t.column(f.name), k * off[f.name])
+                                 if f.name in off else t.column(f.name))
+                        for f in t.schema}
+                parts.append(pa.table(cols))
+            pq.write_table(pa.concat_tables(parts), dst_path)
+        else:
+            os.symlink(os.path.abspath(src_path), dst_path)
+    for name in tables:
+        n = pq.read_metadata(f"{DST}/{name}.parquet").num_rows
+        print(f"{name}: {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -913,6 +913,55 @@ object Relational {
           count(lit(1)).as("n_buckets"))
     }),
 
+    // Exact two-sample KOLMOGOROV–SMIRNOV statistic between the same
+    // midpoint halves as agg_drift_psi — the distribution-shift test
+    // with no binning choice: D = max over step points of
+    // |F_ref(v) − F_cur(v)|. The global CDF needs a corpus-wide running
+    // sum, which is where naive plans die (a partition-less window
+    // funnels every row through ONE task): here it is the standard
+    // TWO-PASS PREFIX SUM — range-partition the distinct-value relation,
+    // per-partition totals (a partition-count-sized relation) prefix-sum
+    // into offsets, broadcast back, and each partition finishes its own
+    // ordered window locally. The value relation is persisted so the
+    // offsets branch and the final join read ONE materialization (range
+    // boundaries come from sampling — two independent computations could
+    // disagree on pid placement). Exact integer counts into one rounded
+    // double ⇒ cross-engine deterministic.
+    "agg_ks_test" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(unix_micros(col("ts")).as("us"), col("value"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val ranged = graft.InternalCaches.persistTracked(
+        ev.join(broadcast(mid))
+          .select(col("value"),
+            (col("us") <= col("mid")).cast("long").as("is_ref"))
+          .groupBy(col("value"))
+          .agg(sum(col("is_ref")).as("nr"),
+            sum(lit(1L) - col("is_ref")).as("nc"))
+          .repartitionByRange(32, col("value"))
+          .withColumn("pid", spark_partition_id()))
+      val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      // partition-count-sized relation: the tiny window is over ≤ 32 rows
+      val off = ranged.groupBy(col("pid"))
+        .agg(sum(col("nr")).as("pr"), sum(col("nc")).as("pc"))
+        .select(col("pid"),
+          coalesce(sum(col("pr")).over(wOff), lit(0L)).as("offr"),
+          coalesce(sum(col("pc")).over(wOff), lit(0L)).as("offc"))
+      val tot = ranged.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+      val wLoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("value"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ranged.join(broadcast(off), "pid").join(broadcast(tot))
+        .select(abs(
+          (col("offr") + sum(col("nr")).over(wLoc)).cast("double") / col("tr")
+            - (col("offc") + sum(col("nc")).over(wLoc)).cast("double")
+              / col("tc")).as("d"),
+          col("tr"), col("tc"))
+        .agg(round(max(col("d")), 6).as("ks_d"),
+          first(col("tr")).as("n_ref"), first(col("tc")).as("n_cur"))
+    }),
+
     // Shannon entropy of the language mix per source — the corpus-balance
     // diagnostic a training-data pipeline reads before sampling weights.
     // Two stacked partial-agged groupBys (domain-bounded shuffle keys,
@@ -1577,6 +1626,30 @@ object Relational {
         |    4) AS decayed_sum,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The oracle computes the same step-point CDF difference with ONE
+    // ordered window (DuckDB's single-node cumulative sum ≡ the engine's
+    // two-pass range-partitioned prefix sum by construction — offsets +
+    // local ordered sums compose to the identical global cumsum).
+    "agg_ks_test" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |v AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nr,
+        |    CAST(sum(CASE WHEN us <= mid THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS nc
+        |  FROM ev, m GROUP BY value),
+        |t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+        |             CAST(sum(nc) AS BIGINT) AS tc FROM v),
+        |c AS (SELECT value,
+        |        CAST(sum(nr) OVER (ORDER BY value) AS BIGINT) AS cr,
+        |        CAST(sum(nc) OVER (ORDER BY value) AS BIGINT) AS cc
+        |      FROM v)
+        |SELECT round(max(abs(cr::DOUBLE / tr - cc::DOUBLE / tc)), 6)
+        |    AS ks_d,
+        |  tr AS n_ref, tc AS n_cur
+        |FROM c, t GROUP BY tr, tc""".stripMargin,
     // Same midpoint split, same width-50 bins, same add-half smoothing,
     // same natural log — the psi sum is a ~10-term double fold rounded
     // to 6, inside cross-engine agreement for exact-count ratios.

@@ -627,6 +627,21 @@ class TextSpec extends SparkSpec {
     assert(r.head.toString == rerun.head.toString)
   }
 
+  test("agg_ks_test: D in [0,1], halves partition the stream, " +
+    "deterministic across partition layouts") {
+    val r = SparkEntry.queries("agg_ks_test")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val d = r.head.getDouble(0)
+    assert(d >= 0.0 && d <= 1.0, s"KS statistic must be a CDF gap, got $d")
+    assert(r.head.getLong(1) + r.head.getLong(2) ==
+      Tables.events(spark, sfDir).count(),
+      "the midpoint split must partition every event")
+    // the two-pass prefix sum must agree with itself on rerun (range
+    // boundaries are sampled — the persisted relation pins them)
+    val rerun = SparkEntry.queries("agg_ks_test")(spark, sfDir).collect()
+    assert(r.head.toString == rerun.head.toString)
+  }
+
   test("dedup_url: canonical forms are clean and groups conserve docs") {
     val df = SparkEntry.queries("dedup_url")(spark, sfDir)
     val rows = df.collect()
