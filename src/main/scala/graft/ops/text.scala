@@ -667,6 +667,30 @@ object Text {
         .orderBy("keep_id")
     }),
 
+    // SOFT dedup — the keep-everything alternative to dedup_exact's
+    // keep-one: every duplicate survives but carries sampling weight
+    // 1/|copies of this content|, so a weighted sampler sees each
+    // distinct CONTENT with total mass exactly 1 (the up-weighting-free
+    // fix for crawl frequency bias; Σ weights = #distinct texts, the
+    // conservation law TextSpec pins). Same recrawl overlay as
+    // dedup_exact so the weights are provably non-trivial. Scale shape:
+    // ONE exchange — the copy count is a window over the content hash
+    // (group-sized partitions), no groupBy+rejoin second shuffle. The
+    // coalesce('') is load-bearing on both sides: a NULL text hashes to
+    // NULL and a NULL partition key would silently segregate.
+    "sample_soft_dedup" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(coalesce(col("text"), lit("")), 256))
+      base.unionByName(recrawl)
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("n_copies"),
+          round(lit(1.0) / col("n_copies"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL dedup: a new crawl batch against the standing corpus
     // index — the daily-ingest shape of dedup_exact. The index side is
     // reduced to an 8-byte content fingerprint per distinct document
@@ -2086,6 +2110,22 @@ object Text {
         |  WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+    // Same recrawl overlay, same content partition — the copy count and
+    // weight replay as one window (1.0::DOUBLE keeps the division out
+    // of DuckDB's DECIMAL arithmetic, matching Spark's double).
+    "sample_soft_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |  CAST(count(*) OVER (PARTITION BY coalesce(text, '')) AS BIGINT)
+        |    AS n_copies,
+        |  round(1.0::DOUBLE
+        |    / count(*) OVER (PARTITION BY coalesce(text, '')), 6)
+        |    AS weight
+        |FROM corpus ORDER BY doc_id""".stripMargin,
     // Text-equality anti join ≡ the engine's fingerprint anti join modulo
     // 64-bit collisions (none in any realizable fixture).
     "dedup_incremental" ->

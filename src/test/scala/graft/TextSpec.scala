@@ -627,6 +627,22 @@ class TextSpec extends SparkSpec {
     assert(r.head.toString == rerun.head.toString)
   }
 
+  test("sample_soft_dedup: weights conserve content mass " +
+    "(sum = distinct texts), dupes split evenly") {
+    val rows = SparkEntry.queries("sample_soft_dedup")(spark, sfDir)
+      .collect()
+    val distinctTexts = SparkEntry.queries("dedup_exact")(spark, sfDir)
+      .count()
+    val mass = rows.map(_.getDouble(2)).sum
+    // each content group contributes n_copies · (1/n_copies) = 1
+    assert(math.abs(mass - distinctTexts) < 1e-3,
+      s"total weight $mass must equal distinct content count $distinctTexts")
+    assert(rows.exists(_.getLong(1) > 1L),
+      "the recrawl overlay must produce real duplicate groups")
+    rows.filter(_.getLong(1) > 1L).take(5).foreach { r =>
+      assert(math.abs(r.getDouble(2) * r.getLong(1) - 1.0) < 1e-3) }
+  }
+
   test("agg_ks_test: D in [0,1], halves partition the stream, " +
     "deterministic across partition layouts") {
     val r = SparkEntry.queries("agg_ks_test")(spark, sfDir).collect()
