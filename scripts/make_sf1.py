@@ -12,9 +12,15 @@ generation is current:
   let the per-user stream joins match across copies - output would grow
   x100 on x10 data by construction, a fixture artifact, not a plan
   property); value/ts distributions verbatim - x10 rows, same shape.
-- lineitem x10: per-copy key offsets on order/part/supp (the join graph
-  gains 10 identical components).
-- all other tables symlinked from the source sf dir.
+- lineitem x10 with per-copy key offsets on order/part/supp, AND
+  orders/part/supplier x10 with the MATCHING offsets - the join graph
+  genuinely gains 10 identical components. (The first cut offset only
+  lineitem's FK side, leaving 9/10 of the probe keys dangling: joins
+  then measure a 10x probe whose match volume does not scale - the same
+  fixture-artifact class as the un-offset user_id below.)
+- all other tables symlinked from the source sf dir (customer stays 1x:
+  orders' o_custkey is NOT offset, so per-customer fan-out grows 10x -
+  the realistic "same customers, more history" shape).
 
 Usage: make_sf1.py [src_dir] [dst_dir]   (defaults sf0.1 -> /tmp/graft_sf1)
 """
@@ -78,11 +84,12 @@ def main() -> None:
                         for f in t.schema}
                 parts.append(pa.table(cols))
             pq.write_table(pa.concat_tables(parts), dst_path)
-        elif name == "lineitem":
+        elif name in ("lineitem", "orders", "part", "supplier"):
             t = pq.read_table(src_path)
             parts = []
             off = {"l_orderkey": 100_000_000, "l_partkey": 10_000_000,
-                   "l_suppkey": 1_000_000}
+                   "l_suppkey": 1_000_000, "o_orderkey": 100_000_000,
+                   "p_partkey": 10_000_000, "s_suppkey": 1_000_000}
             for k in range(COPIES):
                 cols = {f.name: (pc.add(t.column(f.name), k * off[f.name])
                                  if f.name in off else t.column(f.name))

@@ -1643,8 +1643,10 @@ object Relational {
         |t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
         |             CAST(sum(nc) AS BIGINT) AS tc FROM v),
         |c AS (SELECT value,
-        |        CAST(sum(nr) OVER (ORDER BY value) AS BIGINT) AS cr,
-        |        CAST(sum(nc) OVER (ORDER BY value) AS BIGINT) AS cc
+        |        CAST(sum(nr) OVER (ORDER BY value NULLS FIRST) AS BIGINT)
+        |          AS cr,
+        |        CAST(sum(nc) OVER (ORDER BY value NULLS FIRST) AS BIGINT)
+        |          AS cc
         |      FROM v)
         |SELECT round(max(abs(cr::DOUBLE / tr - cc::DOUBLE / tc)), 6)
         |    AS ks_d,

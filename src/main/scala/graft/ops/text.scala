@@ -65,7 +65,7 @@ object Text {
     * 100 TB: the draw is a pure function of the ROW KEY — layout-
     * invariant, rerun-stable, and nestable across rates.
     */
-  private[ops] def md5u32(key: Column): Column =
+  private[graft] def md5u32(key: Column): Column =
     conv(substring(md5(key), 1, 8), 16, 10).cast("long")
 
   /** Winnowed (MOSS) fingerprint stream for docs carrying a token array

@@ -264,9 +264,8 @@ class TextSpec extends SparkSpec {
     assert(rerun == ids)
     val reshuffled = Tables.documents(spark, sfDir)
       .repartition(7, col("lang"))
-      .filter(pmod(
-        conv(substring(md5(concat(lit("hs:"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long"), lit(100L)) < 10)
+      .filter(pmod(ops.Text.md5u32(
+        concat(lit("hs:"), col("doc_id").cast("string"))), lit(100L)) < 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(reshuffled == ids,
       "hash sampling must not depend on partition layout")
@@ -426,8 +425,8 @@ class TextSpec extends SparkSpec {
       s"rate $rate must track mean weight $meanW")
     // nesting: halving every weight keeps a strict subset (same draw u,
     // smaller cut) — recompute the halved sample from first principles
-    val u = conv(substring(md5(concat(lit("ws:"), $"doc_id".cast("string"))),
-      1, 8), 16, 10).cast("long").cast("double") / math.pow(2.0, 32)
+    val u = ops.Text.md5u32(concat(lit("ws:"), $"doc_id".cast("string")))
+      .cast("double") / math.pow(2.0, 32)
     val halved = Tables.documents(spark, sfDir)
       .withColumn("t", split($"text", " "))
       .filter(u < least(lit(1.0), size($"t").cast("double") / 60.0) / 2)
