@@ -804,6 +804,23 @@ class PlanSpec extends SparkSpec {
       s"window must partition by source, not move all rows to one task:\n$plan")
   }
 
+  test("agg_ks_test: local CDF windows partition by pid; the value " +
+    "relation is persisted for both consumers") {
+    val plan = finalPlan("agg_ks_test")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the corpus-sized cumulative sums must run in pid-partitioned
+    // windows (the two-pass prefix); the only partition-less window
+    // allowed is the offsets prefix over the ≤32-row per-partition
+    // totals relation
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"expected a pid-partitioned local window:\n$plan")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      s"the ranged value relation must serve both consumers from the " +
+        s"persisted handle (range boundaries are sampled):\n$plan")
+  }
+
   test("agg_drift_psi: midpoint and totals ride broadcasts; the event " +
     "stream never shuffles wide") {
     val plan = finalPlan("agg_drift_psi")
