@@ -188,7 +188,64 @@ object Streaming {
     // sketch error paid only in candidate slack.
     "stream_heavy_hitters" -> ((s, d) =>
       Text.mgHeavyHitters(events(s, d).select(col("event_type")),
-        "event_type", k = 5, cap = 16))
+        "event_type", k = 5, cap = 16)),
+
+    // DRIFT TRAJECTORY — the streaming face of agg_drift_psi: the first
+    // half of the stream is the REFERENCE histogram (training-time
+    // distribution, broadcast everywhere), each 6-hour tumbling window
+    // of the second half scores one PSI row against it, plus the
+    // novel-mass count (rows landing outside the reference support —
+    // the signal binned PSI is blind to). Streaming shape: the windowed
+    // bucket counts are ONE streaming-legal aggregation (window+bucket
+    // group keys under a watermark); the per-window PSI fold is the
+    // monitoring SINK's job over ~|buckets| rows per window
+    // ([[streamingDriftBuckets]] runs the same expressions under
+    // readStream; StreamingSpec folds the sink and pins equality with
+    // this batch form). Scale: reference/totals are bucket-cardinality
+    // relations on broadcast joins; the only wide shuffle is the
+    // window+bucket partial agg; the bounded crossJoin is
+    // windows × |ref buckets|.
+    "stream_drift_psi" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("ts"), unix_micros(col("ts")).as("us"), col("value"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val withMid = ev.join(broadcast(mid))
+      val refB = graft.InternalCaches.persistTracked(
+        withMid.filter(col("us") <= col("mid"))
+          .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("nr")))
+      val refTot = refB.agg(sum(col("nr")).as("tr"),
+        count(lit(1)).as("nb"))
+      val cur = graft.InternalCaches.persistTracked(
+        withMid.filter(col("us") > col("mid"))
+          .groupBy(window(col("ts"), "6 hours"),
+            floor(col("value") / 50.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("nc"))
+          .select(col("window.start").as("win_start"), col("bucket"),
+            col("nc")))
+      val inSupport = cur.join(broadcast(refB.select(col("bucket"))),
+        Seq("bucket"))
+      val winTot = inSupport.groupBy(col("win_start"))
+        .agg(sum(col("nc")).as("tc"))
+      val novel = cur.join(broadcast(refB.select(col("bucket"))),
+        Seq("bucket"), "left_anti")
+        .groupBy(col("win_start")).agg(sum(col("nc")).as("n_novel"))
+      val p = (col("nr") + 0.5) / (col("tr") + col("nb") * 0.5)
+      val q = (coalesce(col("nc"), lit(0L)) + 0.5) /
+        (col("tc") + col("nb") * 0.5)
+      winTot.crossJoin(broadcast(refB))
+        .join(inSupport, Seq("win_start", "bucket"), "left")
+        .join(broadcast(refTot))
+        .select(col("win_start"), ((q - p) * log(q / p)).as("term"),
+          col("tc"))
+        .groupBy(col("win_start"))
+        .agg(round(sum(col("term")), 6).as("psi"),
+          first(col("tc")).as("n_in_support"))
+        .join(novel, Seq("win_start"), "left")
+        .select(col("win_start"), col("psi"), col("n_in_support"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .orderBy("win_start")
+    })
   )
 
   /** The one attribution-join body both batch interval queries share —
@@ -215,6 +272,48 @@ object Streaming {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same midpoint split / bins / smoothing as the agg_drift_psi
+    // oracle, per 6-hour time_bucket (epoch-aligned for 6-hour widths in
+    // both engines). The grid CTE mirrors the engine's bounded
+    // windows × ref-buckets crossJoin.
+    "stream_drift_psi" ->
+      """WITH ev AS (SELECT ts, epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |refb AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS nr
+        |  FROM ev, m WHERE us <= mid GROUP BY 1),
+        |rt AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, count(*) AS nb
+        |       FROM refb),
+        |cur AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS nc
+        |  FROM ev, m WHERE us > mid GROUP BY 1, 2),
+        |ins AS (SELECT c.win_start, c.bucket, c.nc
+        |        FROM cur c JOIN refb r USING (bucket)),
+        |wt AS (SELECT win_start, CAST(sum(nc) AS BIGINT) AS tc
+        |       FROM ins GROUP BY 1),
+        |nv AS (SELECT win_start, CAST(sum(nc) AS BIGINT) AS n_novel
+        |       FROM cur WHERE bucket NOT IN (SELECT bucket FROM refb)
+        |       GROUP BY 1),
+        |grid AS (
+        |  SELECT w.win_start, r.bucket, r.nr, w.tc,
+        |    coalesce(i.nc, 0) AS nc
+        |  FROM wt w CROSS JOIN refb r
+        |  LEFT JOIN ins i
+        |    ON i.win_start = w.win_start AND i.bucket = r.bucket)
+        |SELECT g.win_start,
+        |  round(sum(
+        |    ((g.nc + 0.5) / (g.tc + 0.5 * t.nb)
+        |      - (g.nr + 0.5) / (t.tr + 0.5 * t.nb))
+        |    * ln(((g.nc + 0.5) / (g.tc + 0.5 * t.nb))
+        |         / ((g.nr + 0.5) / (t.tr + 0.5 * t.nb)))), 6) AS psi,
+        |  CAST(max(g.tc) AS BIGINT) AS n_in_support,
+        |  CAST(coalesce(max(nv.n_novel), 0) AS BIGINT) AS n_novel
+        |FROM grid g CROSS JOIN rt t
+        |LEFT JOIN nv ON nv.win_start = g.win_start
+        |GROUP BY g.win_start ORDER BY g.win_start""".stripMargin,
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_v
@@ -344,6 +443,24 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n"))
+
+  /** Windowed value-histogram stream — the streaming-legal half of the
+    * batch `stream_drift_psi`: ONE aggregation (window + bucket group
+    * keys) under a watermark. Chained streaming aggregations are not
+    * appendable, so the per-window PSI fold against the (broadcast)
+    * reference histogram is the monitoring SINK's job over ~|buckets|
+    * rows per window — StreamingSpec folds exactly that and pins
+    * equality with the batch trajectory. State is bounded by open
+    * windows × value buckets, independent of event count.
+    */
+  def streamingDriftBuckets(input: DataFrame): DataFrame =
+    input
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"),
+        floor(col("value") / 50.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("nc"))
+      .select(col("window.start").as("win_start"), col("bucket"),
+        col("nc"))
 
   /** Stream-static enrichment join + windowed agg over a streaming
     * source — the `stream_join` expressions under readStream. The static

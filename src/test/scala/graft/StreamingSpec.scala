@@ -521,4 +521,68 @@ class StreamingSpec extends SparkSpec {
       (1L, "2024-01-01 10:50:00.0", 1L),
       (2L, "2024-01-01 10:05:00.0", 1L)), sess.toString)
   }
+
+  test("streamingDriftBuckets + sink-side PSI fold reproduces the batch " +
+    "drift trajectory") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("stream_drift_psi")(spark, sfDir)
+      .collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // the reference histogram exactly as the batch side builds it
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("us"), col("ts"), col("value"))
+    val mm = ev.agg(min(col("us")), max(col("us"))).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val refB = ev.filter(col("us") <= mid)
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("nr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = refB.values.sum
+    val nb = refB.size
+    // stream the current half through the windowed histogram (one
+    // micro-batch: the watermark drops nothing)
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = ops.Streaming.streamingDriftBuckets(
+      mem.toDF().toDF("ts", "value"))
+    val q = df.writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = ev.filter(col("us") > mid)
+        .select(col("ts"), col("value"))
+        .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val counts = spark.table("drift")
+        .groupBy("win_start", "bucket").agg(max("nc").as("nc"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)) -> r.getLong(2))
+        .toMap
+      // the monitoring sink's fold: PSI + novel mass per window over the
+      // ~|buckets|-row stream output
+      val folded = counts.groupBy(_._1._1).map { case (w, m) =>
+        val bc = m.map { case ((_, b), n) => b -> n }
+        val inSup = bc.filter(kv => refB.contains(kv._1))
+        val tc = inSup.values.sum
+        val novel = bc.filterNot(kv => refB.contains(kv._1)).values.sum
+        val psi = refB.map { case (b, nr) =>
+          val qq = (inSup.getOrElse(b, 0L) + 0.5) / (tc + 0.5 * nb)
+          val pp = (nr + 0.5) / (tr + 0.5 * nb)
+          (qq - pp) * math.log(qq / pp)
+        }.sum
+        w -> ((psi, tc, novel))
+      }
+      assert(folded.keySet == batch.keySet,
+        s"window sets differ: ${folded.keySet} vs ${batch.keySet}")
+      folded.foreach { case (w, (psi, tc, novel)) =>
+        val (bPsi, bTc, bNovel) = batch(w)
+        // the fold's summation order differs from the distributed
+        // aggregate's — compare to the rounded precision, not bit-exact
+        assert(math.abs(psi - bPsi) < 2e-6, s"$w: psi $psi vs $bPsi")
+        assert(tc == bTc, s"$w: in-support count")
+        assert(novel == bNovel, s"$w: novel mass")
+      }
+    } finally q.stop()
+  }
 }
