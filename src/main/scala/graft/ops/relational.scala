@@ -68,6 +68,30 @@ object Relational {
       .filter(col("is_ev") === 1)
   }
 
+  /** The band join |c_acctbal − s_acctbal| ≤ 10 as a bucketized
+    * EQUI-join — the one body `join_theta_range` (default plan) and
+    * `join_range_banded` share. Both sides bucketize at the band width;
+    * a qualifying pair's buckets differ by at most one, so the supplier
+    * side replicates to its three servable buckets, the join key is the
+    * bucket, and the residual BETWEEN filters exact matches. Each
+    * qualifying pair matches exactly once (in the customer's own
+    * bucket) — no dedup step, shuffle-partitionable on the bucket key,
+    * no nested loop / broadcast requirement anywhere.
+    */
+  private def bandedAcctbalJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .withColumn("bkt", floor(col("c_acctbal") / 10.0))
+    val bkt = floor(col("s_acctbal") / 10.0)
+    val sup = supplier(s, d)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        explode(array(bkt - 1, bkt, bkt + 1)).as("bkt"))
+    c.join(sup, "bkt")
+      .filter(col("c_acctbal").between(col("s_acctbal") - 10,
+        col("s_acctbal") + 10))
+      .select(col("s_suppkey"), col("c_custkey"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- scans ------------------------------------------------------------
     // Columnar scan with projection pushdown: ReadSchema carries only the
@@ -278,15 +302,23 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
-    // Non-equi band join. Spark plans BNLJ; the small supplier side is
-    // broadcast so the big side streams — the only scalable shape for a
-    // theta join without an interval index.
+    // Non-equi band join |c_acctbal − s_acctbal| ≤ 10. The EXECUTING
+    // plan is the banded bucketization ([[bandedAcctbalJoin]], shared
+    // with `join_range_banded`) — since r10 the broadcast-BNLJ spelling
+    // is a conf-gated DEMONSTRATOR (`spark.graft.theta.bnlj=true`): a
+    // nested loop streams |big|·|small| comparisons even with the small
+    // side broadcast (measured 22.7× on 10× data at r7 sf1 vs ~3× for
+    // the banded equi-join), so it must never be the default a user
+    // scales up with. Identical output either way — each qualifying
+    // pair matches exactly once in both plans.
     "join_theta_range" -> ((s, d) =>
-      customer(s, d).join(broadcast(supplier(s, d)),
-          col("c_acctbal").between(col("s_acctbal") - 10,
-                                   col("s_acctbal") + 10))
-        .select(col("s_suppkey"), col("c_custkey"))
-        .orderBy("s_suppkey", "c_custkey")),
+      if (s.conf.getOption("spark.graft.theta.bnlj").contains("true"))
+        customer(s, d).join(broadcast(supplier(s, d)),
+            col("c_acctbal").between(col("s_acctbal") - 10,
+                                     col("s_acctbal") + 10))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy("s_suppkey", "c_custkey")
+      else bandedAcctbalJoin(s, d)),
 
     // The 100 TB form of the same range predicate: bucketize both sides
     // at the band width — a pair with |c - s| ≤ 10 has buckets differing
@@ -297,19 +329,7 @@ object Relational {
     // pins it), and each qualifying pair matches exactly once (in the
     // customer's own bucket), so no dedup step. This is the interval-join
     // shape that survives two fact-sized sides.
-    "join_range_banded" -> ((s, d) => {
-      val c = customer(s, d)
-        .withColumn("bkt", floor(col("c_acctbal") / 10.0))
-      val bkt = floor(col("s_acctbal") / 10.0)
-      val sup = supplier(s, d)
-        .select(col("s_suppkey"), col("s_acctbal"),
-          explode(array(bkt - 1, bkt, bkt + 1)).as("bkt"))
-      c.join(sup, "bkt")
-        .filter(col("c_acctbal").between(col("s_acctbal") - 10,
-          col("s_acctbal") + 10))
-        .select(col("s_suppkey"), col("c_custkey"))
-        .orderBy("s_suppkey", "c_custkey")
-    }),
+    "join_range_banded" -> ((s, d) => bandedAcctbalJoin(s, d)),
 
     // As-of join: latest order at-or-before each event's timestamp for the
     // matching customer (asofEnriched above holds the plan and the
@@ -893,16 +913,18 @@ object Relational {
       val ev = events(s, d)
         .select(unix_micros(col("ts")).as("us"), col("value"))
       val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
-      // persisted: the totals branch would otherwise re-derive the whole
-      // scan+aggregate subtree (two more corpus passes at scale for a
-      // ~10-row relation)
+      // persisted EAGERLY: the totals and term branches both read it
+      // inside one action — an unpopulated entry would recompute the
+      // whole scan+aggregate subtree per branch (two more corpus passes
+      // at scale for a ~10-row relation)
       val counts = graft.InternalCaches.persistTracked(
         ev.join(broadcast(mid))
           .select(floor(col("value") / 50.0).cast("long").as("bucket"),
             (col("us") <= col("mid")).cast("long").as("is_ref"))
           .groupBy(col("bucket"))
           .agg(sum(col("is_ref")).as("nr"),
-            sum(lit(1L) - col("is_ref")).as("nc")))
+            sum(lit(1L) - col("is_ref")).as("nc")),
+        eager = true)
       val tot = counts.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"),
         count(lit(1)).as("nb"))
       val p = (col("nr") + 0.5) / (col("tr") + col("nb") * 0.5)
@@ -938,11 +960,14 @@ object Relational {
           .groupBy(col("value"))
           .agg(sum(col("is_ref")).as("nr"),
             sum(lit(1L) - col("is_ref")).as("nc"))
-          .repartitionByRange(32, col("value"))
-          .withColumn("pid", spark_partition_id()))
+          .repartitionByRange(s.sparkContext.defaultParallelism,
+            col("value"))
+          .withColumn("pid", spark_partition_id()),
+        eager = true)
       val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      // partition-count-sized relation: the tiny window is over ≤ 32 rows
+      // partition-count-sized relation: the tiny window is over
+      // ≤ defaultParallelism rows
       val off = ranged.groupBy(col("pid"))
         .agg(sum(col("nr")).as("pr"), sum(col("nc")).as("pc"))
         .select(col("pid"),
@@ -952,11 +977,17 @@ object Relational {
       val wLoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("pid")).orderBy(col("value"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // greatest(·, 1) guards the degenerate split where every event
+      // carries the same timestamp (one half empty, t = 0): the empty
+      // half's CDF reads 0 everywhere and D = 1 instead of NaN/∞ —
+      // the same greatest() spelling runs in the oracle, so both
+      // engines agree even on that adversarial input.
       ranged.join(broadcast(off), "pid").join(broadcast(tot))
         .select(abs(
-          (col("offr") + sum(col("nr")).over(wLoc)).cast("double") / col("tr")
+          (col("offr") + sum(col("nr")).over(wLoc)).cast("double")
+              / greatest(col("tr"), lit(1L))
             - (col("offc") + sum(col("nc")).over(wLoc)).cast("double")
-              / col("tc")).as("d"),
+              / greatest(col("tc"), lit(1L))).as("d"),
           col("tr"), col("tc"))
         .agg(round(max(col("d")), 6).as("ks_d"),
           first(col("tr")).as("n_ref"), first(col("tc")).as("n_cur"))
@@ -1648,7 +1679,8 @@ object Relational {
         |        CAST(sum(nc) OVER (ORDER BY value NULLS FIRST) AS BIGINT)
         |          AS cc
         |      FROM v)
-        |SELECT round(max(abs(cr::DOUBLE / tr - cc::DOUBLE / tc)), 6)
+        |SELECT round(max(abs(cr::DOUBLE / greatest(tr, 1)
+        |                     - cc::DOUBLE / greatest(tc, 1))), 6)
         |    AS ks_d,
         |  tr AS n_ref, tc AS n_cur
         |FROM c, t GROUP BY tr, tc""".stripMargin,

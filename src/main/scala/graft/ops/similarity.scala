@@ -20,12 +20,16 @@ import graft.Tables._
   *    ([[ProbeCount]] queries) against the full corpus. The probe side is
   *    broadcast and stays constant-size as the corpus grows; the corpus
   *    never shuffles and the pair stream is O(q·n) — linear in n.
-  *  - `dedup_near_embedding`: EXACT all-pairs — O(n²) compute by
-  *    definition. The plan's job is to distribute, not shrink, that work:
-  *    a triangular block decomposition ([[blockedPairs]]) shuffles each
-  *    row to its block-pair tasks, so no unbounded broadcast exists and
-  *    no single task owns the pair space. Sub-quadratic is what the two
-  *    ANN variants below are for.
+  *  - `dedup_near_embedding`: DEFAULT (r10) is trained-IVF cell
+  *    blocking ([[nearDupBlocked]]) — candidates share a probed cell,
+  *    pair work is O(n^1.5) under the √n cell sizing, and the oracle
+  *    replays the identical pipeline so the gate stays hash-exact.
+  *    `spark.graft.nearemb.exact=true` restores the lossless all-pairs
+  *    sweep: a triangular block decomposition ([[blockedPairs]])
+  *    shuffles each row to its block-pair tasks, so no unbounded
+  *    broadcast exists and no single task owns the pair space — but the
+  *    pair stream is n²/2 by definition, affordable only below cluster
+  *    scale.
   *  - `sim_ann_ivf` probes only the query's own cell (here: the
   *    pre-assigned `label`, standing in for a nearest-centroid assignment
   *    computed at ingest). One hash shuffle on the cell id co-locates each
@@ -169,10 +173,15 @@ object Similarity {
     s.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(
       math.max(8, math.round(math.sqrt(embeddings(s, d).count() / 8.0)).toInt))
 
-  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
-    val k = ivfK(s, d)
-    val iters = Text.intConf(embeddings(s, d), "spark.graft.ivf.iters", 3)
-    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+  /** The Lloyd's training loop over an arbitrary (vec_id, v, nrm)
+    * relation — extracted (r10) so the blocked near-dup path and the
+    * accuracy laws can train on planted fixtures, not only the
+    * embeddings table. Seeds are the k lowest vec_ids; the returned
+    * K-row (cid, c) relation is persisted (every consumer task reads
+    * it).
+    */
+  private[graft] def ivfCentroidsOf(v: DataFrame, k: Int,
+                                    iters: Int): DataFrame = {
     var cents = graft.InternalCaches.persistTracked(
       v.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("cid"), col("v").as("c")),
@@ -192,9 +201,67 @@ object Similarity {
     cents
   }
 
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+    val iters = Text.intConf(embeddings(s, d), "spark.graft.ivf.iters", 3)
+    ivfCentroidsOf(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
+      ivfK(s, d), iters)
+  }
+
   private def ivfFit(s: SparkSession, d: String): DataFrame =
     assignCells(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
       ivfCentroids(s, d))
+
+  /** Cell-blocked candidate pairing for the embedding near-dup (the r10
+    * DEFAULT plan of `dedup_near_embedding`): each vector probes its
+    * `nprobe` nearest trained centroids, candidates are the pairs that
+    * share a probed cell, and only candidates pay the exact cosine.
+    * Cost is Σ_cells |probes∩cell|² ≈ nprobe²·n²/(2k) — with the √n
+    * cell sizing that is O(n^1.5), vs the exact sweep's n²/2.
+    *
+    * Recall contract (measured, pinned in AccuracySpec): a TRUE
+    * near-dup (cos ≥ ~0.9) and its source rank the centroid list
+    * near-identically — their probe sets intersect with near-certainty
+    * at any nprobe, so planted clones are never lost, even on a cell
+    * boundary. Pairs at MODERATE similarity are a different regime: on
+    * an isotropic corpus (this fixture: label-cell radii ≈ the uniform
+    * √2 in normalized space, most cos-0.45 pairs cross labels) NO
+    * partition of the sphere can separate θ ≈ 60° pairs from noise, so
+    * blocking there trades recall for the n^1.5 envelope — measured
+    * 122/144 at sf0.1 with nprobe = 3, and every exact pair recovered
+    * at the sf0.01 gate. `spark.graft.nearemb.exact=true` restores the
+    * lossless all-pairs sweep ([[blockedPairs]]) when the corpus is
+    * small enough to afford it.
+    *
+    * A candidate pair sharing several probed cells is produced once per
+    * shared cell; the rounded cosine is identical on every copy, so the
+    * post-filter `distinct()` collapses them (dedup runs on the ≥θ
+    * survivors, not the candidate stream).
+    */
+  private[graft] def nearDupBlocked(v: DataFrame, cents: DataFrame,
+      nprobe: Int, threshold: Double): DataFrame = {
+    val p = v.sparkSession.sparkContext.defaultParallelism
+    // persisted EAGERLY: both sides of the candidate self-join read the
+    // scored relation inside one action — unpopulated, the K-centroid
+    // scoring projection (and the cached k-means lineage above it)
+    // would run once per side
+    val scored = graft.InternalCaches.persistTracked(
+      scoredVecs(v, cents), eager = true)
+    val probes = scored
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(transform(slice(col("sc"), 1, nprobe),
+          x => x.getField("cid"))).as("pcell"))
+    val x = probes.repartition(p, col("pcell"))
+      .select(col("pcell"), col("vec_id").as("a_id"), col("v").as("av"),
+        col("nrm").as("an"))
+    val y = probes.select(col("pcell").as("ycell"),
+      col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    x.join(y, col("pcell") === col("ycell") && col("a_id") < col("b_id"))
+      .select(col("a_id").as("a"), col("b_id").as("b"),
+        cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+      .orderBy("a", "b")
+  }
 
   val queries: Map[String, Q] = Map(
     // IVF training (see [[ivfFit]]): every vector with its learned
@@ -318,21 +385,37 @@ object Similarity {
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }),
 
-    // Embedding-cosine near-dup: every pair whose rounded cosine clears
-    // the threshold — EXACT all-pairs, distributed via the triangular
-    // block shuffle (no broadcast side, no single-task pair space). The
-    // filter runs on the ROUNDED value so both engines cut on identical
-    // numbers; same-block double-orientation rows collapse under
-    // least/greatest + distinct before presentation.
+    // Embedding-cosine near-dup: pairs whose rounded cosine clears the
+    // threshold. DEFAULT plan (r10) = trained-IVF cell blocking
+    // ([[nearDupBlocked]]): candidates share one of their nprobe = 3
+    // probed cells, so pair work is O(n^1.5) under the √n cell sizing
+    // instead of the exact sweep's n²/2 — the only plan that survives a
+    // 100 TB corpus. The oracle replays the identical k-means + probe +
+    // pair pipeline in SQL (same ivfReplayCtes as the other trained-IVF
+    // keys), so the gate is hash-exact BY CONSTRUCTION at any sf; the
+    // recall-vs-exact contract (clones never lost; moderate-cos pairs
+    // best-effort — all 14 exact pairs recovered at sf0.01) is pinned
+    // in AccuracySpec. `spark.graft.nearemb.exact=true` restores the
+    // lossless all-pairs triangular block sweep ([[blockedPairs]]);
+    // filter on the ROUNDED value either way so both engines cut on
+    // identical numbers.
     "dedup_near_embedding" -> ((s, d) =>
-      blockedPairs(vecs(s, d))
-        .select(col("vec_id"), col("nbr_id"),
-          cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
-        .filter(col("cos") >= 0.45)
-        .select(least(col("vec_id"), col("nbr_id")).as("a"),
-          greatest(col("vec_id"), col("nbr_id")).as("b"), col("cos"))
-        .distinct()
-        .orderBy("a", "b")),
+      if (s.conf.getOption("spark.graft.nearemb.exact").contains("true"))
+        blockedPairs(vecs(s, d))
+          .select(col("vec_id"), col("nbr_id"),
+            cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+          .filter(col("cos") >= 0.45)
+          .select(least(col("vec_id"), col("nbr_id")).as("a"),
+            greatest(col("vec_id"), col("nbr_id")).as("b"), col("cos"))
+          .distinct()
+          .orderBy("a", "b")
+      else {
+        val nprobe = Text.intConf(embeddings(s, d),
+          "spark.graft.nearemb.nprobe", 3)
+        nearDupBlocked(
+          vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
+          ivfCentroids(s, d), nprobe, 0.45)
+      }),
 
     // LSH-bucketed ANN — the hash-based alternative to the IVF cell
     // restriction: a 64-bit hyperplane sign sketch per vector (codegen'd,
@@ -548,18 +631,33 @@ object Similarity {
         |                 / 127.0 AS scale FROM n))""".stripMargin),
     "sim_recall_prefix" -> recallReplaySql(
       "dq AS (SELECT vec_id, v, nrm, v[1:16] AS vq FROM n)"),
+    // Replays the DEFAULT blocked plan: the same unrolled k-means
+    // rounds as the other trained-IVF oracles, probes = the nprobe = 3
+    // nearest trained centroids per vector (rn ≤ 3 of the same
+    // d²-then-cid ranking the codegen'd scorer uses), candidates = the
+    // DISTINCT pairs sharing a probed cell, then the rounded-cosine
+    // threshold. Constants pinned to the query defaults (nprobe 3,
+    // θ 0.45) exactly as sim_ann_ivf_trained pins nprobe = 2.
     "dedup_near_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
-        |      FROM e),
+      (ivfReplayCtes +
+      """ap AS (SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT x.vec_id, x.v, c.cid,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY x2.d2, c.cid) AS rn
+        |    FROM v x CROSS JOIN u3 c
+        |    CROSS JOIN LATERAL (
+        |      SELECT list_sum(list_transform(list_zip(x.v, c.c),
+        |        z -> (z[1] - z[2])*(z[1] - z[2]))) AS d2) x2
+        |  ) WHERE rn <= 3),
+        |nn AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm,
+        |         cell FROM ap),
         |p AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b,
-        |    round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
-        |          / (a.nrm * b.nrm), 4) AS cos
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+        |    round(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v)+1)])
+        |          / (x.nrm * y.nrm), 4) AS cos
+        |  FROM nn x JOIN nn y
+        |    ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin),
     "sim_hybrid_rrf" ->
       """WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v

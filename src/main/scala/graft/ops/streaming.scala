@@ -154,7 +154,8 @@ object Streaming {
           col("event_type"), col("us"))
       val e = base.unionByName(replay)
       val part = graft.InternalCaches.persistTracked(
-        e.repartitionByRange(8, col("event_id"))
+        e.repartitionByRange(s.sparkContext.defaultParallelism,
+            col("event_id"))
           .withColumn("pid", spark_partition_id()),
         eager = true)
       val localHi = part.withColumn("local_hi",
@@ -210,10 +211,15 @@ object Streaming {
         .select(col("ts"), unix_micros(col("ts")).as("us"), col("value"))
       val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
       val withMid = ev.join(broadcast(mid))
+      // both persists EAGER: each relation is read from several
+      // branches of the one final action (refB: totals + support filter
+      // + novel anti + grid; cur: support + novel + window list) — an
+      // unpopulated entry would recompute its upstream scan per branch
       val refB = graft.InternalCaches.persistTracked(
         withMid.filter(col("us") <= col("mid"))
           .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
-          .agg(count(lit(1)).as("nr")))
+          .agg(count(lit(1)).as("nr")),
+        eager = true)
       val refTot = refB.agg(sum(col("nr")).as("tr"),
         count(lit(1)).as("nb"))
       val cur = graft.InternalCaches.persistTracked(
@@ -222,11 +228,20 @@ object Streaming {
             floor(col("value") / 50.0).cast("long").as("bucket"))
           .agg(count(lit(1)).as("nc"))
           .select(col("window.start").as("win_start"), col("bucket"),
-            col("nc")))
+            col("nc")),
+        eager = true)
       val inSupport = cur.join(broadcast(refB.select(col("bucket"))),
         Seq("bucket"))
-      val winTot = inSupport.groupBy(col("win_start"))
-        .agg(sum(col("nc")).as("tc"))
+      // the output window list comes from ALL observed windows (cur),
+      // not the in-support subset: a window whose every row lands
+      // outside the reference support still emits its trajectory row
+      // (tc = 0, full novel mass) — deriving windows from winTot would
+      // silently drop it, losing exactly the strongest drift signal
+      val winTot = cur.select(col("win_start")).distinct()
+        .join(inSupport.groupBy(col("win_start"))
+            .agg(sum(col("nc")).as("stc")),
+          Seq("win_start"), "left")
+        .select(col("win_start"), coalesce(col("stc"), lit(0L)).as("tc"))
       val novel = cur.join(broadcast(refB.select(col("bucket"))),
         Seq("bucket"), "left_anti")
         .groupBy(col("win_start")).agg(sum(col("nc")).as("n_novel"))
@@ -292,8 +307,11 @@ object Streaming {
         |  FROM ev, m WHERE us > mid GROUP BY 1, 2),
         |ins AS (SELECT c.win_start, c.bucket, c.nc
         |        FROM cur c JOIN refb r USING (bucket)),
-        |wt AS (SELECT win_start, CAST(sum(nc) AS BIGINT) AS tc
-        |       FROM ins GROUP BY 1),
+        |wt AS (SELECT w.win_start,
+        |         CAST(coalesce(sum(i.nc), 0) AS BIGINT) AS tc
+        |       FROM (SELECT DISTINCT win_start FROM cur) w
+        |       LEFT JOIN ins i ON i.win_start = w.win_start
+        |       GROUP BY w.win_start),
         |nv AS (SELECT win_start, CAST(sum(nc) AS BIGINT) AS n_novel
         |       FROM cur WHERE bucket NOT IN (SELECT bucket FROM refb)
         |       GROUP BY 1),

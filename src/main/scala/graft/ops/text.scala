@@ -868,7 +868,8 @@ object Text {
         .select(col("doc_id"),
           size(filter(toks, t => length(t) > 0)).as("n_tok"))
       val part = graft.InternalCaches.persistTracked(
-        counted.repartitionByRange(8, col("doc_id"))
+        counted.repartitionByRange(s.sparkContext.defaultParallelism,
+            col("doc_id"))
           .withColumn("pid", spark_partition_id()),
         eager = true)
       val localCum = part.withColumn("local_cum",

@@ -41,6 +41,58 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("dedup_near_embedding blocked default: planted boundary clones " +
+    "never lost; output a subset of the exact sweep; high-cos recall 1") {
+    import spark.implicits._
+    // a clone's distance to ANY centroid differs from its source's by at
+    // most the perturbation, so their nprobe-cell rankings near-coincide
+    // and the pair always shares a probed cell — even when the source
+    // sits exactly on a cell boundary. The 0.5-on-one-coordinate
+    // perturbation gives cos ≈ 0.995 against the source.
+    val base = Tables.embeddings(spark, sfDir)
+    val clones = base.filter($"vec_id" % 100 === 7)
+      .select(($"vec_id" + 50000).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x))
+          .as("embedding"),
+        $"label")
+    val cloneIds = clones.select("vec_id").as[Long].collect().toSeq
+    assert(cloneIds.size >= 3)
+    val dir = SparkSpec.scratchDir("graft_nearemb_law")
+    base.select("vec_id", "embedding", "label").unionByName(clones)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val blocked = SparkEntry.queries("dedup_near_embedding")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    InternalCaches.unpersistAll()
+    cloneIds.foreach { cid =>
+      assert(blocked.contains((cid - 50000, cid)),
+        s"planted clone pair (${cid - 50000}, $cid) lost by cell blocking")
+    }
+    spark.conf.set("spark.graft.nearemb.exact", "true")
+    val exact =
+      try SparkEntry.queries("dedup_near_embedding")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      finally spark.conf.unset("spark.graft.nearemb.exact")
+    InternalCaches.unpersistAll()
+    // blocking only ever REMOVES candidates: every surviving pair must
+    // carry the identical exact cosine
+    blocked.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"blocked pair $pair ($cos) not in the exact sweep")
+    }
+    // the near-dup regime (cos >= 0.7) must be lossless; moderate-cos
+    // pairs are the documented best-effort band on isotropic data
+    exact.filter(_._2 >= 0.7).keys.foreach { pair =>
+      assert(blocked.contains(pair),
+        s"high-cos pair $pair lost by cell blocking")
+    }
+    val recall = blocked.size.toDouble / math.max(exact.size, 1)
+    info(f"blocked recall vs exact at threshold 0.45: ${blocked.size}/" +
+      f"${exact.size} = $recall%.3f")
+  }
+
   test("agg_approx_quantile: returned value's true rank within the sketch guarantee") {
     // percentile_approx(accuracy = 1000) guarantees rank error <= n/1000;
     // assert the realized rank of the returned median against a 10x margin

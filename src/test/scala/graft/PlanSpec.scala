@@ -182,7 +182,31 @@ class PlanSpec extends SparkSpec {
     assert(bcasts.nonEmpty, "probe side must be broadcast")
   }
 
-  test("dedup_near_embedding pairs via the blocked equi-join, never a cartesian") {
+  test("dedup_near_embedding default plan: cell-keyed candidate join, " +
+    "never a cartesian or corpus×corpus sweep") {
+    // the r10 default blocks candidates through trained-IVF cells: the
+    // pair join must be an EQUI-join on the probed-cell id (a<b is the
+    // residual), so pair work is per-cell after one shuffle — no
+    // cartesian, no (pi, pj) all-pairs replication anywhere in the plan
+    try {
+      val plan = finalPlan("dedup_near_embedding")
+      val cart = collectAll(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"candidate sweep must be an equi-join:\n$plan")
+      val cellJoins = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.size == 1 &&
+              j.leftKeys.head.references.toSeq
+                .exists(_.name == "pcell") => j
+      }
+      assert(cellJoins.nonEmpty,
+        s"expected the cell-keyed candidate equi-join:\n$plan")
+    } finally InternalCaches.unpersistAll()
+  }
+
+  test("dedup_near_embedding exact conf: pairs via the blocked " +
+    "equi-join, never a cartesian") {
     // exact all-pairs is O(n^2) compute by definition; the plan's job is
     // to DISTRIBUTE it: the pair sweep is an equi-join on the (pi, pj)
     // block tags — nothing in the operator mandates a broadcast, so at
@@ -190,16 +214,19 @@ class PlanSpec extends SparkSpec {
     // on the tags and no single task owns the pair space. (At test scale
     // AQE is free to broadcast the few-MB replicated side — that is the
     // optimizer working, not the operator demanding it.)
-    val plan = finalPlan("dedup_near_embedding")
-    val cart = collectAll(plan) {
-      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-    }
-    assert(cart.isEmpty, "block tags must make the pair sweep an equi-join")
-    val pairJoins = collectAll(plan) {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
-          if j.leftKeys.size >= 2 => j
-    }
-    assert(pairJoins.nonEmpty, "expected the (pi, pj) blocked pair join")
+    spark.conf.set("spark.graft.nearemb.exact", "true")
+    try {
+      val plan = finalPlan("dedup_near_embedding")
+      val cart = collectAll(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, "block tags must make the pair sweep an equi-join")
+      val pairJoins = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.size >= 2 => j
+      }
+      assert(pairJoins.nonEmpty, "expected the (pi, pj) blocked pair join")
+    } finally spark.conf.unset("spark.graft.nearemb.exact")
   }
 
   test("join_range_banded: equi-join on the band bucket, no nested loop") {
