@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared runtime for the two set-builder expressions below. One body
@@ -44,6 +45,46 @@ object TextSetUtil {
       i += 1
     }
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+
+  /** Character n-gram OCCURRENCE COUNTS in first-occurrence order:
+    * (gram, count) structs, one per DISTINCT gram — the aggregation-
+    * ready form [[CharGramCounts]] returns. Same one-pass codepoint
+    * slicing as [[charGrams]]; the count fold happens here, inside the
+    * codegen'd projection, so only |distinct grams| rows (bounded by
+    * alphabet^n) ever leave the expression instead of len-n+1 occurrence
+    * rows — the difference between shuffling a corpus-of-characters and
+    * shuffling per-doc histograms.
+    */
+  def charGramCounts(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return Empty
+    val bytes = s.getBytes
+    val offs = new Array[Int](len + 1)
+    var c = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(c) = b; c += 1
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+    }
+    offs(len) = bytes.length
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i + n <= len) {
+      val g = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.longValue))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Distinct word k-shingles ("a b c") in first-occurrence order —
@@ -101,6 +142,39 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Character n-gram occurrence histogram of a string:
+  * array<struct<g: string, c: long>>, one entry per distinct gram (see
+  * [[TextSetUtil.charGramCounts]]). The aggregation-ready sibling of
+  * [[CharGrams]] for consumers that need COUNTS (the bigram LM), built
+  * so the per-occurrence fold runs inside whole-stage codegen and only
+  * the alphabet^n-bounded histogram rows reach the explode.
+  */
+case class CharGramCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"char_gram_counts window must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_counts requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "char_gram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSetUtil.charGramCounts(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.TextSetUtil.charGramCounts($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word k-shingle set of a token array (see
   * [[TextSetUtil.wordShingles]]).
   */
@@ -130,6 +204,12 @@ object TextSetExprs {
   /** Distinct character n-grams of a string column. */
   def charGrams(c: Column, n: Int): Column =
     GraftSqlBridge.column(CharGrams(GraftSqlBridge.expression(c), n))
+
+  /** Per-distinct-gram occurrence counts of a string column:
+    * array<struct<g, c>>.
+    */
+  def charGramCounts(c: Column, n: Int): Column =
+    GraftSqlBridge.column(CharGramCounts(GraftSqlBridge.expression(c), n))
 
   /** Distinct word k-shingles of a token-array column. */
   def wordShingles(t: Column, k: Int): Column =

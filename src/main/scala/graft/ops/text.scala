@@ -1444,31 +1444,41 @@ object Text {
     // ITSELF (bigram count / first-char marginal), then score each doc by
     // its average negative log-likelihood — the perplexity-style quality
     // signal that flags statistically-unusual text (gibberish, wrong
-    // alphabet, boilerplate) without any external model. Two reads of the
-    // exploded bigram relation (model build + scoring) → eager-persisted.
-    // Scale shape: the MODEL is bounded by alphabet² rows however large
-    // the corpus, so the scoring join broadcasts it and the docs stream
-    // map-only; the model build is one partial-agged groupBy on a
-    // domain-bounded key. (Fixture text is ASCII; Spark substr counts
-    // UTF-16 units vs DuckDB codepoints, identical here.)
+    // alphabet, boilerplate) without any external model.
+    // Scale shape (r10): the per-occurrence fold runs INSIDE the
+    // codegen'd [[graft.expr.CharGramCounts]] projection, so the relation
+    // that explodes, persists, and shuffles is the per-doc HISTOGRAM
+    // (≤ alphabet² rows per doc) — not one row per character as the
+    // interpreted transform+substr pipeline produced (measured the
+    // slowest sf1 key at 24.8 s, dominated by exploding and caching the
+    // corpus-of-characters). The MODEL stays alphabet²-bounded however
+    // large the corpus (a rollup of the histograms), the scoring join
+    // broadcasts it, and the per-doc average is the count-weighted mean
+    // Σc·(−ln p)/Σc — algebraically the same occurrence average, with
+    // the same formula spelled in the oracle. The histogram relation is
+    // eager-persisted: model rollup + scoring join both read it inside
+    // one action. (Fixture text is ASCII; Spark slices by codepoint
+    // offsets, identical to DuckDB's here.)
     "text_lm_score" -> ((s, d) => {
-      val grams = graft.InternalCaches.persistTracked(
+      val perDoc = graft.InternalCaches.persistTracked(
         documents(s, d)
           .filter(length(col("text")) >= 2)
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), length(col("text")) - 1),
-              i => col("text").substr(i, lit(2)))).as("g")),
+            explode(graft.expr.TextSetExprs.charGramCounts(col("text"), 2))
+              .as("gc"))
+          .select(col("doc_id"), col("gc.g").as("g"), col("gc.c").as("c")),
         eager = true)
-      val model = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val model = perDoc.groupBy(col("g")).agg(sum(col("c")).as("n"))
         .withColumn("n1",
           sum(col("n")).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(substring(col("g"), 1, 1))))
-      grams.join(broadcast(model), "g")
+      perDoc.join(broadcast(model), "g")
         .groupBy(col("doc_id"))
-        .agg((round(avg(-log(col("n") / col("n1"))), 6) + 0.0)
+        .agg((round(sum(col("c") * -log(col("n") / col("n1")))
+              / sum(col("c")), 6) + 0.0)
             .as("lm_score"),
-          count(lit(1)).as("n_bigrams"))
+          sum(col("c")).as("n_bigrams"))
         .orderBy("doc_id")
     }),
 
@@ -2347,19 +2357,25 @@ object Text {
         |SELECT doc_id, count(*) AS n_lines,
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors the histogram plan: per-doc bigram counts first, model =
+    // their rollup, score = the count-weighted mean Σc·(−ln p)/Σc — the
+    // same formula the Spark side folds.
     "text_lm_score" ->
       """WITH g AS (
         |  SELECT doc_id,
         |    unnest([text[i:i+1] for i in range(1, length(text))]) AS g
         |  FROM documents WHERE length(text) >= 2),
-        |m AS (SELECT g, count(*) AS n FROM g GROUP BY g),
+        |pc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY doc_id, g),
+        |m AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM pc GROUP BY g),
         |m2 AS (SELECT g, n, sum(n) OVER (PARTITION BY g[1:1]) AS n1
         |       FROM m)
-        |SELECT d.doc_id,
-        |  round(avg(-ln(m2.n / m2.n1)), 6) + 0.0 AS lm_score,
-        |  count(*) AS n_bigrams
-        |FROM g d JOIN m2 ON d.g = m2.g
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+        |SELECT pc.doc_id,
+        |  round(sum(pc.c * -ln(m2.n / m2.n1)) / sum(pc.c), 6) + 0.0
+        |    AS lm_score,
+        |  CAST(sum(pc.c) AS BIGINT) AS n_bigrams
+        |FROM pc JOIN m2 ON pc.g = m2.g
+        |GROUP BY pc.doc_id ORDER BY pc.doc_id""".stripMargin,
     "text_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,

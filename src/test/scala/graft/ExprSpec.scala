@@ -58,6 +58,31 @@ class ExprSpec extends SparkSpec {
         s"${mismatches.take(3).mkString("\n")}")
   }
 
+  test("CharGramCounts equals a per-string reference histogram, " +
+    "first-occurrence order") {
+    import spark.implicits._
+    val extra = Seq("héllo wörld héllo", "aaaa", "abc", "ab", "",
+      "日本語のテキスト断片", "x y x y x y")
+    val texts = Tables.documents(spark, sfDir).select(col("text"))
+      .as[String].take(50).toSeq ++ extra
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        graft.expr.TextSetExprs.charGramCounts(col("text"), 2).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val cps = s.codePoints.toArray
+      val grams = (0 to cps.length - 2).map(i => new String(cps, i, 2))
+      val ref = grams.groupBy(identity).map { case (g, o) =>
+        g -> o.size.toLong }
+      val h = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(h.map(x => x.getString(0) -> x.getLong(1)).toMap == ref,
+        s"histogram mismatch for ${s.take(30)}")
+      assert(h.map(_.getString(0)) == grams.distinct,
+        s"gram order must be first-occurrence for ${s.take(30)}")
+    }
+  }
+
   test("MinHashSignature: k minima, deterministic, set-semantics") {
     import graft.expr.MinHashExprs.minhashSignature
     val df = spark.sql(
