@@ -188,7 +188,9 @@ object Multimodal {
     // use the standard two-pass prefix sum: per-partition totals
     // collected once, broadcast as offsets); skew is bounded by the
     // largest source, and the manifest itself is shard-cardinality
-    // sized. Fully oracle-replayed (window + integer division).
+    // sized. Fully oracle-replayed (window + integer division). The
+    // truly-global single-stream variant is `mm_shard_manifest_global`
+    // below.
     "mm_shard_manifest" -> ((s, d) => {
       val shardBytes = 4096L
       val w = org.apache.spark.sql.expressions.Window
@@ -206,6 +208,54 @@ object Multimodal {
           min(col("doc_id")).as("first_id"),
           max(col("doc_id")).as("last_id"))
         .orderBy("source", "shard_idx")
+    }),
+
+    // TRULY-GLOBAL shard manifest (r10 — previously documented-only):
+    // one shard stream over the WHOLE corpus in doc_id order, no
+    // per-source grouping — the layout a single sequential training
+    // reader consumes. The global exclusive byte prefix is the standard
+    // TWO-PASS PREFIX SUM (the text_pack_sequences / agg_ks_test
+    // composition): range-partition by doc_id, per-partition running
+    // sums in pid-keyed windows, per-partition totals prefix-summed
+    // into start offsets (a partition-count-sized relation broadcast
+    // back) — never a one-task global-ordering window. The partitioned
+    // relation persists EAGERLY so both phases read the same sampled
+    // range boundaries; the assignment is boundary-invariant
+    // (local_cum + offset − nb is the global exclusive prefix under ANY
+    // partitioning), which the single-window oracle checks.
+    "mm_shard_manifest_global" -> ((s, d) => {
+      val shardBytes = 4096L
+      val W = org.apache.spark.sql.expressions.Window
+      val part = graft.InternalCaches.persistTracked(
+        documents(s, d)
+          .select(col("doc_id"),
+            coalesce(octet_length(col("text")).cast("long"), lit(0L))
+              .as("nb"))
+          .repartitionByRange(s.sparkContext.defaultParallelism,
+            col("doc_id"))
+          .withColumn("pid", spark_partition_id()),
+        eager = true)
+      val localCum = part.withColumn("local_cum",
+        sum(col("nb")).over(
+          W.partitionBy(col("pid")).orderBy(col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val offsets = part.groupBy(col("pid"))
+        .agg(sum(col("nb")).as("ptot"))
+        .withColumn("offset",
+          coalesce(sum(col("ptot")).over(
+            W.orderBy(col("pid"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      localCum.join(broadcast(offsets), Seq("pid"))
+        .withColumn("shard_idx",
+          floor((col("local_cum") + col("offset") - col("nb"))
+            / lit(shardBytes.toDouble)).cast("long"))
+        .groupBy(col("shard_idx"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("nb")).as("shard_bytes"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy("shard_idx")
     }),
 
     // Frame sampling as a 1→N generator over binary: every 4th 64-byte
@@ -275,6 +325,26 @@ object Multimodal {
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM c GROUP BY source, shard_idx
         |ORDER BY source, shard_idx""".stripMargin,
+    // The same replay with ONE global window — DuckDB's single-node
+    // cumulative sum ≡ the engine's two-pass range-partitioned prefix
+    // by the boundary-invariance argument on the operator.
+    "mm_shard_manifest_global" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS nb
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, nb,
+        |    CAST(floor(CAST(coalesce(sum(nb) OVER (
+        |        ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) / 4096.0) AS BIGINT) AS shard_idx
+        |  FROM b)
+        |SELECT shard_idx, count(*) AS n_items,
+        |  CAST(sum(nb) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM c GROUP BY shard_idx
+        |ORDER BY shard_idx""".stripMargin,
     "mm_frames" ->
       """WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents)

@@ -579,6 +579,28 @@ class PlanSpec extends SparkSpec {
     // cache entry would satisfy later specs' plans from memory
   }
 
+  test("mm_shard_manifest_global: no single-partition window ever sees " +
+    "the corpus") {
+    // same contract as text_pack_sequences: the data-path prefix sum
+    // must run in pid-keyed windows; the only empty-spec window allowed
+    // is the offsets prefix over the partition-count-sized totals
+    // relation (no file scan below it)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    try {
+      val plan = finalPlan("mm_shard_manifest_global")
+      val windows = collectAll(plan) { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"expected window operators:\n$plan")
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        "the data-path prefix-sum window must be partition-keyed")
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val scans = collectAll(w.child) { case f: FileSourceScanExec => f }
+        assert(scans.isEmpty,
+          s"global window directly over a table scan (one-task cumsum):\n$w")
+      }
+    } finally InternalCaches.unpersistAll()
+  }
+
   test("graph_triangles: no cartesian/BNLJ; oriented edges read from cache on all three branches") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
