@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   *    session + parquet-reader + codegen-compiler init.
   *  - A failing query is recorded with a negative sentinel AND an entry in
   *    `"errors"` — a regression must never read as a fast success.
+  *  - CONTENTION EVIDENCE (r10): the run brackets itself with the host's
+  *    1-minute load average and a best-of-2 timing of one fixed probe
+  *    query (`agg_groupby_max`, already warmed) at start AND end. A
+  *    contended driver round shows up as elevated load and a probe_end
+  *    well above probe_start — the evidence that adjudicated r9's 234 s
+  *    vs 187 s split needed git archaeology to reconstruct; now every
+  *    BENCH json carries it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,6 +49,25 @@ object Bench {
     }
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     InternalCaches.unpersistAll()
+
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // best-of-2 of a fixed, warmed probe: min() strips one-off stalls,
+    // so start-vs-end movement reads as sustained external load
+    def probe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try materialize("agg_groupby_max")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] probe: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val v = math.min(once(), once())
+      InternalCaches.unpersistAll()
+      v
+    }
+    val loadStart = loadAvg
+    val probeStart = probe()
 
     // SPARK_GRAFT_ONLY=q1,q2 limits the run for local iteration; the
     // driver leaves it unset and benches everything.
@@ -74,13 +100,18 @@ object Bench {
     //     echoed on ONE early log line for humans / full-log captures);
     //  2. the LAST stdout line is a short self-contained summary — total,
     //     errors, slowest-5 — guaranteed to fit the tail buffer whole.
+    val probeEnd = probe()
+    val loadEnd = loadAvg
     def n3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
+    val contention = s""""load_start":${n3(loadStart)},"load_end":${n3(
+        loadEnd)},"probe_start_sec":${n3(probeStart)},"probe_end_sec":${n3(
+        probeEnd)}"""
     val full =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,$contention,"sf":"$sfDir"}"""
     // the detail file is a convenience artifact — a reporting side
     // effect must never lose the run (an unwritable cwd would otherwise
     // throw AFTER all queries completed, before either stdout line)
@@ -97,7 +128,7 @@ object Bench {
     val slowest = results.sortBy { case (_, v) => -math.abs(v) }.take(5)
       .map { case (k, v) => "\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"slowest":$slowest,"detail":"$detailNote","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"slowest":$slowest,$contention,"detail":"$detailNote","sf":"$sfDir"}""")
     spark.stop()
   }
 }

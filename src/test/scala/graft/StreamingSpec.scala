@@ -585,4 +585,49 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("drift trajectory restart law: windowed histogram state survives " +
+    "a checkpoint restart with no duplicate or lost window rows") {
+    // the r6 recovery contract applied to the drift monitor: kill the
+    // query mid-window, restart a NEW query from the same checkpoint,
+    // and every finalized (window, bucket) histogram row must reach the
+    // sink exactly once, counting rows from BOTH runs — duplicated or
+    // lost rows would silently bend every PSI the monitoring sink folds
+    // from the trajectory.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tsh(h: Int, m: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val root = SparkSpec.scratchDir("graft_drift_restart")
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = ops.Streaming.streamingDriftBuckets(
+      mem.toDF().toDF("ts", "value"))
+    def start() = df.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      // window [00:00, 06:00): bucket 0 (value 10) and bucket 1 (60)
+      mem.addData((tsh(0, 10), 10.0), (tsh(0, 20), 60.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData((tsh(1), 10.0)) // same window+bucket, POST-restart
+      q2.processAllAvailable()
+      mem.addData((tsh(13), 0.0)) // watermark passes 06:00 → finalize
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(s"$root/out")
+        .filter(col("win_start") === tsh(0))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.length == rows.map(_._1).distinct.length,
+        s"a (window, bucket) row emitted more than once across the " +
+          s"restart: ${rows.mkString(",")}")
+      assert(rows.toSet == Set((0L, 2L), (1L, 1L)),
+        s"restored state must aggregate both runs (bucket 0: 1 pre + " +
+          s"1 post; bucket 1: 1 pre): ${rows.mkString(",")}")
+    } finally q2.stop()
+  }
 }
