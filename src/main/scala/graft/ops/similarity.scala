@@ -481,18 +481,35 @@ object Similarity {
     // IVF-style ANN: restrict the search to the query's own cell (label),
     // top-3 per query. Pairs form only within a cell after ONE shuffle on
     // the cell id (the a-side pre-partitions on it; no vestigial vec_id
-    // exchange) — the plan shape that survives a 1000× corpus.
+    // exchange) — the plan shape that survives a 1000× corpus. The
+    // label vocabulary is FIXED, so within-cell pair work is
+    // Ω(n²/|labels|) as n grows — `spark.graft.ivf.refineCells=true`
+    // switches to [[refinedIvfPairs]], which sub-clusters every label
+    // cell by the trained √n-cell quantizer: the join key becomes
+    // (label, quantizer cell), shrinking pair work by ~k× at a bounded
+    // recall cost (multi-probe on the quantizer side; candidates stay a
+    // SUBSET of the label cell, which AccuracySpec pins along with the
+    // pair-count bound). Default output unchanged with the conf unset.
     "sim_ann_ivf" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
-      val a = vecs(s, d).repartition(p, col("label"))
-      val b = vecs(s, d).select(col("label").as("blabel"),
-        col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
-      a.join(b, col("label") === col("blabel")
-          && col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("label"), col("nbr_id"),
-          cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+      val pairs =
+        if (s.conf.getOption("spark.graft.ivf.refineCells")
+            .contains("true"))
+          refinedIvfPairs(s, d,
+            Text.intConf(embeddings(s, d), "spark.graft.ivf.nprobe", 2))
+        else {
+          val a = vecs(s, d).repartition(p, col("label"))
+          val b = vecs(s, d).select(col("label").as("blabel"),
+            col("vec_id").as("nbr_id"), col("v").as("bv"),
+            col("nrm").as("bn"))
+          a.join(b, col("label") === col("blabel")
+              && col("vec_id") =!= col("nbr_id"))
+            .select(col("vec_id"), col("label"), col("nbr_id"),
+              cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+        }
+      pairs
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("vec_id"), col("label"), col("rn"), col("nbr_id"),
@@ -550,6 +567,45 @@ object Similarity {
       recallVsVariant(s, d)(base => base
         .withColumn("vq", slice(col("v"), 1, 16))))
   )
+
+  /** Refined-cell candidate stream for `sim_ann_ivf`
+    * (`spark.graft.ivf.refineCells=true`): every label cell is
+    * sub-clustered by the TRAINED quantizer ([[ivfCentroidsOf]] over the
+    * whole corpus — one model, reused across labels), so candidate pairs
+    * must share (label, quantizer cell) instead of just the label. The
+    * query side multi-probes its `nprobe` nearest quantizer cells; the
+    * index side sits in its argmin cell — the same probe topology as
+    * `sim_ann_ivf_trained`, intersected with the label restriction.
+    * Candidates are therefore a SUBSET of the plain label join (the
+    * rank-1 cosine can only drop — AccuracySpec pins both that ordering
+    * and the pair-count shrink), and within-refined-cell pair work is
+    * Σ|label ∩ cell|² ≈ n²·nprobe/(|labels|·k) — the k× cut that keeps
+    * the fixed label vocabulary from going Ω(n²/|labels|) as n grows.
+    * Returned columns match the plain branch: (vec_id, label, nbr_id,
+    * cos), pre-ranking.
+    */
+  private[graft] def refinedIvfPairs(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val scored = graft.InternalCaches.persistTracked(
+      scoredVecs(vecs(s, d), ivfCentroids(s, d)), eager = true)
+    val a = scored
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        explode(transform(slice(col("sc"), 1, nprobe),
+          x => x.getField("cid"))).as("pcell"))
+      .repartition(p, col("label"), col("pcell"))
+    val b = scored.select(col("label").as("blabel"),
+      col("sc").getItem(0).getField("cid").as("bcell"),
+      col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("label") === col("blabel")
+        && col("pcell") === col("bcell")
+        && col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("label"), col("nbr_id"),
+        cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+      // a neighbor can match through several probed cells — collapse
+      // before ranking so row_number never sees a duplicate pair
+      .distinct()
+  }
 
   /** Shared harness of the recall@5 gates: per bounded probe
     * ([[ProbeCount]]), the top-5 neighbors under the exact float vectors

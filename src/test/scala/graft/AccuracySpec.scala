@@ -93,6 +93,47 @@ class AccuracySpec extends SparkSpec {
       f"${exact.size} = $recall%.3f")
   }
 
+  test("sim_ann_ivf refined cells: candidate pairs shrink below the " +
+    "label-join bound and stay a subset of the label cell") {
+    import spark.implicits._
+    // pair-count bound: refined candidates must be strictly fewer than
+    // the plain label self-join's Σ n_label·(n_label−1) pair stream —
+    // the whole point of sub-clustering the fixed label vocabulary
+    val sizes = Tables.embeddings(spark, sfDir)
+      .groupBy($"label").count().as[(Int, Long)].collect()
+    val labelPairs = sizes.map { case (_, n) => n * (n - 1) }.sum
+    val refinedPairs = ops.Similarity.refinedIvfPairs(spark, sfDir, 2)
+      .count()
+    InternalCaches.unpersistAll()
+    assert(refinedPairs < labelPairs,
+      s"refined candidate stream ($refinedPairs) must undercut the " +
+        s"label join ($labelPairs)")
+    // subset law: the refined search space is contained in the plain
+    // one, so per query the refined rank-1 cosine can never EXCEED the
+    // plain rank-1 cosine — and the default output must be unchanged
+    // with the conf unset
+    val plain = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+      .filter($"rn" === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    spark.conf.set("spark.graft.ivf.refineCells", "true")
+    val refined =
+      try SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+        .filter($"rn" === 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      finally spark.conf.unset("spark.graft.ivf.refineCells")
+    InternalCaches.unpersistAll()
+    refined.foreach { case (id, cos) =>
+      assert(plain.contains(id), s"query $id gained by refinement")
+      assert(cos <= plain(id) + 1e-9,
+        s"query $id: refined rank-1 cos $cos exceeds plain ${plain(id)}" +
+          " — refined candidates leaked outside the label cell")
+    }
+    val agree = refined.count { case (id, cos) => plain(id) == cos }
+    info(f"refined pairs $refinedPairs vs label-join $labelPairs " +
+      f"(${refinedPairs.toDouble / labelPairs}%.3f); rank-1 cos " +
+      f"preserved for $agree/${refined.size} queries")
+  }
+
   test("agg_approx_quantile: returned value's true rank within the sketch guarantee") {
     // percentile_approx(accuracy = 1000) guarantees rank error <= n/1000;
     // assert the realized rank of the returned median against a 10x margin
