@@ -18,6 +18,14 @@ generation is current:
   lineitem's FK side, leaving 9/10 of the probe keys dangling: joins
   then measure a 10x probe whose match volume does not scale - the same
   fixture-artifact class as the un-offset user_id below.)
+- embeddings x10 (r10; previously symlinked 1x, which silenced every
+  sim_/dedup_near_embedding scale measurement): copy k offsets vec_id
+  and ROTATES the 64 dims by k - a bijection of coordinates, so every
+  within-copy cosine/norm/cell geometry is exactly preserved while
+  cross-copy pairs decorrelate ("10x more vectors of the same kind").
+  Labels repeat per copy: the fixed label vocabulary genuinely gains
+  10x members per cell, which is exactly the growth regime the
+  refined-cell/trained-IVF paths exist for.
 - all other tables symlinked from the source sf dir (customer stays 1x:
   orders' o_custkey is NOT offset, so per-customer fan-out grows 10x -
   the realistic "same customers, more history" shape).
@@ -95,6 +103,21 @@ def main() -> None:
                                  if f.name in off else t.column(f.name))
                         for f in t.schema}
                 parts.append(pa.table(cols))
+            pq.write_table(pa.concat_tables(parts), dst_path)
+        elif name == "embeddings":
+            t = pq.read_table(src_path)
+            vecs = t.column("embedding").to_pylist()
+            labels = t.column("label")
+            ids = t.column("vec_id")
+            parts = []
+            for k in range(COPIES):
+                rot = [None if v is None else v[k:] + v[:k] for v in vecs]
+                parts.append(pa.table({
+                    "vec_id": pc.add(ids, k * 10_000_000),
+                    "embedding": pa.array(rot, type=t.schema.field(
+                        "embedding").type),
+                    "label": labels,
+                }))
             pq.write_table(pa.concat_tables(parts), dst_path)
         else:
             os.symlink(os.path.abspath(src_path), dst_path)
