@@ -53,15 +53,22 @@ object Bench {
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // best-of-2 of a fixed, warmed probe: min() strips one-off stalls,
-    // so start-vs-end movement reads as sustained external load
+    // so start-vs-end movement reads as sustained external load. A
+    // failing probe reports NEGATIVE time-to-exception (the file's
+    // negative-sentinel discipline) — time-to-failure must never read
+    // as a fast, uncontended probe.
     def probe(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        try materialize("agg_groupby_max")
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] probe: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { materialize("agg_groupby_max"); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] probe: $e"); false
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -math.max(sec, 0.001)
       }
+      // min() also propagates a failure: a negative marker always
+      // undercuts any successful timing
       val v = math.min(once(), once())
       InternalCaches.unpersistAll()
       v

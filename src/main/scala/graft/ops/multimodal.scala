@@ -226,26 +226,17 @@ object Multimodal {
     "mm_shard_manifest_global" -> ((s, d) => {
       val shardBytes = 4096L
       val W = org.apache.spark.sql.expressions.Window
-      val part = graft.InternalCaches.persistTracked(
+      val part = TwoPass.rangedByPid(
         documents(s, d)
           .select(col("doc_id"),
             coalesce(octet_length(col("text")).cast("long"), lit(0L))
-              .as("nb"))
-          .repartitionByRange(s.sparkContext.defaultParallelism,
-            col("doc_id"))
-          .withColumn("pid", spark_partition_id()),
-        eager = true)
+              .as("nb")),
+        col("doc_id"))
       val localCum = part.withColumn("local_cum",
         sum(col("nb")).over(
           W.partitionBy(col("pid")).orderBy(col("doc_id"))
             .rowsBetween(W.unboundedPreceding, W.currentRow)))
-      val offsets = part.groupBy(col("pid"))
-        .agg(sum(col("nb")).as("ptot"))
-        .withColumn("offset",
-          coalesce(sum(col("ptot")).over(
-            W.orderBy(col("pid"))
-              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("offset"))
+      val offsets = TwoPass.sumOffsets(part, col("nb"))
       localCum.join(broadcast(offsets), Seq("pid"))
         .withColumn("shard_idx",
           floor((col("local_cum") + col("offset") - col("nb"))

@@ -953,17 +953,14 @@ object Relational {
       val ev = events(s, d)
         .select(unix_micros(col("ts")).as("us"), col("value"))
       val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
-      val ranged = graft.InternalCaches.persistTracked(
+      val ranged = TwoPass.rangedByPid(
         ev.join(broadcast(mid))
           .select(col("value"),
             (col("us") <= col("mid")).cast("long").as("is_ref"))
           .groupBy(col("value"))
           .agg(sum(col("is_ref")).as("nr"),
-            sum(lit(1L) - col("is_ref")).as("nc"))
-          .repartitionByRange(s.sparkContext.defaultParallelism,
-            col("value"))
-          .withColumn("pid", spark_partition_id()),
-        eager = true)
+            sum(lit(1L) - col("is_ref")).as("nc")),
+        col("value"))
       val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       // partition-count-sized relation: the tiny window is over

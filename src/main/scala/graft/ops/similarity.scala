@@ -158,6 +158,16 @@ object Similarity {
         col("sc").getItem(0).getField("cid").as("cell"),
         col("sc").getItem(0).getField("d2").as("d2"))
 
+  /** THE multi-probe cell generator: one row per of the `nprobe`
+    * nearest trained centroids under the (d², cid) ranking baked into
+    * the scored `sc` array. Defined once — `sim_ann_ivf_trained`,
+    * [[nearDupBlocked]], and [[refinedIvfPairs]] all pin their SQL
+    * replays to exactly this meaning, so the slice semantics must never
+    * drift between them (review finding r10).
+    */
+  private def probeCellCol(nprobe: Int): Column =
+    explode(transform(slice(col("sc"), 1, nprobe), x => x.getField("cid")))
+
   /** IVF cell count: conf override, else the standard nlist ∝ √n sizing
     * (k = max(8, round(√(n/8)))) — a FIXED k makes within-cell pair work
     * Ω(n²/k), which the sf1 bench measured as a 13.9× cost on 10× data;
@@ -248,8 +258,7 @@ object Similarity {
       scoredVecs(v, cents), eager = true)
     val probes = scored
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(transform(slice(col("sc"), 1, nprobe),
-          x => x.getField("cid"))).as("pcell"))
+        probeCellCol(nprobe).as("pcell"))
     val x = probes.repartition(p, col("pcell"))
       .select(col("pcell"), col("vec_id").as("a_id"), col("v").as("av"),
         col("nrm").as("an"))
@@ -301,8 +310,7 @@ object Similarity {
           ivfCentroids(s, d)), eager = true)
       val probes = scored
         .select(col("vec_id"), col("v"), col("nrm"),
-          explode(transform(slice(col("sc"), 1, nprobe),
-            x => x.getField("cid"))).as("pcell"))
+          probeCellCol(nprobe).as("pcell"))
         .repartition(p, col("pcell"))
       val index = scored.select(
         col("sc").getItem(0).getField("cid").as("bcell"),
@@ -396,9 +404,14 @@ object Similarity {
     // recall-vs-exact contract (clones never lost; moderate-cos pairs
     // best-effort — all 14 exact pairs recovered at sf0.01) is pinned
     // in AccuracySpec. `spark.graft.nearemb.exact=true` restores the
-    // lossless all-pairs triangular block sweep ([[blockedPairs]]);
-    // filter on the ROUNDED value either way so both engines cut on
-    // identical numbers.
+    // lossless all-pairs triangular block sweep ([[blockedPairs]]) —
+    // NOTE the oracle pins the DEFAULT blocked plan, so with the conf
+    // set the Spark output is a SUPERSET of the oracle's wherever
+    // blocking loses a moderate-cos pair (first divergence: sf0.1,
+    // 144 vs 122 rows): the conf is a user escape hatch, not a
+    // gate-compatible mode, unlike `spark.graft.theta.bnlj` whose two
+    // plans are output-identical. Filter on the ROUNDED value either
+    // way so both engines cut on identical numbers.
     "dedup_near_embedding" -> ((s, d) =>
       if (s.conf.getOption("spark.graft.nearemb.exact").contains("true"))
         blockedPairs(vecs(s, d))
@@ -591,8 +604,7 @@ object Similarity {
       scoredVecs(vecs(s, d), ivfCentroids(s, d)), eager = true)
     val a = scored
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        explode(transform(slice(col("sc"), 1, nprobe),
-          x => x.getField("cid"))).as("pcell"))
+        probeCellCol(nprobe).as("pcell"))
       .repartition(p, col("label"), col("pcell"))
     val b = scored.select(col("label").as("blabel"),
       col("sc").getItem(0).getField("cid").as("bcell"),

@@ -153,11 +153,7 @@ object Streaming {
         .select((col("event_id") + 10000000L).as("event_id"),
           col("event_type"), col("us"))
       val e = base.unionByName(replay)
-      val part = graft.InternalCaches.persistTracked(
-        e.repartitionByRange(s.sparkContext.defaultParallelism,
-            col("event_id"))
-          .withColumn("pid", spark_partition_id()),
-        eager = true)
+      val part = TwoPass.rangedByPid(e, col("event_id"))
       val localHi = part.withColumn("local_hi",
         max(col("us")).over(
           W.partitionBy(col("pid")).orderBy(col("event_id"))

@@ -867,22 +867,12 @@ object Text {
       val counted = documents(s, d)
         .select(col("doc_id"),
           size(filter(toks, t => length(t) > 0)).as("n_tok"))
-      val part = graft.InternalCaches.persistTracked(
-        counted.repartitionByRange(s.sparkContext.defaultParallelism,
-            col("doc_id"))
-          .withColumn("pid", spark_partition_id()),
-        eager = true)
+      val part = TwoPass.rangedByPid(counted, col("doc_id"))
       val localCum = part.withColumn("local_cum",
         sum(col("n_tok")).over(
           W.partitionBy(col("pid")).orderBy(col("doc_id"))
             .rowsBetween(W.unboundedPreceding, W.currentRow)))
-      val offsets = part.groupBy(col("pid"))
-        .agg(sum(col("n_tok")).as("ptot"))
-        .withColumn("offset",
-          coalesce(sum(col("ptot")).over(
-            W.orderBy(col("pid"))
-              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("offset"))
+      val offsets = TwoPass.sumOffsets(part, col("n_tok"))
       localCum.join(broadcast(offsets), Seq("pid"))
         .select(col("doc_id"), col("n_tok"),
           floor((col("local_cum") + col("offset") - col("n_tok"))

@@ -64,7 +64,14 @@ class ExprSpec extends SparkSpec {
     val extra = Seq("héllo wörld héllo", "aaaa", "abc", "ab", "",
       "日本語のテキスト断片", "x y x y x y")
     val texts = Tables.documents(spark, sfDir).select(col("text"))
+      .filter(col("text").isNotNull) // fixture may regenerate with nulls
       .as[String].take(50).toSeq ++ extra
+    // null-in → null-out (UnaryExpression null-safety), pinned before
+    // the non-null reference sweep
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(graft.expr.TextSetExprs.charGramCounts(col("text"), 2))
+      .collect().head
+    assert(nullRow.isNullAt(0), "null text must yield a null histogram")
     val rows = texts.toDF("text")
       .select(col("text"),
         graft.expr.TextSetExprs.charGramCounts(col("text"), 2).as("h"))
