@@ -586,6 +586,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_drift_psi: a window whose rows ALL fall outside the " +
+    "reference support still emits its trajectory row (tc=0, full " +
+    "novel mass)") {
+    // regression law for the ADVICE r9 finding: the output window list
+    // used to derive from the in-support subset, silently dropping a
+    // novel-only window — exactly the strongest drift signal. Planted
+    // fixture: reference half in buckets 0/1; current half has one
+    // in-support window and one window containing ONLY a novel bucket.
+    import spark.implicits._
+    def t(h: Int): Timestamp =
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(h * 3600L))
+    val dir = SparkSpec.scratchDir("graft_drift_novel")
+    Seq(
+      (1L, t(0), 1L, "view", 10.0, "{}"),   // ref: bucket 0
+      (2L, t(10), 1L, "view", 60.0, "{}"),  // ref: bucket 1
+      (3L, t(24), 1L, "view", 10.0, "{}"),  // ref boundary (us <= mid)
+      (4L, t(30), 1L, "view", 10.0, "{}"),  // cur window A: in support
+      (5L, t(37), 1L, "view", 5000.0, "{}"), // cur window B: novel ONLY
+      (6L, t(48), 1L, "view", 60.0, "{}")   // cur window C + max ts
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("stream_drift_psi")(spark, dir)
+      .collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    InternalCaches.unpersistAll()
+    val novelWin = "2024-01-02 12:00:00.0" // 6h window of hour 37
+    assert(rows.contains(novelWin),
+      s"novel-only window must not be dropped: ${rows.keySet}")
+    val (psi, tc, novel) = rows(novelWin)
+    assert(tc == 0L && novel == 1L,
+      s"novel-only window must carry (tc=0, n_novel=1): got ($tc, $novel)")
+    assert(!psi.isNaN && !psi.isInfinite,
+      s"psi must stay finite under an empty in-support histogram: $psi")
+    val (_, tcA, novelA) = rows("2024-01-02 06:00:00.0")
+    assert(tcA == 1L && novelA == 0L,
+      s"in-support window unchanged: ($tcA, $novelA)")
+  }
+
   test("drift trajectory restart law: windowed histogram state survives " +
     "a checkpoint restart with no duplicate or lost window rows") {
     // the r6 recovery contract applied to the drift monitor: kill the
