@@ -54,7 +54,7 @@ object Text {
     * (CollapseProject keeps the boundary: it never duplicates non-cheap
     * expressions into multiple consumers).
     */
-  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+  private[graft] def tokenizedDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("t", toks)
 
   /** 32-bit uniform draw from the md5 prefix of `key` — the acceptance
@@ -393,10 +393,11 @@ object Text {
     * `carry` columns (small, per-doc — e.g. an 8-byte fingerprint) ride
     * through the join and come out as `<c>_a`/`<c>_b`, swapped
     * consistently with the id normalization. `prune` runs on the joined
-    * pairs BEFORE the distinct: for an unselective blocking (simhash's
-    * 4-bit bands produce 12.7M raw collisions for 260 true pairs at
-    * sf0.1) filtering on the carried payload first means the distinct
-    * shuffle sees thousands of rows, not millions. Carry only cheap
+    * pairs BEFORE the distinct: for an unselective blocking (the retired
+    * exact-4-bit simhash banding produced 12.7M raw collisions for 260
+    * true pairs at sf0.1 — see [[hammingBlockPairs]] for its
+    * replacement) filtering on the carried payload first means the
+    * distinct shuffle sees thousands of rows, not millions. Carry only cheap
     * payloads — a 1 KB minhash signature would multiply the band-join
     * shuffle instead; those verifications join the persisted signature
     * relation AFTER the distinct.
@@ -448,6 +449,109 @@ object Text {
         when(fwd, col(s"x.${c}_x")).otherwise(col(s"y.${c}_y")).as(c + "_a"),
         when(fwd, col(s"y.${c}_y")).otherwise(col(s"x.${c}_x")).as(c + "_b"))): _*)
     prune(normalized).distinct()
+  }
+
+  /** All distinct unordered id pairs within Hamming distance `maxDist`
+    * over a (doc_id, fp: bigint) fingerprint relation — the multi-index
+    * Hamming join (the pigeonhole family of Manku et al., WWW'07): the
+    * 64-bit fingerprint splits into 5 blocks (13/13/13/13/12 bits), and
+    * since `maxDist` errors across 5 blocks leave SOME block with
+    * ≤ ⌊maxDist/5⌋ = 2 errors, a pair within distance 14 must agree to
+    * within 2 bits on at least one block. The index side posts each
+    * doc's 5 EXACT block values; the query side posts every value within
+    * distance ≤ 2 of each block (1 + w + C(w,2) XOR masks — 447 rows per
+    * doc, a one-time literal array); candidates are the (band, key)
+    * equi-join of the two. Versus exact 4-bit banding (16 buckets per
+    * band ⇒ collision mass ≈ C(n,2) on a uniform corpus — measured 12.7M
+    * raw pairs at sf0.1, 1.3 G at sf1, quadratic at 100 TB), the 8192-way
+    * keys at ≤2-error selectivity pass ≈ 5·92/8192 ≈ 5.6 % of random
+    * pairs — an ~18× candidate cut bought with a LINEAR 447×/doc posting
+    * cost. The OUTPUT is identical by construction: both blockings are
+    * recall-complete for the final `hamming ≤ maxDist` cut.
+    *
+    * Skew guard (structural, PlanSpec-pinned): a block value shared by
+    * more docs than the hot width — template corpora mint identical
+    * fingerprints at scale — gets a third salt join key: index rows of a
+    * hot key scatter to `xxhash64(doc_id) & (saltBlocks-1)` (bitmask,
+    * not Pmod — see [[saltedBandPairs]] on nullability), query rows of a
+    * hot key replicate across all salt blocks, so one hot key fans out
+    * across `saltBlocks` tasks instead of serializing O(bucket²) pair
+    * work in one. Cold keys keep salt 0 with zero replication — the same
+    * conditional discipline as the triangular self-join salting. Each
+    * surviving pair is emitted once per agreeing band (the
+    * `query.doc_id < index.doc_id` predicate keeps one of the two
+    * symmetric directions) and the hamming cut runs BEFORE the distinct,
+    * so the wide shuffle sees survivors, not the candidate stream.
+    */
+  private[graft] def hammingBlockPairs(fp: DataFrame, maxDist: Int)
+      : DataFrame = {
+    require(maxDist <= 14, "5-block/2-error enumeration is recall-" +
+      s"complete only up to hamming 14, got $maxDist")
+    val widths = Seq(13, 13, 13, 13, 12)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    def blockVal(i: Int): Column =
+      shiftrightunsigned(col("fp"), shifts(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val hotWidth = intConf(fp, "spark.graft.lsh.hotBucketWidth",
+      HotBucketDefault)
+    val saltBlocks = blockCountConf(fp, "spark.graft.lsh.saltBlocks",
+      SaltBlocksDefault)
+    val exact = fp.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until widths.size).map(blockVal): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    // hot-key list is tiny by construction (distinct over-width keys) —
+    // broadcast, so salt tagging never shuffles either posting relation
+    val hot = exact.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bw"))
+      .filter(col("bw") > hotWidth)
+      .select(col("band"), col("key"), lit(true).as("is_hot"))
+    // ≤2-bit XOR masks, block-local: one typedlit, not 447 CreateStructs
+    val masks: Seq[(Int, Long)] = widths.zipWithIndex.flatMap {
+      case (w, i) =>
+        val flips = Seq(0L) ++ (0 until w).map(b => 1L << b) ++
+          (for { x <- 0 until w; y <- x + 1 until w }
+            yield (1L << x) | (1L << y))
+        flips.map(m => (i, m))
+    }
+    // band comes from the literal (non-nullable); the key is a when-chain
+    // with an otherwise arm so every branch — shift/and/xor over the
+    // non-nullable fp — keeps the join key non-nullable (PlanSpec pin)
+    val keyExpr = (1 until widths.size - 1)
+      .foldLeft(when(col("band") === 0, blockVal(0))) {
+        (acc, i) => acc.when(col("band") === i, blockVal(i))
+      }
+      .otherwise(blockVal(widths.size - 1))
+      .bitwiseXOR(col("m"))
+    val variants = fp.select(col("doc_id"), col("fp"),
+        explode(typedlit(masks)).as("bm"))
+      // typedlit marks tuple array elements nullable (ScalaReflection
+      // treats Product elements as nullable), which would leak into the
+      // join keys — coalesce against never-taken literals re-pins both
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("bm._1"), lit(0)).as("band"),
+        coalesce(col("bm._2"), lit(0L)).as("m"))
+      .select(col("doc_id"), col("fp"), col("band"), keyExpr.as("key"))
+    val exactS = exact.join(broadcast(hot), Seq("band", "key"), "left")
+      .select(col("doc_id"), col("fp"), col("band"), col("key"),
+        when(col("is_hot").isNotNull,
+          xxhash64(col("doc_id")).bitwiseAND(lit(saltBlocks - 1))
+            .cast("int"))
+          .otherwise(lit(0)).as("salt"))
+    val varS = variants.join(broadcast(hot), Seq("band", "key"), "left")
+      .select(col("doc_id"), col("fp"), col("band"), col("key"),
+        explode(when(col("is_hot").isNotNull,
+            sequence(lit(0), lit(saltBlocks - 1)))
+          .otherwise(array(lit(0)))).as("salt"))
+    varS.as("q").join(exactS.as("x"),
+        col("q.band") === col("x.band") &&
+        col("q.key") === col("x.key") &&
+        col("q.salt") === col("x.salt") &&
+        col("q.doc_id") < col("x.doc_id"))
+      .select(col("q.doc_id").as("a"), col("x.doc_id").as("b"),
+        bit_count(col("q.fp").bitwiseXOR(col("x.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Banded MinHash-LSH near-dup pairs over a (doc_id, s: array<string>)
@@ -763,17 +867,21 @@ object Text {
     }),
 
     // SimHash near-dup: one 64-bit fingerprint per document (codegen'd
-    // single pass over the shingle set), 4-bit band blocking for candidate
-    // pairs (16 equal-band buckets guarantee recall up to hamming 15 —
-    // pigeonhole), exact hamming verification via bit_count(xor). Same
-    // LSH-shaped plan as dedup_near_minhash with a 1-word signature: the
-    // cheaper filter a pipeline runs before MinHash; shares the salted
-    // band self-join, so a boilerplate fingerprint mega-bucket spreads
-    // across block-pair tasks here too. The (doc_id, fp) relation is
-    // persisted (16 bytes/doc) so the shingle+fingerprint pass runs once,
-    // not once per join branch. Rows-only driver check (the fingerprint
-    // hash isn't expressible in the oracle); TextSpec asserts it finds
-    // exactly the planted near-dup pairs.
+    // single pass over the shingle set), candidate pairs from the
+    // multi-index Hamming join ([[hammingBlockPairs]] — 5 blocks, ≤2-bit
+    // variant enumeration on the query side, exact block values on the
+    // index side), exact hamming verification via bit_count(xor). The
+    // r10 plan change from exact 4-bit banding: 16-bucket bands passed
+    // ~every random pair somewhere (12.7M raw collisions at sf0.1, 1.3 G
+    // at sf1 — the engine's last quadratic candidate stream), where the
+    // 8192-way block keys cut candidates ~18× for a linear 447×/doc
+    // posting cost; OUTPUT IDENTICAL by pigeonhole completeness, which
+    // is why the planted-pair and determinism laws carry over unchanged.
+    // The (doc_id, fp) relation is persisted (16 bytes/doc) so the
+    // shingle+fingerprint pass runs once, not once per posting branch.
+    // Rows-only driver check (the fingerprint hash isn't expressible in
+    // the oracle); TextSpec asserts it finds exactly the planted
+    // near-dup pairs.
     "dedup_simhash" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       // same shingle-less exclusion as dedup_near_minhash (cheap
@@ -785,22 +893,7 @@ object Text {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp")))
-      // 4-bit bands are pigeonhole-complete for hamming ≤ 15 but barely
-      // selective (each band splits the corpus into only 16 buckets →
-      // 12.7M raw collisions at sf0.1) — so the 8-byte fingerprint rides
-      // THROUGH the band join and the hamming cut runs before the
-      // distinct: the wide shuffle sees the few thousand survivors, not
-      // the collision stream
-      val bands = fp.select(col("doc_id"), col("fp"),
-          posexplode(array((0 until 16).map(j =>
-            shiftrightunsigned(col("fp"), j * 4).bitwiseAND(15)): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bhash")
-      saltedBandPairs(bands, carry = Seq("fp"),
-          prune = _.withColumn("hamming",
-              bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-            .filter(col("hamming") <= 12))
-        .select(col("a"), col("b"), col("hamming"))
+      hammingBlockPairs(fp, maxDist = 12)
         .orderBy("a", "b")
     }),
 

@@ -157,7 +157,7 @@ class PlanSpec extends SparkSpec {
     // the skew guard is structural: the band self-join must key on the
     // block-pair tags in ADDITION to the bucket, or a hot bucket would
     // serialize O(bucket²) pair work into one task at 100 TB
-    Seq("dedup_near_minhash", "dedup_simhash").foreach { name =>
+    Seq("dedup_near_minhash").foreach { name =>
       val wide = collectAll(finalPlan(name)) {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
             if j.leftKeys.size >= 4 => j
@@ -165,6 +165,29 @@ class PlanSpec extends SparkSpec {
       assert(wide.nonEmpty,
         s"$name: expected the salted band join keyed (band, bhash, pi, pj)")
     }
+  }
+
+  test("dedup_simhash candidates come from the salted 3-key multi-index join") {
+    // the r10 plan: variant postings ⋈ exact postings on
+    // (band, key, salt) — the salt key is the structural skew guard (a
+    // hot block value fans across saltBlocks tasks instead of
+    // serializing O(bucket²) in one), and no cartesian/BNLJ may appear
+    // anywhere (the retired exact-band plan's quadratic candidate stream
+    // must not come back as a nested-loop fallback)
+    val plan = finalPlan("dedup_simhash")
+    val wide = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.size >= 3 => j
+    }
+    assert(wide.nonEmpty,
+      "dedup_simhash: expected the multi-index join keyed (band, key, salt)")
+    val loops = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(loops.isEmpty,
+      "dedup_simhash: candidate generation must stay an equi-join — a " +
+        "nested-loop node here is the O(n²) all-pairs plan that dies at scale")
   }
 
   test("sim_topk_cosine broadcasts only the bounded probe side") {

@@ -87,6 +87,47 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
         }
     }
 
+  // the r10 multi-index Hamming join earns the law in its strongest
+  // form: for ANY fingerprint multiset — including planted identical-fp
+  // clusters far past the hot width, the regime where the asymmetric
+  // salt replication engages — and any dials, the blocked join must
+  // produce EXACTLY the unordered pairs of a brute-force hamming sweep.
+  // This covers recall (pigeonhole completeness of the 5-block ≤2-error
+  // enumeration), precision (the bit_count cut), the direction predicate
+  // (q < x keeps exactly one of two symmetric matches), and the salt
+  // fan-out all at once.
+  private val genFp = Gen.frequency(
+    4 -> Gen.const(0x0123456789abcdefL),        // planted mega-cluster
+    3 -> Gen.chooseNum(0L, 15L)                  // hamming-1 kin of the
+      .map(b => 0x0123456789abcdefL ^ (1L << b.toInt)), // cluster value
+    3 -> Gen.long)                               // background noise
+  private val genFpRows = Gen.chooseNum(20, 120).flatMap(n =>
+    Gen.listOfN(n, genFp)).map(_.zipWithIndex.map {
+      case (fp, i) => (i.toLong, fp) })
+  private val genDist = Gen.oneOf(0, 3, 12, 14)
+
+  property("hammingBlockPairs == brute-force sweep, any fps, any dials") =
+    Prop.forAll(genFpRows, genSalt, genHotW, genDist) {
+      (rows, saltW, hotW, maxDist) =>
+        val fp = rows.toDF("doc_id", "fp")
+        spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
+        spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+        try {
+          val got = ops.Text.hammingBlockPairs(fp, maxDist)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val naive = (for {
+            (d1, f1) <- rows; (d2, f2) <- rows
+            if d1 < d2 && java.lang.Long.bitCount(f1 ^ f2) <= maxDist
+          } yield (d1, d2)).toSet
+          Prop(got == naive) :|
+            s"salt=$saltW hot=$hotW dist=$maxDist " +
+              s"missing=${naive -- got} extra=${got -- naive}"
+        } finally {
+          spark.conf.unset("spark.graft.lsh.saltBlocks")
+          spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+        }
+    }
+
   // the OTHER hand-rolled triangle decomposition (blocked exact all-pairs
   // in similarity.scala) earns the same law: every unordered id pair
   // reaches exactly one-or-two tasks with its payload columns still

@@ -20,6 +20,35 @@ class TextSpec extends SparkSpec {
       s"simhash/minhash disagree: only-simhash=${sh -- mh} only-minhash=${mh -- sh}")
   }
 
+  test("dedup_simhash == brute-force hamming pairs (multi-index completeness)") {
+    // ground-truth law for the r10 multi-index Hamming join: the blocked
+    // candidate generation (5 blocks, ≤2-bit variant enumeration) must
+    // return EXACTLY the pairs a quadratic all-pairs sweep finds at
+    // hamming ≤ 12 — recall (pigeonhole completeness: 12 errors over 5
+    // blocks leave some block within 2 bits) AND precision (the final
+    // bit_count cut) in one set equality, against an implementation that
+    // shares nothing with the blocking under test.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val p = s.sparkContext.defaultParallelism
+    val fp = graft.ops.Text.tokenizedDocs(s, sfDir)
+      .repartition(p, col("doc_id"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        graft.expr.SimHashExprs.simhash64(
+          graft.ops.Text.shingleCol(col("t"))).as("fp"))
+    val brute = fp.as("x").join(fp.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .filter(col("hamming") <= 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = pairs("dedup_simhash")
+    assert(blocked == brute,
+      s"multi-index vs brute-force disagree: only-blocked=${blocked -- brute} " +
+        s"only-brute=${brute -- blocked}")
+  }
+
   test("dedup_ngram_jaccard agrees with the word-shingle near-dup set") {
     // three independent set representations (word 3-gram, char 4-gram,
     // simhash bits) must converge on the same planted pairs
