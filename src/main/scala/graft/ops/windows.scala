@@ -312,28 +312,45 @@ object Windows {
 
     // Time-series gap filling: densify each user's metric stream onto an
     // hourly grid between that user's first and last active hour, then
-    // forward-fill the last observed value across the gaps (`last` with
-    // ignoreNulls over a running frame — the streaming-scan fill, one
-    // exchange on the entity key). The grid is generated per entity with
-    // `sequence(lo, hi, 1 hour)` — grid size is bounded by each entity's
-    // own time span, never by the global corpus span, so a 100 TB corpus
-    // of short-lived entities stays linear. `observed` marks real hours
-    // so downstream consumers can distinguish carried values.
+    // forward-fill the last observed value across the gaps. The r10 plan
+    // is GAP EMISSION, not grid-join: windows (forward-fill + lag, one
+    // spec → one exchange + sort) run over the SPARSE per-hour relation,
+    // and each observed row then explodes the hours since its
+    // predecessor, carrying the predecessor's filled value into the gap
+    // — the dense grid is born as a map-side explode that never
+    // shuffles. The retired form generated the grid from per-user
+    // (lo, hi) bounds and LEFT-JOINED the sparse relation back, which
+    // shuffled the DENSE relation twice (join + fill window) — at sf1
+    // that is 2×20M rows of exchange for the same output. Grid size
+    // stays bounded by each entity's own time span, never the global
+    // corpus span, so a 100 TB corpus of short-lived entities stays
+    // linear. `observed` marks real hours (null-summed hours count as
+    // unobserved, matching the grid-join's `ph.v IS NOT NULL`) so
+    // downstream consumers can distinguish carried values.
     "win_gap_fill" -> ((s, d) => {
       val perHour = events(s, d)
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
         .agg(round(sum(col("value")), 4).as("v"))
-      val grid = perHour.groupBy("user_id")
-        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-        .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
-            .as("h"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(perHour, Seq("user_id", "h"), "left")
-        .select(col("user_id"), col("h"),
-          col("v").isNotNull.as("observed"),
-          last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+      // ff = running last non-null value INCLUDING this hour; prev_ff =
+      // the same as of the previous observed hour (stacked windows, same
+      // spec — the planner reuses one exchange + sort)
+      val sparse = perHour
+        .withColumn("ff", last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_h", lag(col("h"), 1).over(w))
+        .withColumn("prev_ff", lag(col("ff"), 1).over(w))
+      sparse
+        .select(col("user_id"), col("h"), col("v"), col("ff"),
+          col("prev_ff"),
+          explode(when(col("prev_h").isNull, array(col("h")))
+            .otherwise(sequence(col("prev_h") + expr("interval 1 hour"),
+              col("h"), expr("interval 1 hour")))).as("gh"))
+        .select(col("user_id"),
+          col("gh").as("h"),
+          (col("gh") === col("h") && col("v").isNotNull).as("observed"),
+          when(col("gh") === col("h"), col("ff")).otherwise(col("prev_ff"))
+            .as("v_ff"))
         .orderBy("user_id", "h")
     }),
 
