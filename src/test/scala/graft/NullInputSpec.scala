@@ -58,4 +58,74 @@ class NullInputSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries threw on nulled input:\n${failures.mkString("\n")}")
   }
+
+  test("win_gap_fill: null-summed hours fill like gaps (gap emission == grid-join)") {
+    // The r10 gap-emission rewrite's one semantic cliff is an hour that
+    // HAS events but whose sum is null (every event in it carries a null
+    // value): the original grid-join form marks it observed=false and
+    // carries the previous fill across it. The shipped fixtures are
+    // null-free, so the DuckDB oracle never exercises this edge — plant
+    // it: user 1 has an observed hour, a silent gap, a NULL-summed hour,
+    // another gap, then an observed hour; user 2 STARTS on a null-summed
+    // hour (fill starts null).
+    import spark.implicits._
+    val dir = SparkSpec.scratchDir("graft_gapfill_nulls")
+    def ev(id: Long, u: Long, hour: Int, v: java.lang.Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:30:00"),
+        u, "view", v, "{}")
+    Seq(
+      ev(1, 1L, 0, 10.0), ev(2, 1L, 0, 2.5), // observed h0, v=12.5
+      ev(3, 1L, 2, null),                    // h2: events, null sum
+      ev(4, 1L, 5, 7.0),                     // observed h5
+      ev(5, 2L, 1, null),                    // user 2 STARTS null
+      ev(6, 2L, 3, 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("win_gap_fill")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getBoolean(2), Option(r.get(3)).map(_.toString).orNull))
+    // hand-pinned: null-summed hours are unobserved and transparent to
+    // the forward fill; a leading null fill stays null until the first
+    // real observation
+    val want = Array(
+      (1L, "2024-01-01 00:00:00.0", true, "12.5"),
+      (1L, "2024-01-01 01:00:00.0", false, "12.5"),
+      (1L, "2024-01-01 02:00:00.0", false, "12.5"),
+      (1L, "2024-01-01 03:00:00.0", false, "12.5"),
+      (1L, "2024-01-01 04:00:00.0", false, "12.5"),
+      (1L, "2024-01-01 05:00:00.0", true, "7.0"),
+      (2L, "2024-01-01 01:00:00.0", false, null),
+      (2L, "2024-01-01 02:00:00.0", false, null),
+      (2L, "2024-01-01 03:00:00.0", true, "4.0"))
+    assert(got.toSeq == want.toSeq,
+      s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
+    // and the retired grid-join reference agrees row-for-row on the
+    // nulled 10%-slice relation too (regression net wider than the
+    // planted rows)
+    import org.apache.spark.sql.expressions.Window
+    val perHour = Tables.events(spark, nulledDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")), 4).as("v"))
+    val grid = perHour.groupBy("user_id")
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = grid.join(perHour, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        col("v").isNotNull.as("observed"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getBoolean(2),
+        Option(r.get(3)))).toSet
+    val gotFull = SparkEntry.queries("win_gap_fill")(spark, nulledDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getBoolean(2),
+        Option(r.get(3)))).toSet
+    assert(ref.nonEmpty && gotFull == ref,
+      s"gap emission vs grid-join: only-got=${(gotFull -- ref).take(5)} " +
+        s"only-ref=${(ref -- gotFull).take(5)}")
+  }
 }
