@@ -43,15 +43,18 @@ object Bench {
     // otherwise the alphabetically-first dedup query absorbs the whole
     // text family's compiler costs. The internal caches are cleared
     // after, so every TIMED query still computes its own pipeline.
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // AMBIENT load, sampled BEFORE the warmup saturates the cores: a
+    // load average read after warmup measures the bench's own CPU burn
+    // and cannot distinguish a contended round from a healthy one.
+    val loadStart = loadAvg
     try {
       materialize("agg_groupby_max"); materialize("win_topk_per_group")
       materialize("dedup_near_minhash")
     }
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     InternalCaches.unpersistAll()
-
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     // best-of-2 of a fixed, warmed probe: min() strips one-off stalls,
     // so start-vs-end movement reads as sustained external load. A
     // failing probe reports NEGATIVE time-to-exception (the file's
@@ -73,7 +76,6 @@ object Bench {
       InternalCaches.unpersistAll()
       v
     }
-    val loadStart = loadAvg
     val probeStart = probe()
 
     // SPARK_GRAFT_ONLY=q1,q2 limits the run for local iteration; the

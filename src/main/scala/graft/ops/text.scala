@@ -496,10 +496,14 @@ object Text {
       HotBucketDefault)
     val saltBlocks = blockCountConf(fp, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
-    val exact = fp.select(col("doc_id"), col("fp"),
-        posexplode(array((0 until widths.size).map(blockVal): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "key")
+    // persisted: the posting projection feeds BOTH the hot-key aggregate
+    // and the index side of the candidate join — same read-pattern
+    // discipline as the fp relation itself (5 rows/doc, 25 B/row)
+    val exact = graft.InternalCaches.persistTracked(
+      fp.select(col("doc_id"), col("fp"),
+          posexplode(array((0 until widths.size).map(blockVal): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "key"))
     // hot-key list is tiny by construction (distinct over-width keys) —
     // broadcast, so salt tagging never shuffles either posting relation
     val hot = exact.groupBy(col("band"), col("key"))

@@ -328,7 +328,13 @@ object Windows {
     // unobserved, matching the grid-join's `ph.v IS NOT NULL`) so
     // downstream consumers can distinguish carried values.
     "win_gap_fill" -> ((s, d) => {
+      // ts.isNotNull: a null-timestamp event would form an h=null group
+      // that the grid-join form (and the oracle's grid, built from
+      // null-ignoring min/max bounds) silently drops — gap emission
+      // would instead emit a spurious (h=null, observed=null) row. The
+      // filter pins the drop explicitly AND pushes to the scan.
       val perHour = events(s, d)
+        .filter(col("ts").isNotNull)
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
         .agg(round(sum(col("value")), 4).as("v"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("h"))

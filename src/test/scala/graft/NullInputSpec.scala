@@ -78,7 +78,12 @@ class NullInputSpec extends SparkSpec {
       ev(3, 1L, 2, null),                    // h2: events, null sum
       ev(4, 1L, 5, 7.0),                     // observed h5
       ev(5, 2L, 1, null),                    // user 2 STARTS null
-      ev(6, 2L, 3, 4.0))
+      ev(6, 2L, 3, 4.0),
+      // null TIMESTAMP: the grid-join form (and the oracle) silently
+      // drop the h=null group — gap emission must too, not emit a
+      // spurious (h=null, observed=null) row
+      (7L, null.asInstanceOf[java.sql.Timestamp], 1L, "view",
+        java.lang.Double.valueOf(99.0), "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = SparkEntry.queries("win_gap_fill")(spark, dir)
