@@ -18,12 +18,15 @@ import graft.Tables._
   *     amortize a decoder/model handle across the batch — the JVM shape of
   *     a vectorized (pandas-style) UDF.
   *
-  * No media codecs ship in this environment, so `decodeStub` is a
-  * clearly-marked deterministic fake: it "decodes" a payload into
-  * (width, height, channel-mean) from the raw bytes. The Spark-side
-  * contract — schema, batching, partition amortization, determinism — is
-  * real and tested (MultimodalSpec); swapping the fake for libjpeg/ffmpeg
-  * changes only the function body.
+  * Decode is REAL for images (r10): `javax.imageio` ships in the JDK, so
+  * PNG/JPEG/GIF/BMP payloads decode natively with no external codec —
+  * width/height from the decoded raster, mean over every channel sample.
+  * Payloads that don't sniff as an image (audio/video stand-ins, this
+  * corpus's UTF-8 text blobs) take `decodeStub`, the clearly-marked
+  * deterministic fake, so the oracle-pinned outputs on the text corpus
+  * are unchanged while a planted-PNG fixture exercises the real path
+  * end-to-end (MultimodalSpec). Swapping the fake for ffmpeg-class
+  * audio/video decoders changes only that function body.
   *
   * The corpus has no binary table, so payloads are derived at scan time:
   * `documents.text` encoded as UTF-8 bytes stands in for an image blob.
@@ -53,6 +56,58 @@ object Multimodal {
     (w, h, mean)
   }
 
+  /** Magic-number sniff for the formats the JDK's ImageIO decodes
+    * natively (PNG/JPEG/GIF/BMP). Gates the real decoder so non-image
+    * payloads never pay a reader probe — a false positive (e.g. text
+    * starting "BM") just falls through to the stub when ImageIO finds
+    * no readable image.
+    */
+  def sniffImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P'.toByte && p(2) == 'N'.toByte &&
+        p(3) == 'G'.toByte) ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+      (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == '8'.toByte) ||
+      (p(0) == 'B'.toByte && p(1) == 'M'.toByte))
+
+  /** REAL image decode — `javax.imageio` is part of the JDK, so this
+    * needs no external codec: width/height from the decoded raster, mean
+    * over every channel sample of every pixel (the same quantity the
+    * stub fakes from raw bytes). None when ImageIO has no reader for the
+    * bytes or the blob is truncated; the caller falls back to the
+    * deterministic fake.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { img =>
+        val r = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h * bands
+        (w, h, if (n == 0) 0.0 else sum / n)
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode dispatch: the real ImageIO path for payloads that sniff as
+    * an image, the deterministic fake for everything else.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Double) =
+    if (sniffImage(payload))
+      decodeImage(payload).getOrElse(decodeStub(payload))
+    else decodeStub(payload)
+
   /** Partition-batched feature extraction: one decoder "handle" per
     * partition (here a counter standing in for an acquired native
     * resource), each row decoded through it — the mapInPandas/
@@ -63,7 +118,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // a real pipeline acquires the decoder/model once per partition here
       rows.map { r =>
-        val (w, h, mean) = decodeStub(r.payload)
+        val (w, h, mean) = decode(r.payload)
         MediaFeatures(r.doc_id, w, h, mean)
       }
     }
@@ -130,13 +185,16 @@ object Multimodal {
           sha2(col("payload"), 256).as("digest"))
         .orderBy("doc_id")),
 
-    // Partition-batched decode + feature extraction through the stub.
-    // Oracle-gated (r7): the stub's byte math is deterministic, and on
-    // this ASCII corpus byte values ≡ codepoints, so DuckDB replays it
-    // exactly (a non-ASCII row would hash-mismatch — the gate itself
-    // guards the assumption). Batching/determinism/schema laws stay in
-    // MultimodalSpec; a REAL codec swap would return this key to
-    // rows-only, which is the honest trade.
+    // Partition-batched decode + feature extraction. Dispatch (r10):
+    // payloads that sniff as an image decode for REAL through the JDK's
+    // ImageIO (MultimodalSpec plants a PNG and pins width/height/mean
+    // against independently computed pixel values); everything else —
+    // including this corpus's UTF-8 text blobs — takes the deterministic
+    // stub, so the key stays oracle-gated: the stub's byte math is
+    // deterministic, and on this ASCII corpus byte values ≡ codepoints,
+    // so DuckDB replays it exactly (a non-ASCII row would hash-mismatch
+    // — the gate itself guards the assumption). Batching/determinism/
+    // schema laws stay in MultimodalSpec.
     // mean_byte is an integer-ratio double — round(x, 4) is the
     // cross-engine half-boundary class this repo bans (review finding);
     // floor(x·1e4 + 0.5) is the same IEEE expression in both engines.

@@ -27,6 +27,39 @@ class MultimodalSpec extends SparkSpec {
       ("height", "int"), ("mean_byte_e4", "bigint")))
   }
 
+  test("real image payloads decode through the JDK codec (planted PNG)") {
+    import spark.implicits._
+    // plant a 3×2 RGB PNG with known pixel values; PNG is lossless, so
+    // the decoded raster must reproduce them exactly and the expected
+    // mean is computable independently of the decode under test
+    val rgbs = Array(
+      Array(0xff0000, 0x00ff00, 0x0000ff),
+      Array(0x102030, 0x405060, 0x708090))
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, rgbs(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.sniffImage(png), "PNG magic must sniff as image")
+    val samples = rgbs.flatten.flatMap(v =>
+      Seq((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff))
+    val want = samples.sum.toDouble / samples.length
+    val textPayload = "not an image".getBytes("UTF-8")
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(1L, png), Multimodal.MediaRow(2L, textPayload))
+        .toDS()).collect().sortBy(_.doc_id)
+    assert(feats(0).width == 3 && feats(0).height == 2,
+      s"decoded dims: ${feats(0)}")
+    assert(math.abs(feats(0).mean_byte - want) < 1e-9,
+      s"decoded mean ${feats(0).mean_byte} != planted $want")
+    // non-image payloads keep the deterministic fake — the path the
+    // DuckDB oracle pins on the text corpus
+    val (fw, fh, fm) = Multimodal.decodeStub(textPayload)
+    assert(feats(1).width == fw && feats(1).height == fh &&
+      feats(1).mean_byte == fm)
+  }
+
   test("decode runs per partition, touching every row exactly once") {
     import spark.implicits._
     val n = Tables.documents(spark, sfDir).count()
