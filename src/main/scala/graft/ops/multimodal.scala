@@ -71,37 +71,73 @@ object Multimodal {
         p(3) == '8'.toByte) ||
       (p(0) == 'B'.toByte && p(1) == 'M'.toByte))
 
+  /** Decoded-raster pixel cap (4096×4096): read from the HEADER before
+    * any raster exists, so a false-positive sniff (ASCII starting "BM"
+    * parses to dims in the hundreds of millions) can never allocate the
+    * task to death.
+    */
+  private val MaxPixels = 16L << 20
+
   /** REAL image decode — `javax.imageio` is part of the JDK, so this
-    * needs no external codec: width/height from the decoded raster, mean
-    * over every channel sample of every pixel (the same quantity the
-    * stub fakes from raw bytes). None when ImageIO has no reader for the
-    * bytes or the blob is truncated; the caller falls back to the
+    * needs no external codec: width/height from the decoded image, mean
+    * over the 8-bit sRGB channels of every pixel (the same quantity the
+    * stub fakes from raw bytes). Hardened per review: dims are read
+    * header-only and bounded BEFORE the raster decode (the OOM guard
+    * above); pixels go through bulk `getRGB` row reads, because raster
+    * samples are palette INDICES for palettized GIF/PNG and 0–65535 for
+    * 16-bit PNG — getRGB color-converts both to the byte scale
+    * `mean_byte` declares; the input stream is memory-cached (the
+    * `ImageIO.read(InputStream)` default spools every payload through a
+    * disk temp file). None when no reader claims the bytes, dims are
+    * implausible, or the decode throws; the caller falls back to the
     * deterministic fake.
     */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
-      Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))).map { img =>
-        val r = img.getRaster
-        val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
-            x += 1
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+          else {
+            val img = reader.read(0)
+            val buf = new Array[Int](w)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, buf, 0, w)
+              var x = 0
+              while (x < w) {
+                val v = buf(x)
+                sum += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, sum / (w.toLong * h * 3)))
           }
-          y += 1
-        }
-        val n = w.toLong * h * bands
-        (w, h, if (n == 0) 0.0 else sum / n)
+        } finally reader.dispose()
       }
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
 
   /** Decode dispatch: the real ImageIO path for payloads that sniff as
-    * an image, the deterministic fake for everything else.
+    * an image, the deterministic fake for everything else. A sniffed
+    * payload that FAILS to decode also takes the fake — deliberately,
+    * not as an oversight: magic bytes are weak evidence (a text document
+    * beginning "GIF87a …" or "BM…" sniffs as an image), so a hard
+    * undecodable sentinel would reclassify ordinary text rows and break
+    * the oracle's all-rows stub replay on a text corpus. A real media
+    * pipeline separates corrupt blobs UPSTREAM at ingest (mm_meta's
+    * length/digest pass), where "should have been an image" is known
+    * from the manifest rather than guessed from content.
     */
   def decode(payload: Array[Byte]): (Int, Int, Double) =
     if (sniffImage(payload))

@@ -58,6 +58,29 @@ class MultimodalSpec extends SparkSpec {
     val (fw, fh, fm) = Multimodal.decodeStub(textPayload)
     assert(feats(1).width == fw && feats(1).height == fh &&
       feats(1).mean_byte == fm)
+
+    // palettized GIF: raster samples are palette INDICES — a solid-white
+    // GIF whose single palette entry sits at index 0 would mean 0.0 if
+    // the decode read raw samples; getRGB color conversion must yield 255
+    val wimg = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    wimg.setRGB(0, 0, 0xffffff); wimg.setRGB(1, 0, 0xffffff)
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(wimg, "gif", gbos)
+    val gif = gbos.toByteArray
+    assert(Multimodal.sniffImage(gif))
+    assert(Multimodal.decode(gif) == ((2, 1, 255.0)),
+      s"palettized decode: ${Multimodal.decode(gif)}")
+
+    // false-positive sniff: ASCII starting "BM" claims the BMP reader,
+    // whose header parse of arbitrary text yields garbage dims — the
+    // bounded header check must refuse BEFORE any raster allocation and
+    // fall back to the stub, not throw or OOM
+    val bm = ("BM25 is a ranking function used by search engines to " +
+      "estimate the relevance of documents").getBytes("UTF-8")
+    assert(Multimodal.sniffImage(bm), "the weak 2-byte BMP magic matches")
+    assert(Multimodal.decode(bm) == Multimodal.decodeStub(bm),
+      "false-positive sniff must take the deterministic fake")
   }
 
   test("decode runs per partition, touching every row exactly once") {
