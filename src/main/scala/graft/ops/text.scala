@@ -469,6 +469,18 @@ object Text {
     * cost. The OUTPUT is identical by construction: both blockings are
     * recall-complete for the final `hamming ≤ maxDist` cut.
     *
+    * Honest selectivity note for 100 TB: at the default threshold
+    * (12 of 64 bits — a deliberately loose near-dup notion) even a
+    * 5.6 % pass rate is still Θ(n²) on a uniform corpus; no blocking
+    * escapes that, because the THRESHOLD admits that many pairs. The
+    * production operating point for simhash dedup is k ≤ 3 (Manku et
+    * al.'s web-crawl setting), where the same plan with the ≤2-error
+    * enumeration passes ~0.2 % of random pairs and the candidate stream
+    * is dominated by true near-dup clusters (output-sized, not
+    * corpus-squared). `spark.graft.simhash.maxDist` exposes the dial;
+    * the ScalaCheck law sweeps it (0/3/12/14), so every setting carries
+    * the brute-force-equality guarantee.
+    *
     * Skew guard (structural, PlanSpec-pinned): a block value shared by
     * more docs than the hot width — template corpora mint identical
     * fingerprints at scale — gets a third salt join key: index rows of a
@@ -496,14 +508,17 @@ object Text {
       HotBucketDefault)
     val saltBlocks = blockCountConf(fp, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
-    // persisted: the posting projection feeds BOTH the hot-key aggregate
-    // and the index side of the candidate join — same read-pattern
-    // discipline as the fp relation itself (5 rows/doc, 25 B/row)
-    val exact = graft.InternalCaches.persistTracked(
-      fp.select(col("doc_id"), col("fp"),
-          posexplode(array((0 until widths.size).map(blockVal): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "key"))
+    // NOT persisted, deliberately: the posting projection feeds both the
+    // hot-key aggregate and the index side of the candidate join, but it
+    // is a codegen shift/mask explode over the ALREADY-CACHED fp relation
+    // — recomputing it per consumer is cheaper than caching it (a cache
+    // here measured 2× on the whole key at sf1: the InMemoryRelation
+    // boundary costs columnar materialization and denies the planner the
+    // fused scan→explode→join pipeline on the index side)
+    val exact = fp.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until widths.size).map(blockVal): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
     // hot-key list is tiny by construction (distinct over-width keys) —
     // broadcast, so salt tagging never shuffles either posting relation
     val hot = exact.groupBy(col("band"), col("key"))
@@ -897,7 +912,11 @@ object Text {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp")))
-      hammingBlockPairs(fp, maxDist = 12)
+      // threshold dial (default 12, the key's pinned contract; ≤ 14 by
+      // the helper's completeness bound) — see hammingBlockPairs on why
+      // production corpora run this at k ≤ 3
+      hammingBlockPairs(fp,
+        maxDist = intConf(fp, "spark.graft.simhash.maxDist", 12))
         .orderBy("a", "b")
     }),
 
