@@ -11,7 +11,14 @@ generation is current:
 - events x10: event_id AND user_id offset per copy (un-offset users would
   let the per-user stream joins match across copies - output would grow
   x100 on x10 data by construction, a fixture artifact, not a plan
-  property); value/ts distributions verbatim - x10 rows, same shape.
+  property); ts shifted per copy by k*(span+1h) so the concatenated
+  stream stays TIME-ORDERED in event_id order ("10x more history", the
+  same shape as the source stream). Un-shifted ts repeated the same
+  30-day span 10 times back-to-back in arrival order, which made ~90%
+  of rows "late" under stream_watermark_late's prefix-max watermark -
+  the same fixture-artifact class as the un-offset user_id. Per-user
+  behavior is unchanged either way (each user's events live in one
+  copy); value distributions verbatim.
 - lineitem x10 with per-copy key offsets on order/part/supp, AND
   orders/part/supplier x10 with the MATCHING offsets - the join graph
   genuinely gains 10 identical components. (The first cut offset only
@@ -84,12 +91,22 @@ def main() -> None:
             pq.write_table(pa.concat_tables(parts), dst_path)
         elif name == "events":
             t = pq.read_table(src_path)
+            ts = t.column("ts")
+            span_us = int((pc.max(ts).as_py() - pc.min(ts).as_py())
+                          .total_seconds() * 1e6) + 3_600_000_000
             parts = []
             off = {"event_id": 100_000_000, "user_id": 10_000_000}
             for k in range(COPIES):
-                cols = {f.name: (pc.add(t.column(f.name), k * off[f.name])
-                                 if f.name in off else t.column(f.name))
-                        for f in t.schema}
+                cols = {}
+                for f in t.schema:
+                    c = t.column(f.name)
+                    if f.name in off:
+                        cols[f.name] = pc.add(c, k * off[f.name])
+                    elif f.name == "ts":
+                        cols[f.name] = pc.add(
+                            c, pa.scalar(k * span_us, type=pa.duration("us")))
+                    else:
+                        cols[f.name] = c
                 parts.append(pa.table(cols))
             pq.write_table(pa.concat_tables(parts), dst_path)
         elif name in ("lineitem", "orders", "part", "supplier"):

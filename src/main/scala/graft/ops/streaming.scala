@@ -149,8 +149,13 @@ object Streaming {
       val delayUs = 600000000L // 10 minutes
       val base = events(s, d).select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
+      // replay offset 10^10: the replayed copy must sort after EVERY
+      // base row at ANY fixture scale — the sf1 fixture offsets its
+      // copies by k·10^8, so the old 10^7 interleaved copy k's replays
+      // BEFORE copy k+1's base rows and the "re-arrives after the whole
+      // stream" contract silently became ~90%-late fixture noise
       val replay = base.filter(col("event_id") % 97 === 0)
-        .select((col("event_id") + 10000000L).as("event_id"),
+        .select((col("event_id") + 10000000000L).as("event_id"),
           col("event_type"), col("us"))
       val e = base.unionByName(replay)
       val part = TwoPass.rangedByPid(e, col("event_id"))
@@ -203,8 +208,16 @@ object Streaming {
     // window+bucket partial agg; the bounded crossJoin is
     // windows × |ref buckets|.
     "stream_drift_psi" -> ((s, d) => {
-      val ev = events(s, d)
-        .select(col("ts"), unix_micros(col("ts")).as("us"), col("value"))
+      // ev persists EAGER and FIRST: the midpoint aggregate and the
+      // join input both read it, and refB/cur below each materialize
+      // eagerly — uncached, every one of those reads was its own
+      // parquet scan (4 full scans at build; review finding). One scan
+      // populates the cache; everything downstream reads it.
+      val ev = graft.InternalCaches.persistTracked(
+        events(s, d)
+          .select(col("ts"), unix_micros(col("ts")).as("us"),
+            col("value")),
+        eager = true)
       val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
       val withMid = ev.join(broadcast(mid))
       // both persists EAGER: each relation is read from several
@@ -309,7 +322,9 @@ object Streaming {
         |       LEFT JOIN ins i ON i.win_start = w.win_start
         |       GROUP BY w.win_start),
         |nv AS (SELECT win_start, CAST(sum(nc) AS BIGINT) AS n_novel
-        |       FROM cur WHERE bucket NOT IN (SELECT bucket FROM refb)
+        |       FROM cur c
+        |       WHERE NOT EXISTS (SELECT 1 FROM refb r
+        |                         WHERE r.bucket = c.bucket)
         |       GROUP BY 1),
         |grid AS (
         |  SELECT w.win_start, r.bucket, r.nr, w.tc,
@@ -398,7 +413,7 @@ object Streaming {
       """WITH arr AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events
         |  UNION ALL
-        |  SELECT event_id + 10000000, event_type, epoch_us(ts)
+        |  SELECT event_id + 10000000000, event_type, epoch_us(ts)
         |  FROM events WHERE event_id % 97 = 0),
         |a AS (
         |  SELECT event_id, event_type, us,
