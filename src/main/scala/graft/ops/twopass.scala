@@ -36,10 +36,10 @@ object TwoPass {
     * EAGERLY (both downstream phases must read one materialization — see
     * object doc).
     */
-  private[ops] def rangedByPid(df: DataFrame, key: Column): DataFrame =
+  private[ops] def rangedByPid(df: DataFrame, keys: Column*): DataFrame =
     graft.InternalCaches.persistTracked(
       df.repartitionByRange(
-          df.sparkSession.sparkContext.defaultParallelism, key)
+          df.sparkSession.sparkContext.defaultParallelism, keys: _*)
         .withColumn("pid", spark_partition_id()),
       eager = true)
 

@@ -14,12 +14,72 @@ import graft.Tables._
   * key, one in-partition sort, then a streaming frame evaluation — same
   * physical shape, but spillable (UnsafeExternalSorter) and codegen'd.
   *
-  * Scale notes: all four queries shuffle exactly once, on the window
-  * partition key. Determinism: tie-broken total orders everywhere a
-  * `row_number` or ranking feeds the result (SURVEY.md §5.2 discipline).
+  * Scale notes: the per-entity windows shuffle exactly once, on the
+  * window partition key; the deliberate exceptions are the LOW-
+  * CARDINALITY ranking queries (`win_rank`'s two-phase top-k and the
+  * [[twoPassRank]] scaffold under `win_distribution`/`win_ntile`),
+  * which spend a second, smaller exchange precisely so the whole fact
+  * table never funnels into #distinct-group sort tasks. Determinism:
+  * tie-broken total orders everywhere a `row_number` or ranking feeds
+  * the result (SURVEY.md §5.2 discipline).
   */
 object Windows {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Global per-group rank + group size over a TIE-BROKEN total order,
+    * without a #groups-task window — the full-ranking dual of
+    * `win_rank`'s two-phase top-k, for the distribution functions whose
+    * partition key has a handful of values (a 3-value partitionBy over a
+    * fact table funnels everything into 3 sort tasks at 100 TB). The
+    * TWO-PASS prefix composition ([[TwoPass]]): range-partition on the
+    * ORDER key (order-preserving across pids for any subset, so
+    * within-group global order = (pid, local order) — the same boundary
+    * invariance the scaffold's other consumers pin), local row_number
+    * per (pid, group) in parallel, then per-(pid, group) counts —
+    * a pid×#groups-sized relation — prefix-scanned into per-group
+    * offsets and broadcast back. Because the order is tie-broken total,
+    * rank = dense peers = row_number, so percent_rank/cume_dist/ntile
+    * are all closed forms over (rn, n).
+    */
+  private def twoPassRank(df: DataFrame, grp: String,
+                          ord: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val part = TwoPass.rangedByPid(df, ord: _*)
+    val local = part.withColumn("lrn", row_number().over(
+      Window.partitionBy(col("pid"), col(grp)).orderBy(ord: _*)))
+    // pid×#groups rows: the prefix/total windows below run over a
+    // bounded relation (the composition's one deliberately tiny window)
+    val cnt = part.groupBy(col("pid"), col(grp))
+      .agg(count(lit(1)).as("c"))
+    val off = cnt.select(col("pid"), col(grp),
+      coalesce(sum(col("c")).over(
+        Window.partitionBy(col(grp)).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("goff"),
+      sum(col("c")).over(Window.partitionBy(col(grp))).as("gn"))
+    local.join(broadcast(off), Seq("pid", grp))
+      .withColumn("rn", col("lrn") + col("goff"))
+  }
+
+  /** Spark-equivalent NTILE(k) closed form over (rn, n): the first
+    * n mod k tiles carry ⌈n/k⌉ rows, the rest ⌊n/k⌋ — evaluated only
+    * on the branch whose divisor is nonzero. Spark's `/` on integral
+    * types is DOUBLE division, so quotients are made exact by
+    * subtracting the remainder first; the cast-long truncation of the
+    * remaining non-exact quotients is a true floor (operands
+    * non-negative, true quotient never within an ulp of an integer).
+    */
+  private def ntileExpr(rn: org.apache.spark.sql.Column,
+                        n: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    val r = n % k
+    val q = ((n - r) / k).cast("long")
+    val big = r * (q + 1)
+    when(rn <= big, ((rn - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + ((rn - big - 1) / greatest(q, lit(1L))).cast("long")
+        + 1)
+      .cast("int")
+  }
 
   val queries: Map[String, Q] = Map(
     // rank / dense_rank / row_number per group, top-50. l_returnflag has
@@ -68,7 +128,10 @@ object Windows {
         .orderBy("o_custkey", "rn")
     }),
 
-    // Running sum + moving average over an event-time frame per user.
+    // Running sum + moving average over trailing ROW frames per user
+    // (4-row trailing window — for value-defined trailing TIME
+    // semantics see win_range_frame below; bursty same-timestamp events
+    // make the two genuinely different).
     "win_running" -> ((s, d) => {
       val ord = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -105,15 +168,35 @@ object Windows {
 
     // Distribution functions: percent_rank / cume_dist / ntile quartiles
     // per group. The ORDER BY is tie-broken to a total order (unique
-    // o_orderkey) so all three are deterministic and engine-independent.
+    // o_orderkey) so all three are deterministic and engine-independent
+    // — and that same total order is what lets the r10 plan drop the
+    // #groups-task window: o_orderstatus has ~3 values, so the old
+    // partitionBy(status) funneled the whole orders table into 3 sort
+    // tasks (the exact shape win_rank's comment brands the round-1
+    // scale-killer). [[twoPassRank]] yields the identical (rn, n) per
+    // status via the range-partitioned two-pass prefix composition, and
+    // with rank = row_number (tie-broken order) the three functions are
+    // closed forms: pr = (rn−1)/(n−1), cd = rn/n, ntile per
+    // [[ntileExpr]] — the same doubles Spark's window operators compute,
+    // so the oracle hash is unchanged. Honest local cost: 1.4→2.4 s at
+    // sf0.1 (the range exchange + offsets broadcast are pure overhead
+    // while 3 sort tasks still fit the data) — the same
+    // pay-at-toy-scale/survive-at-100 TB trade as the blocked
+    // near-embedding default.
     "win_distribution" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      orders(s, d)
+      twoPassRank(
+        orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        "o_orderstatus",
+        Seq(col("o_totalprice"), col("o_orderkey")))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
-          ntile(4).over(w).as("quartile"))
+          // division results → floor spelling (see win_ratio_to_report)
+          (floor(when(col("gn") > 1,
+            (col("rn") - 1).cast("double") / (col("gn") - 1))
+            .otherwise(0.0) * 1e6 + 0.5) / 1e6).as("pr"),
+          (floor(col("rn").cast("double") / col("gn") * 1e6 + 0.5) / 1e6)
+            .as("cd"),
+          ntileExpr(col("rn"), col("gn"), 4).as("quartile"))
         .orderBy("o_orderkey")
     }),
 
@@ -142,12 +225,18 @@ object Windows {
     // (equal-COUNT buckets, earlier buckets absorb the remainder — both
     // engines share the ANSI definition). Total order (balance, key)
     // makes the bucket assignment deterministic under balance ties.
+    // Same two-pass shape as win_distribution: c_mktsegment has ~5
+    // values, so the single-window form is the low-cardinality funnel.
+    // repartitionByRange orders ASC NULLS FIRST, matching the window's
+    // explicit null ordering.
     "win_ntile" -> ((s, d) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(asc_nulls_first("c_acctbal"), col("c_custkey"))
-      customer(s, d)
+      twoPassRank(
+        customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal")),
+        "c_mktsegment",
+        Seq(asc_nulls_first("c_acctbal"), col("c_custkey")))
         .select(col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(w).as("bal_quartile"))
+          ntileExpr(col("rn"), col("gn"), 4).as("bal_quartile"))
         .orderBy("c_custkey")
     }),
 
@@ -183,7 +272,13 @@ object Windows {
       val tot = sum(col("value")).over(w)
       events(s, d)
         .select(col("event_id"), col("user_id"),
-          (when(tot =!= 0.0, round(col("value") / tot, 6)) + lit(0.0))
+          // floor(x·1e6 + 0.5), not round(): this column is a DIVISION
+          // result, the class where win_pct_change measured the two
+          // engines' round() disagreeing on a representable
+          // half-boundary — the floor spelling is the identical IEEE
+          // expression on both sides (ties toward +∞, measure-zero)
+          (when(tot =!= 0.0,
+            floor(col("value") / tot * 1e6 + 0.5) / 1e6) + lit(0.0))
             .as("share"))
         .orderBy("event_id")
     }),
@@ -224,8 +319,10 @@ object Windows {
       val sd = stddev_samp(col("value")).over(w)
       events(s, d)
         .select(col("event_id"), col("user_id"),
+          // division result → floor spelling (see win_ratio_to_report)
           (when(sd.isNotNull && sd =!= 0.0,
-            round((col("value") - mu) / sd, 6)) + lit(0.0)).as("z"))
+            floor((col("value") - mu) / sd * 1e6 + 0.5) / 1e6)
+            + lit(0.0)).as("z"))
         .orderBy("event_id")
     }),
 
@@ -251,8 +348,9 @@ object Windows {
             - unix_micros(col("ts"))).as("dur"))
         .filter(col("dur") > 0)
         .groupBy(col("user_id"))
-        .agg((round(sum(col("value") * col("dur")) / sum(col("dur")), 6)
-          + lit(0.0)).as("twa"))
+        // division result → floor spelling (see win_ratio_to_report)
+        .agg((floor(sum(col("value") * col("dur")) / sum(col("dur"))
+          * 1e6 + 0.5) / 1e6 + lit(0.0)).as("twa"))
         .orderBy("user_id")
     }),
 
@@ -306,7 +404,7 @@ object Windows {
                   x * pow(oneMinusA, size(col("win")) - 1 - i)),
                 lit(0.0), (acc, x) => acc + x)
                 * a / (lit(1.0) - pow(oneMinusA, size(col("win"))))
-                * 1e6 + 0.5).cast("long")).as("ewma_ppm"))
+                * 1e6 + 0.5)).as("ewma_ppm"))
         .orderBy("event_id")
     }),
 
@@ -445,8 +543,8 @@ object Windows {
     "win_ratio_to_report" ->
       """SELECT event_id, user_id,
         |  CASE WHEN sum(value) OVER (PARTITION BY user_id) = 0 THEN NULL
-        |    ELSE round(value / sum(value) OVER (PARTITION BY user_id), 6)
-        |      + 0.0 END AS share
+        |    ELSE floor(value / sum(value) OVER (PARTITION BY user_id)
+        |           * 1e6 + 0.5) / 1e6 + 0.0 END AS share
         |FROM events ORDER BY event_id""".stripMargin,
     "win_pct_change" ->
       """WITH s AS (
@@ -467,7 +565,7 @@ object Windows {
         |  FROM events)
         |SELECT event_id, user_id,
         |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
-        |    ELSE round((value - mu) / sd, 6) + 0.0 END AS z
+        |    ELSE floor((value - mu) / sd * 1e6 + 0.5) / 1e6 + 0.0 END AS z
         |FROM s ORDER BY event_id""".stripMargin,
     "win_time_weighted" ->
       """WITH seq AS (
@@ -476,7 +574,8 @@ object Windows {
         |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur
         |  FROM events)
         |SELECT user_id,
-        |  round(sum(value * dur) / sum(dur), 6) + 0.0 AS twa
+        |  floor(sum(value * dur) / sum(dur) * 1e6 + 0.5) / 1e6 + 0.0
+        |    AS twa
         |FROM seq WHERE dur > 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_rank" ->
@@ -515,8 +614,8 @@ object Windows {
         |ORDER BY event_id""".stripMargin,
     "win_distribution" ->
       """SELECT o_orderkey, o_orderstatus,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd,
+        |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+        |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus

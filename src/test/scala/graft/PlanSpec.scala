@@ -190,6 +190,29 @@ class PlanSpec extends SparkSpec {
         "nested-loop node here is the O(n²) all-pairs plan that dies at scale")
   }
 
+  test("win_distribution/win_ntile: no low-cardinality fact-table window") {
+    // the twoPassRank structural guarantee: every window that reads the
+    // fact scan partitions by (pid, group); a window keyed on the
+    // ~3-value group ALONE may only run over the pid×#groups offsets
+    // relation (aggregate/cache-fed), never directly over the scan —
+    // that single-key scan-fed window is the #groups-task funnel the
+    // scaffold exists to prevent
+    Seq("win_distribution", "win_ntile").foreach { name =>
+      val wins = collectAll(finalPlan(name)) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$name: expected window nodes")
+      wins.filter(_.partitionSpec.size == 1).foreach { w =>
+        val scans = w.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.isEmpty,
+          s"$name: a 1-key window directly over the fact scan is the " +
+            "#groups-task funnel twoPassRank exists to prevent")
+      }
+    }
+  }
+
   test("sim_topk_cosine broadcasts only the bounded probe side") {
     // the brute-force baseline's 100 TB contract: the broadcast build side
     // is the PROBE SET, bounded by the pushed vec_id range filter — the
