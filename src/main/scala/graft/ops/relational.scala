@@ -92,6 +92,24 @@ object Relational {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** The MIDPOINT-SPLIT event relation shared by `agg_drift_psi` and
+    * `agg_ks_test`: every event tagged `is_ref` = 1 for the reference
+    * half (us ≤ (min+max) div 2 of the stream) and 0 for the current
+    * half. One definition so the two monitors' "same halves"
+    * cross-query contract is structural, not a comment (review finding
+    * r10): an edit to the split — boundary operator, midpoint spelling —
+    * now moves both queries and both oracles together or fails the gate
+    * loudly.
+    */
+  private def midpointSplit(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    ev.join(broadcast(mid))
+      .select(col("value"),
+        (col("us") <= col("mid")).cast("long").as("is_ref"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- scans ------------------------------------------------------------
     // Columnar scan with projection pushdown: ReadSchema carries only the
@@ -265,7 +283,11 @@ object Relational {
       lineitem(s, d).join(broadcast(supplier(s, d)),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+        // DECIMAL sum: order-free and exact (the sql_multiway
+        // discipline) — a raw double sum straddling a .005 boundary
+        // rounds differently per merge order
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+             .cast("double").as("total_price"),
              count(lit(1)).as("n_items"))
         .orderBy("s_name")),
 
@@ -403,8 +425,12 @@ object Relational {
         .select(col("m").as("m2"), col("v").as("v2"), col("n").as("n2"))
       val se2 = col("v1") / col("n1") + col("v2") / col("n2")
       a.join(r)
-        .select(round(col("m1") - col("m2"), 6).as("mean_diff"),
-          round((col("m1") - col("m2")) / sqrt(se2), 6).as("t"),
+        // + 0.0 canonicalizes −0.0 on the sign-flippable rounded stats
+        // (the agg_stats discipline)
+        .select((round(col("m1") - col("m2"), 6) + lit(0.0))
+            .as("mean_diff"),
+          (round((col("m1") - col("m2")) / sqrt(se2), 6) + lit(0.0))
+            .as("t"),
           round(pow(se2, 2)
             / (pow(col("v1") / col("n1"), 2) / (col("n1") - 1)
               + pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2)
@@ -458,7 +484,9 @@ object Relational {
     // the identical double on both sides) (update emitted only when the
     // value ACTUALLY changed —
     // unchanged rows are filtered, the contract that keeps a change feed
-    // sparse), and a +20000 key range inserted.
+    // sparse), and an inserted key range offset by +10^9 (clear of real
+    // o_orderkey values at every scale factor — the first cut's +20000
+    // collided with live keys at sf0.1).
     "cdc_diff" -> ((s, d) => {
       val v0 = orders(s, d).select(col("o_orderkey").as("k"),
         col("o_totalprice").as("price"))
@@ -910,17 +938,14 @@ object Relational {
     // relation. Exact-count ratios into one rounded double ⇒
     // cross-engine deterministic at 6 decimals.
     "agg_drift_psi" -> ((s, d) => {
-      val ev = events(s, d)
-        .select(unix_micros(col("ts")).as("us"), col("value"))
-      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
       // persisted EAGERLY: the totals and term branches both read it
       // inside one action — an unpopulated entry would recompute the
       // whole scan+aggregate subtree per branch (two more corpus passes
       // at scale for a ~10-row relation)
       val counts = graft.InternalCaches.persistTracked(
-        ev.join(broadcast(mid))
+        midpointSplit(s, d)
           .select(floor(col("value") / 50.0).cast("long").as("bucket"),
-            (col("us") <= col("mid")).cast("long").as("is_ref"))
+            col("is_ref"))
           .groupBy(col("bucket"))
           .agg(sum(col("is_ref")).as("nr"),
             sum(lit(1L) - col("is_ref")).as("nc")),
@@ -950,13 +975,8 @@ object Relational {
     // disagree on pid placement). Exact integer counts into one rounded
     // double ⇒ cross-engine deterministic.
     "agg_ks_test" -> ((s, d) => {
-      val ev = events(s, d)
-        .select(unix_micros(col("ts")).as("us"), col("value"))
-      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
       val ranged = TwoPass.rangedByPid(
-        ev.join(broadcast(mid))
-          .select(col("value"),
-            (col("us") <= col("mid")).cast("long").as("is_ref"))
+        midpointSplit(s, d)
           .groupBy(col("value"))
           .agg(sum(col("is_ref")).as("nr"),
             sum(lit(1L) - col("is_ref")).as("nc")),
@@ -986,8 +1006,13 @@ object Relational {
             - (col("offc") + sum(col("nc")).over(wLoc)).cast("double")
               / greatest(col("tc"), lit(1L))).as("d"),
           col("tr"), col("tc"))
-        .agg(round(max(col("d")), 6).as("ks_d"),
-          first(col("tr")).as("n_ref"), first(col("tc")).as("n_cur"))
+        // grouped on (tr, tc) — a single group when rows exist, ZERO
+        // rows on an empty stream, matching the oracle's GROUP BY
+        // (an ungrouped agg emitted one all-null row the oracle's
+        // grouped form doesn't — review finding r10)
+        .groupBy(col("tr"), col("tc"))
+        .agg(round(max(col("d")), 6).as("ks_d"))
+        .select(col("ks_d"), col("tr").as("n_ref"), col("tc").as("n_cur"))
     }),
 
     // Shannon entropy of the language mix per source — the corpus-balance
@@ -1044,7 +1069,9 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 4).as("lo"),
           round(max(col("o_totalprice")), 4).as("hi"),
-          round(sum(col("o_totalprice")), 4).as("tot"))
+          // DECIMAL sum: order-free (min/max need no such care)
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 4)
+            .cast("double").as("tot"))
         .orderBy("bucket")),
 
     // Ordered funnel: per user, the earliest view → click-within-24h →
@@ -1168,8 +1195,10 @@ object Relational {
     "agg_unpivot" -> ((s, d) =>
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        .agg(round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
@@ -1306,7 +1335,9 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "join_broadcast" ->
-      """SELECT s_name, round(sum(l_extendedprice), 2) AS total_price,
+      """SELECT s_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS total_price,
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
@@ -1389,8 +1420,8 @@ object Relational {
         |      WHERE l_returnflag = 'A'),
         |r AS (SELECT m AS m2, v AS v2, n AS n2 FROM g
         |      WHERE l_returnflag = 'R')
-        |SELECT round(m1 - m2, 6) AS mean_diff,
-        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+        |SELECT round(m1 - m2, 6) + 0.0 AS mean_diff,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) + 0.0 AS t,
         |  round(pow(v1 / n1 + v2 / n2, 2)
         |    / (pow(v1 / n1, 2) / (n1 - 1)
         |      + pow(v2 / n2, 2) / (n2 - 1)), 2) AS df
@@ -1733,7 +1764,8 @@ object Relational {
         |    AS BIGINT) AS bucket,
         |  count(*) AS n, round(min(o_totalprice), 4) AS lo,
         |  round(max(o_totalprice), 4) AS hi,
-        |  round(sum(o_totalprice), 4) AS tot
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+        |    AS DOUBLE) AS tot
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
@@ -1772,8 +1804,10 @@ object Relational {
     "agg_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,
-        |    round(sum(l_quantity), 2) AS sum_qty,
-        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS sum_qty,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS sum_price,
         |    round(avg(l_discount), 6) AS avg_disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, value FROM (
