@@ -64,15 +64,27 @@ object Similarity {
     * block-keyed plans — measured as a 3× regression on `sim_ann_ivf`).
     */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"), col("label"),
+    embeddings(s, d)
+      // a row with no embedding never enters the vector pipeline (the
+      // mediaTable discipline): Spark's null vector poisons the scorer
+      // to a null cell while the oracles' nulls-last row_number would
+      // still assign one — dropping at the boundary keeps both engines
+      // identical on nulled input
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.expr.VectorExprs.dot(col("v"), col("v"))))
 
   // fused codegen'd dot product (graft.expr.DotProduct) — the HOF
   // composition aggregate(zip_with(·,·,*),+) computes the same fold but
   // interpreted, with an intermediate array per pair
+  // floor(x·1e4 + 0.5), not round(): the ranked/thresholded cosine is
+  // a DIVISION result, the class where Spark's BigDecimal HALF_UP and
+  // DuckDB's binary rounding can split on a representable half-boundary
+  // (this file measured the mechanism on the int8 scale at 3.85e-7) —
+  // the floor spelling is the identical IEEE expression on both engines
   private def cosine(av: Column, bv: Column, an: Column, bn: Column): Column =
-    round(graft.expr.VectorExprs.dot(av, bv) / (an * bn), 4)
+    floor(graft.expr.VectorExprs.dot(av, bv) / (an * bn) * 1e4 + 0.5) / 1e4
 
   /** Every unordered vector pair exactly once, via triangular block
     * decomposition — the distributed form of an exact all-pairs sweep.
@@ -181,7 +193,9 @@ object Similarity {
     // conf FIRST: intConf's by-value default would run the count() job
     // even with the override set (review finding, round 7)
     s.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(
-      math.max(8, math.round(math.sqrt(embeddings(s, d).count() / 8.0)).toInt))
+      math.max(8, math.round(math.sqrt(
+        embeddings(s, d).filter(col("embedding").isNotNull).count()
+          / 8.0)).toInt))
 
   /** The Lloyd's training loop over an arbitrary (vec_id, v, nrm)
     * relation — extracted (r10) so the blocked near-dup path and the
@@ -192,8 +206,12 @@ object Similarity {
     */
   private[graft] def ivfCentroidsOf(v: DataFrame, k: Int,
                                     iters: Int): DataFrame = {
+    // the k LOWEST ids via TakeOrdered — `vec_id < k` only seeds
+    // correctly on dense 0-based ids (review finding r10: a planted
+    // relation starting at 1000 would train on zero seeds and silently
+    // return an empty index)
     var cents = graft.InternalCaches.persistTracked(
-      v.filter(col("vec_id") < k)
+      v.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").cast("int").as("cid"), col("v").as("c")),
       eager = true)
     (1 to iters).foreach { _ =>
@@ -276,7 +294,8 @@ object Similarity {
     // IVF training (see [[ivfFit]]): every vector with its learned
     // cell and the squared distance to its centroid.
     "sim_ivf_train" -> ((s, d) => ivfFit(s, d)
-      .select(col("vec_id"), col("cell"), round(col("d2"), 4).as("d2"))
+      .select(col("vec_id"), col("cell"),
+        (floor(col("d2") * 1e4 + 0.5) / 1e4).as("d2"))
       .orderBy("vec_id")),
 
     // End-to-end IVF: train, index, MULTI-PROBE — the production IVF
@@ -455,14 +474,18 @@ object Similarity {
       // rebalance BEFORE the sketch: a one-split parquet input would pin
       // the codegen'd sketch pass to a single task
       val v = graft.InternalCaches.persistTracked(
-        vecs(s, d).repartition(p, col("vec_id")))
+        vecs(s, d).repartition(p, col("vec_id")), eager = true)
       // coalesce pins the sketch non-nullable: embedding is nullable in
       // the parquet schema, and a nullable band key would demote the
       // bucket join's HashedRelation probe to its slow path (PlanSpec)
+      // both EAGER (caches.scala contract): v feeds the sketch + two
+      // verification joins, sk feeds three branches of the salted band
+      // join, all within one action — lazily, the projection and the
+      // 64-hyperplane sketch re-ran per concurrently-submitted branch
       val sk = graft.InternalCaches.persistTracked(
         v.select(col("vec_id"),
           coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
-            .as("sk")))
+            .as("sk")), eager = true)
       val bands = sk.select(col("vec_id").as("doc_id"),
           posexplode(array((0 until 8).map(j =>
             shiftrightunsigned(col("sk"), j * 8).bitwiseAND(255)): _*)))
@@ -671,19 +694,13 @@ object Similarity {
     // Exact replay of the quantizer: same floor(x/scale + 0.5) spelling,
     // same 1e-12 zero guard, doubles end to end.
     "embed_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-        |           FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        greatest(list_max([abs(x) for x in v]), 1e-12) / 127.0
-        |          AS scale FROM e),
-        |q AS (SELECT vec_id, v, scale,
-        |        [CAST(greatest(-127.0, least(127.0,
-        |           floor(x / scale + 0.5))) AS INTEGER)
-        |         for x in v] AS q FROM s)
+      s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (${int8SqlCte("e", "")})
         |SELECT vec_id,
         |  CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_ppb,
-        |  array_to_string(q, ',') AS codes,
-        |  CAST(floor(list_sum(list_transform(list_zip(v, q),
+        |  array_to_string([CAST(x AS INTEGER) for x in qf], ',') AS codes,
+        |  CAST(floor(list_sum(list_transform(list_zip(v, qf),
         |    z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)))
         |    / len(v) * 1e9 + 0.5) AS BIGINT) AS mse_ppb
         |FROM q ORDER BY vec_id""".stripMargin,
@@ -691,12 +708,8 @@ object Similarity {
     // the per-probe overlap; cosine rounded to 4 BEFORE ranking, ties
     // by nbr_id, exactly as the Spark side.
     "sim_recall_int8" -> recallReplaySql(
-      """dq AS (SELECT vec_id, v, nrm,
-        |         [greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
-        |            * scale for x in v] AS vq
-        |       FROM (SELECT vec_id, v, nrm,
-        |               greatest(list_max([abs(x) for x in v]), 1e-12)
-        |                 / 127.0 AS scale FROM n))""".stripMargin),
+      s"""dq AS (SELECT vec_id, v, nrm, [x * scale for x in qf] AS vq
+        |       FROM (${int8SqlCte("n", "nrm,")}))""".stripMargin),
     "sim_recall_prefix" -> recallReplaySql(
       "dq AS (SELECT vec_id, v, nrm, v[1:16] AS vq FROM n)"),
     // Replays the DEFAULT blocked plan: the same unrolled k-means
@@ -721,22 +734,23 @@ object Similarity {
         |         cell FROM ap),
         |p AS (
         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
-        |    round(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v)+1)])
-        |          / (x.nrm * y.nrm), 4) AS cos
+        |    floor(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v)+1)])
+        |          / (x.nrm * y.nrm) * 1e4 + 0.5) / 1e4 AS cos
         |  FROM nn x JOIN nn y
         |    ON x.cell = y.cell AND x.vec_id < y.vec_id)
         |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin),
     "sim_hybrid_rrf" ->
       """WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
         |      FROM e),
         |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
         |vt AS (
         |  SELECT a.vec_id AS doc_id,
-        |    round(list_sum([a.v[i] * q.qv[i]
-        |      for i in range(1, len(a.v)+1)]) / (a.nrm * q.qn), 4) AS cos
+        |    floor(list_sum([a.v[i] * q.qv[i]
+        |      for i in range(1, len(a.v)+1)]) / (a.nrm * q.qn)
+        |      * 1e4 + 0.5) / 1e4 AS cos
         |  FROM n a, q WHERE a.vec_id <> 0),
         |vr AS (
         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
@@ -763,17 +777,17 @@ object Similarity {
         |    + coalesce(1.0 / (60 + kr), 0), 6) AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "sim_topk_cosine" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
         |      FROM e),
         |p AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-        |    round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
-        |          / (a.nrm * b.nrm), 4) AS cos
+        |    floor(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
+        |          / (a.nrm * b.nrm) * 1e4 + 0.5) / 1e4 AS cos
         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 100),
+        |  WHERE a.vec_id < $ProbeCount),
         |r AS (SELECT vec_id, nbr_id, cos,
         |        row_number() OVER (PARTITION BY vec_id
         |          ORDER BY cos DESC, nbr_id) AS rn
@@ -783,14 +797,14 @@ object Similarity {
     "sim_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum([x*x for x in v])) AS nrm
         |      FROM e),
         |p AS (
         |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nbr_id,
-        |    round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
-        |          / (a.nrm * b.nrm), 4) AS cos
+        |    floor(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
+        |          / (a.nrm * b.nrm) * 1e4 + 0.5) / 1e4 AS cos
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
         |r AS (SELECT vec_id, label, nbr_id, cos,
         |        row_number() OVER (PARTITION BY vec_id
@@ -822,7 +836,7 @@ object Similarity {
         |      SELECT list_sum(list_transform(list_zip(x.v, c.c),
         |        z -> (z[1] - z[2])*(z[1] - z[2]))) AS d2) x2
         |  ) WHERE rn = 1)
-        |SELECT vec_id, cell, round(d2, 4) AS d2 FROM a4
+        |SELECT vec_id, cell, floor(d2 * 1e4 + 0.5) / 1e4 AS d2 FROM a4
         |ORDER BY vec_id""".stripMargin),
     // Same replay, then the multi-probe search stage: probes = the
     // nprobe=2 nearest trained centroids per vector (rn ≤ 2 of the same
@@ -846,8 +860,8 @@ object Similarity {
         |probes AS (SELECT vec_id, v, nrm, cell AS pcell FROM nn),
         |pairs AS (
         |  SELECT p.vec_id, i.nbr_id,
-        |    round(list_sum([p.v[j] * i.bv[j] for j in range(1, len(p.v)+1)])
-        |          / (p.nrm * i.bn), 4) AS cos
+        |    floor(list_sum([p.v[j] * i.bv[j] for j in range(1, len(p.v)+1)])
+        |          / (p.nrm * i.bn) * 1e4 + 0.5) / 1e4 AS cos
         |  FROM probes p
         |  JOIN idx i ON p.pcell = i.bcell AND p.vec_id <> i.nbr_id)
         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, nbr_id, cos FROM (
@@ -894,7 +908,7 @@ object Similarity {
     */
   private def recallReplaySql(variantCte: String): String =
     s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-       |           FROM embeddings),
+       |           FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
        |      FROM e),
        |$variantCte,
@@ -903,19 +917,21 @@ object Similarity {
        |fl AS (SELECT vec_id, nbr_id FROM (
        |  SELECT a.vec_id, b.vec_id AS nbr_id,
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |      round(list_sum([a.v[i] * b.v[i]
-       |        for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm), 4)
+       |      floor(list_sum([a.v[i] * b.v[i]
+       |        for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm)
+       |        * 1e4 + 0.5) / 1e4
        |        DESC, b.vec_id) AS rn
        |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
-       |  WHERE a.vec_id < 100) WHERE rn <= 5),
+       |  WHERE a.vec_id < $ProbeCount) WHERE rn <= 5),
        |qt AS (SELECT vec_id, nbr_id FROM (
        |  SELECT a.vec_id, b.vec_id AS nbr_id,
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |      round(list_sum([a.vq[i] * b.vq[i]
-       |        for i in range(1, len(a.vq)+1)]) / (a.nq * b.nq), 4)
+       |      floor(list_sum([a.vq[i] * b.vq[i]
+       |        for i in range(1, len(a.vq)+1)]) / (a.nq * b.nq)
+       |        * 1e4 + 0.5) / 1e4
        |        DESC, b.vec_id) AS rn
        |  FROM d2 a JOIN d2 b ON a.vec_id <> b.vec_id
-       |  WHERE a.vec_id < 100) WHERE rn <= 5)
+       |  WHERE a.vec_id < $ProbeCount) WHERE rn <= 5)
        |SELECT fl.vec_id, CAST(count(qt.nbr_id) AS INTEGER) AS n_match,
        |  round(count(qt.nbr_id) / 5.0, 2) AS recall5
        |FROM fl LEFT JOIN qt
@@ -947,10 +963,11 @@ object Similarity {
          |  GROUP BY cid)""".stripMargin
     s"""WITH v AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v
-       |       WHERE vec_id < (SELECT greatest(8,
-       |         CAST(round(sqrt(count(*) / 8.0)) AS BIGINT)) FROM v)),
+       |       QUALIFY row_number() OVER (ORDER BY vec_id)
+       |         <= (SELECT greatest(8,
+       |           CAST(round(sqrt(count(*) / 8.0)) AS BIGINT)) FROM v)),
        |${assign("c0", "a1")}, ${update("a1", "u1")},
        |${assign("u1", "a2")}, ${update("a2", "u2")},
        |${assign("u2", "a3")}, ${update("a3", "u3")},
