@@ -46,6 +46,17 @@ object InternalCaches {
     p
   }
 
+  /** [[persistTracked]] with eager materialization, surfacing the
+    * materializing count — for iterative drivers whose loop condition is
+    * the row count (BFS frontiers, CC convergence): eager + a separate
+    * isEmpty/count probe was two Spark jobs per round for one number.
+    */
+  private[graft] def persistTrackedCounted[T](ds: Dataset[T])
+      : (Dataset[T], Long) = {
+    val p = persistTracked(ds)
+    (p, p.count())
+  }
+
   /** Drop every engine-internal cache entry registered since the last call.
     * Safe to call at any time — in-flight queries recompute from source.
     */

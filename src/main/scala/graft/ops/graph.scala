@@ -91,9 +91,13 @@ object Graph {
     // the caller's whole edge derivation (caches.scala doctrine).
     val e = InternalCaches.persistTracked(edges, eager = true)
     // explode(array(u,v)) counts both endpoints in ONE pass over the
-    // cache — unionAll would scan it twice.
-    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // cache — unionAll would scan it twice. Persisted: BOTH degree-attach
+    // joins read it (un-cached, the full aggregation over the edge cache
+    // ran twice per invocation — review finding r10).
+    val deg = InternalCaches.persistTracked(
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg")),
+      eager = true)
     val withDeg = e
       .join(deg.withColumnsRenamed(Map("node" -> "u", "deg" -> "du")), "u")
       .join(deg.withColumnsRenamed(Map("node" -> "v", "deg" -> "dv")), "v")
@@ -135,9 +139,10 @@ object Graph {
     * cache materializes; only rank-sized relations move.
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    // Persisted: the degree groupBy, the degree-attach join, and the r0
-    // seed all read this relation — un-cached they would each recompute
-    // the caller's edge derivation. Join strategy per iteration is left
+    // Persisted: the deg materialization and the ce degree-attach join
+    // both read this relation (the r0 seed reads the separately-persisted
+    // deg) — un-cached each reader would recompute the caller's edge
+    // derivation. Join strategy per iteration is left
     // to the planner ON PURPOSE: with accurate cache stats it broadcasts
     // the rank relation while it fits (the fast local plan) and falls
     // back to a shuffle join aligned with the cached hash(src)
@@ -187,15 +192,21 @@ object Graph {
     * anti-join, the next expansion, and the result union); the visited
     * set stays a shallow union over the already-cached frontiers, so a
     * step costs one materialization. Entries live until the caller's
-    * [[graft.InternalCaches.unpersistAll]] — maxHops+2 cached relations,
-    * each frontier-sized.
+    * [[graft.InternalCaches.unpersistAll]] — at most maxHops+2 cached
+    * relations (fewer when the frontier exhausts early): the seeds and
+    * per-hop frontiers are frontier-sized, the first entry is the
+    * EDGE-sized repartitioned relation.
     */
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
                     maxHops: Int): DataFrame = {
     val e = InternalCaches.persistTracked(
       edges.repartition(col("src")), eager = true)
+    // distinct(): duplicate seed rows would flow into `visited` and the
+    // result as duplicate (node, 0) rows (review finding r10 — the doc
+    // invites arbitrary callers' seed relations)
     var visited = InternalCaches.persistTracked(
-      seeds.select(col("node"), lit(0).as("hops")), eager = true)
+      seeds.select(col("node"), lit(0).as("hops")).distinct(),
+      eager = true)
     var frontier = visited
     var h = 1
     var exhausted = false
@@ -203,18 +214,19 @@ object Graph {
       // Aliases, not Dataset column refs: after the first step every
       // relation here shares lineage with `e`, and unqualified refs trip
       // the ambiguous-self-join detector.
-      val next = InternalCaches.persistTracked(
+      // persistTrackedCounted: the materializing count IS the loop
+      // condition — eager + a separate isEmpty probe was two jobs per
+      // hop for one number
+      val (next, n) = InternalCaches.persistTrackedCounted(
         frontier.as("f").join(e.as("g"), col("f.node") === col("g.src"))
           .select(col("g.dst").as("node")).distinct()
           .as("x")
           .join(visited.as("v"), col("x.node") === col("v.node"),
             "left_anti")
-          .withColumn("hops", lit(h)),
-        eager = true)
+          .withColumn("hops", lit(h)))
       // Early exit on an exhausted frontier: the remaining hops would
       // each still launch the full expansion pipeline over zero rows.
-      // isEmpty on the just-materialized cache entry is a limit-1 probe.
-      if (next.isEmpty) exhausted = true
+      if (n == 0) exhausted = true
       else {
         visited = visited.union(next)
         frontier = next
