@@ -69,14 +69,26 @@ object IO {
     * layer so part-file-count laws inspect the SAME path the operator
     * wrote this run, never a stale layout from a previous process.
     */
+  /** One sanitization rule for everything derived from the sfDir path
+    * (temp dirs AND the bucketed table names) — two inline copies could
+    * silently diverge.
+    */
+  private[graft] def sanitize(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
   private[graft] def tmpDir(sfDir: String, suffix: String): String =
-    procRoot.resolve(
-      sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + suffix).toString
+    procRoot.resolve(sanitize(sfDir) + "_" + suffix).toString
 
   /** Number of part-files a directory sink produced (the O1 "chunks"). */
-  def partFileCount(dir: String): Int =
-    new java.io.File(dir).listFiles()
-      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+  def partFileCount(dir: String): Int = {
+    // listFiles() is null (not empty) on a missing/unreadable dir — fail
+    // with the path, not an anonymous NPE
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a readable directory: $dir"))
+    files.count(f => f.getName.startsWith("part-")
+      && !f.getName.endsWith(".crc"))
+  }
 
   /** 32-bit Morton (z-order) interleave of the low 16 bits of two
     * non-negative long columns — a static tree of 64 shift/mask/or
@@ -84,12 +96,24 @@ object IO {
     * clustering domains here (custkey ≤ 15 k at sf0.1, epoch-day ≤ 12 k);
     * a production writer sizes the bit budget to the column domain.
     */
-  private[graft] def morton16(a: Column, b: Column): Column =
+  private[graft] def morton16(a: Column, b: Column): Column = {
+    // out-of-domain keys would alias distant values onto the same z-tile
+    // — data stays correct but min/max file-skipping quietly degrades
+    // with zero test signal (the disjoint-range law holds regardless),
+    // so refuse loudly instead (ANSI raise_error evaluates per row)
+    def guard(c: Column): Column =
+      when(c >= 0 && c < 65536, c)
+        .otherwise(raise_error(concat(
+          lit("morton16: key outside [0, 65536): "), c.cast("string"))))
+    val (ga, gb) = (guard(a), guard(b))
     (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(ga, i).bitwiseAND(lit(1L)),
+          2 * i))
+        .bitwiseOR(shiftleft(shiftright(gb, i).bitwiseAND(lit(1L)),
+          2 * i + 1))
     }
+  }
 
   /** The clustered-sink path for (sf) — exposed so IoSpec can audit the
     * written files' z-ranges (same rationale as [[tmpDir]]).
@@ -209,7 +233,7 @@ object IO {
     // fact table every query and paying the layout cost once at ingest.
     // PlanSpec asserts the join subtree is exchange-free.
     "join_bucketed" -> ((s, d) => {
-      val sf = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val sf = sanitize(d)
       val (ot, ct) = (s"g_orders_bkt_$sf", s"g_customer_bkt_$sf")
       orders(s, d).write.mode("overwrite")
         .option("path", tmpDir(d, "bkt_orders"))
@@ -426,9 +450,13 @@ object IO {
     // way to spell read-lines. quote/escape disabled so embedded quotes
     // pass through verbatim, matching Spark's read.text.
     "scan_text" ->
-      """SELECT value FROM read_csv(
-        |  '/root/repo/src/main/resources/reference/data.txt',
-        |  header=false, delim=E'\x01', quote='', escape='',
+      // the fixture path resolves at oracle-dump time from the JVM's
+      // working directory (the repo checkout), not a hardcoded absolute
+      // path — a relocated checkout otherwise read as a gate regression
+      s"""SELECT value FROM read_csv(
+        |  '${new java.io.File(
+            "src/main/resources/reference/data.txt").getAbsolutePath}',
+        |  header=false, delim=E'\\x01', quote='', escape='',
         |  columns={'value':'VARCHAR'}) ORDER BY value""".stripMargin,
     "scan_csv_schema" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
