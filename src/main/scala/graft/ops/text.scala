@@ -402,6 +402,19 @@ object Text {
     * shuffle instead; those verifications join the persisted signature
     * relation AFTER the distinct.
     */
+  /** Posting keys wider than `hotWidth` → a broadcastable
+    * (keys..., is_hot = true) list. ONE definition of "hot" for every
+    * salted decomposition (triangular self-join and asymmetric
+    * multi-index probe) — the hot-width semantics and the tiny-list/
+    * broadcast invariant must not drift between them.
+    */
+  private def hotKeys(postings: DataFrame, keys: Seq[String],
+                      hotWidth: Int): DataFrame =
+    postings.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bw"))
+      .filter(col("bw") > hotWidth)
+      .select(keys.map(col) :+ lit(true).as("is_hot"): _*)
+
   private[graft] def saltedBandPairs(bands: DataFrame,
                                    carry: Seq[String] = Nil,
                                    prune: DataFrame => DataFrame = identity)
@@ -410,10 +423,7 @@ object Text {
       HotBucketDefault)
     val blocks = blockCountConf(bands, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
-    val hot = bands.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("bw"))
-      .filter(col("bw") > hotWidth)
-      .select(col("band"), col("bhash"), lit(true).as("is_hot"))
+    val hot = hotKeys(bands, Seq("band", "bhash"), hotWidth)
     // hot-bucket list is tiny by construction (distinct over-width keys) —
     // broadcast, so tagging never shuffles the bands relation
     val tagged = bands.join(broadcast(hot), Seq("band", "bhash"), "left")
@@ -474,12 +484,13 @@ object Text {
     * 5.6 % pass rate is still Θ(n²) on a uniform corpus; no blocking
     * escapes that, because the THRESHOLD admits that many pairs. The
     * production operating point for simhash dedup is k ≤ 3 (Manku et
-    * al.'s web-crawl setting), where the same plan with the ≤2-error
-    * enumeration passes ~0.2 % of random pairs and the candidate stream
-    * is dominated by true near-dup clusters (output-sized, not
+    * al.'s web-crawl setting), where the adaptive variant radius
+    * (⌊maxDist/5⌋ — exact block probes below hamming 5) passes
+    * ~5/8192 ≈ 0.06 % of random pairs and the candidate stream is
+    * dominated by true near-dup clusters (output-sized, not
     * corpus-squared). `spark.graft.simhash.maxDist` exposes the dial;
-    * the ScalaCheck law sweeps it (0/3/12/14), so every setting carries
-    * the brute-force-equality guarantee.
+    * the ScalaCheck law sweeps it across all three radii (0/3/7/12/14),
+    * so every setting carries the brute-force-equality guarantee.
     *
     * Skew guard (structural, PlanSpec-pinned): a block value shared by
     * more docs than the hot width — template corpora mint identical
@@ -521,36 +532,36 @@ object Text {
       .withColumnRenamed("col", "key")
     // hot-key list is tiny by construction (distinct over-width keys) —
     // broadcast, so salt tagging never shuffles either posting relation
-    val hot = exact.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bw"))
-      .filter(col("bw") > hotWidth)
-      .select(col("band"), col("key"), lit(true).as("is_hot"))
-    // ≤2-bit XOR masks, block-local: one typedlit, not 447 CreateStructs
-    val masks: Seq[(Int, Long)] = widths.zipWithIndex.flatMap {
-      case (w, i) =>
-        val flips = Seq(0L) ++ (0 until w).map(b => 1L << b) ++
-          (for { x <- 0 until w; y <- x + 1 until w }
-            yield (1L << x) | (1L << y))
-        flips.map(m => (i, m))
-    }
-    // band comes from the literal (non-nullable); the key is a when-chain
-    // with an otherwise arm so every branch — shift/and/xor over the
-    // non-nullable fp — keeps the join key non-nullable (PlanSpec pin)
-    val keyExpr = (1 until widths.size - 1)
-      .foldLeft(when(col("band") === 0, blockVal(0))) {
-        (acc, i) => acc.when(col("band") === i, blockVal(i))
-      }
-      .otherwise(blockVal(widths.size - 1))
-      .bitwiseXOR(col("m"))
-    val variants = fp.select(col("doc_id"), col("fp"),
-        explode(typedlit(masks)).as("bm"))
-      // typedlit marks tuple array elements nullable (ScalaReflection
-      // treats Product elements as nullable), which would leak into the
-      // join keys — coalesce against never-taken literals re-pins both
-      .select(col("doc_id"), col("fp"),
-        coalesce(col("bm._1"), lit(0)).as("band"),
-        coalesce(col("bm._2"), lit(0L)).as("m"))
-      .select(col("doc_id"), col("fp"), col("band"), keyExpr.as("key"))
+    val hot = hotKeys(exact, Seq("band", "key"), hotWidth)
+    // The variant radius SCALES with the threshold: pigeonhole puts
+    // some block within floor(maxDist/5) errors, so radius 2 (447
+    // masks/doc) is needed only for maxDist 10–14; at the production
+    // dial (maxDist ≤ 4, e.g. the Manku k ≤ 3 setting) the index keys
+    // are probed EXACTLY — 5 postings/doc, ~5/8192 ≈ 0.06 % random-pair
+    // pass rate (review finding r10: a hardcoded radius 2 kept the
+    // candidate stream Θ(n²)-shaped at precisely the setting the scale
+    // note advertises as output-sized).
+    val radius = maxDist / widths.size
+    def flips(w: Int): Seq[Long] =
+      Seq(0L) ++
+        (if (radius >= 1) (0 until w).map(b => 1L << b) else Nil) ++
+        (if (radius >= 2)
+          for { x <- 0 until w; y <- x + 1 until w }
+            yield (1L << x) | (1L << y)
+        else Nil)
+    // variants DERIVE from the exact posting (band and key reuse the
+    // same non-nullable extraction the index side posts — no second
+    // block-extraction code path to keep bit-consistent); the only new
+    // expression is the per-band XOR mask, whose typedlit element
+    // nullability (ScalaReflection marks them nullable) is re-pinned by
+    // one coalesce
+    val variants = exact
+      .withColumn("m", explode(
+        when(col("band") === widths.size - 1, typedlit(flips(12)))
+          .otherwise(typedlit(flips(13)))))
+      .withColumn("key",
+        col("key").bitwiseXOR(coalesce(col("m"), lit(0L))))
+      .drop("m")
     val exactS = exact.join(broadcast(hot), Seq("band", "key"), "left")
       .select(col("doc_id"), col("fp"), col("band"), col("key"),
         when(col("is_hot").isNotNull,

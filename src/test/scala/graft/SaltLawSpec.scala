@@ -104,7 +104,9 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
   private val genFpRows = Gen.chooseNum(20, 120).flatMap(n =>
     Gen.listOfN(n, genFp)).map(_.zipWithIndex.map {
       case (fp, i) => (i.toLong, fp) })
-  private val genDist = Gen.oneOf(0, 3, 12, 14)
+  // spans all three variant radii: 0/3 → exact probes, 7 → ≤1-bit,
+  // 12/14 → ≤2-bit
+  private val genDist = Gen.oneOf(0, 3, 7, 12, 14)
 
   property("hammingBlockPairs == brute-force sweep, any fps, any dials") =
     Prop.forAll(genFpRows, genSalt, genHotW, genDist) {
