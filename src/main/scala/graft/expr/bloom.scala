@@ -78,8 +78,12 @@ object BloomFilter {
     * takes a literal distance).
     */
   def mightContain(bloom: Column, key: Column): Column = {
-    val h = xxhash64(key)
-    val g = xxhash64(h)
+    // cast(long): the build side hashes Longs (XXH64.hashLong); Spark's
+    // xxhash64 dispatches per input type (hashInt ≠ hashLong for the
+    // same value), so an int32 probe column would break the build/probe
+    // lockstep and produce FALSE NEGATIVES — silently dropped join rows
+    val h = xxhash64(key.cast("long"))
+    val g = xxhash64(h) // h is long — same path as the build side
     val base = pmod(h, lit(NumBits.toLong))
     val step = pmod(g, lit((NumBits - 1).toLong)) + lit(1L)
     (0 until NumHashes).map { i =>

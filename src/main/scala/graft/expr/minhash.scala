@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
+  // construction-time guard like the sibling gram/shingle expressions:
+  // k = 0 would silently sign every doc with an empty signature (all
+  // docs collide), k < 0 would surface as a per-row
+  // NegativeArraySizeException deep in generated code
+  require(k > 0, s"minhash_signature k must be positive, got $k")
 
   // SQL-registered: a non-string-array argument must fail ANALYSIS, not
   // reach getUTF8String over arbitrary bytes at runtime

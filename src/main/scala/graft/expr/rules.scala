@@ -47,7 +47,10 @@ object FuseDotProduct extends Rule[LogicalPlan] {
               Add(ax: NamedLambdaVariable, av: NamedLambdaVariable, _),
               aargs, _),
             LambdaFunction(fin: NamedLambdaVariable, fargs, _))
-          if zero == 0.0 &&
+          // raw-bits check: `zero == 0.0` would also match -0.0, whose
+          // empty-array fold result (-0.0) the fused +0.0 would flip
+          if java.lang.Double.doubleToRawLongBits(
+              zero.asInstanceOf[Double]) == 0L &&
             usesExactly(Seq(mx, my), zargs) &&
             usesExactly(Seq(ax, av), aargs) &&
             fargs.collect { case v: NamedLambdaVariable => v.exprId }

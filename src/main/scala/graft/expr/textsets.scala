@@ -26,10 +26,11 @@ object TextSetUtil {
     * an O(1) zero-copy view into one private byte copy of the string —
     * the HOF form re-scans from the string head per `substr` (O(len²)).
     */
-  def charGrams(s: UTF8String, n: Int): ArrayData = {
-    val len = s.numChars()
-    if (len < n) return Empty
-    val bytes = s.getBytes
+  /** Byte offset of every codepoint (offs(len) = total bytes) — the one
+    * UTF-8 walk both gram forms slice from; a malformed-byte-handling
+    * fix must not have to land twice.
+    */
+  private def codepointOffsets(bytes: Array[Byte], len: Int): Array[Int] = {
     val offs = new Array[Int](len + 1)
     var c = 0
     var b = 0
@@ -38,6 +39,14 @@ object TextSetUtil {
       b += UTF8String.numBytesForFirstByte(bytes(b))
     }
     offs(len) = bytes.length
+    offs
+  }
+
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return Empty
+    val bytes = s.getBytes
+    val offs = codepointOffsets(bytes, len)
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i + n <= len) {
@@ -60,14 +69,7 @@ object TextSetUtil {
     val len = s.numChars()
     if (len < n) return Empty
     val bytes = s.getBytes
-    val offs = new Array[Int](len + 1)
-    var c = 0
-    var b = 0
-    while (b < bytes.length) {
-      offs(c) = b; c += 1
-      b += UTF8String.numBytesForFirstByte(bytes(b))
-    }
-    offs(len) = bytes.length
+    val offs = codepointOffsets(bytes, len)
     val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var i = 0
     while (i + n <= len) {

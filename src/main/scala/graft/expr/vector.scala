@@ -89,9 +89,12 @@ case class DotProduct(left: Expression, right: Expression)
   * is ±1 drawn from bit j of `xxhash64(i)` — deterministic, shared by
   * every row, never materialized — and bit j of the sketch is the sign of
   * `Σ_i v(i) · plane_j(i)`. Vectors at angle θ collide per bit with
-  * probability 1 − θ/π (Goemans–Williamson), so 4-bit bands of the sketch
-  * give an equi-joinable LSH bucket key for approximate nearest-neighbor
-  * search — the same candidate-generation shape as the text sketches.
+  * probability 1 − θ/π (Goemans–Williamson), so fixed-width bands of the
+  * sketch give an equi-joinable LSH bucket key for approximate
+  * nearest-neighbor search — the same candidate-generation shape as the
+  * text sketches. Band width is the consumer's selectivity/recall dial:
+  * `sim_ann_lsh` uses 8-bit bands and documents why narrower ones admit
+  * most of the corpus.
   *
   * One codegen'd pass: per dimension one 8-byte hash + 64 signed
   * accumulator updates; null elements contribute nothing (same contract
@@ -233,7 +236,12 @@ case class CentroidScores(left: Expression, right: Expression)
                 j += 1
               }
             }
-            if (ok) {
+            // NaN d2 (an Inf/NaN embedding or centroid) is SKIPPED like
+            // the other malformed-centroid cases: every NaN comparison
+            // is false, so an inserted NaN would sit at element 0 and
+            // become the argmin — "can be empty but never silently
+            // wrong" (review finding r10)
+            if (ok && !java.lang.Double.isNaN(d2)) {
               val cid = cr.getInt(0)
               var pos = m
               while (pos > 0 && (d2s(pos - 1) > d2 ||
@@ -302,7 +310,7 @@ case class CentroidScores(left: Expression, right: Expression)
          |      double $diff = $a.getDouble($j) - $c.getDouble($j);
          |      $d2 += $diff * $diff;
          |    }
-         |    if (!$ok) continue;
+         |    if (!$ok || Double.isNaN($d2)) continue;
          |    int $cid = $cr.getInt(0);
          |    int $pos = $m;
          |    while ($pos > 0 && ($d2s[$pos - 1] > $d2 ||

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{CentroidScores, CharGrams, DotProduct, MinHashSignature, SignSketch64, SimHash64, WordShingles}
+import graft.expr.{CentroidScores, CharGramCounts, CharGrams, DotProduct, MinHashSignature, SignSketch64, SimHash64, WordShingles}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -78,6 +78,14 @@ object GraftFunctions {
           require(args.length == 2,
             "word_shingles(tokens, k) takes an array<string> and a literal k")
           WordShingles(args(0), intLit(args(1), "k"))
+        }),
+      "char_gram_counts" -> (
+        new ExpressionInfo(classOf[CharGramCounts].getName,
+          "char_gram_counts"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "char_gram_counts(text, n) takes a string and a literal n")
+          CharGramCounts(args(0), intLit(args(1), "n"))
         }),
       "centroid_scores" -> (
         new ExpressionInfo(classOf[CentroidScores].getName,

@@ -164,6 +164,29 @@ class ExprSpec extends SparkSpec {
     assert(r.getLong(2) == r.getLong(3))
   }
 
+  test("char_gram_counts is SQL-callable like its siblings") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT char_gram_counts('abab', 2) AS g")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("ab", 2L), ("ba", 1L)))
+  }
+
+  test("centroid_scores skips NaN-distance centroids (never an argmin)") {
+    GraftFunctions.register(spark)
+    // an Inf embedding against an Inf centroid gives d2 = NaN; every
+    // NaN comparison is false, so an INSERTED NaN would sit at element
+    // 0 and become the argmin — the contract is skip-like-malformed
+    val r = spark.sql(
+      """SELECT centroid_scores(
+        |  array(CAST('Infinity' AS DOUBLE)),
+        |  array(struct(0, array(CAST('Infinity' AS DOUBLE))),
+        |        struct(1, array(0.0d)))) AS sc""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(_.getInt(0)) == Seq(1),
+      s"NaN centroid must be skipped, got ${r.toList}")
+  }
+
   test("DotProduct null semantics mirror the HOF idiom exactly") {
     val df = spark.sql(
       """SELECT * FROM VALUES
