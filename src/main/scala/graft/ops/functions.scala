@@ -155,7 +155,8 @@ object Fn {
     // Binary/encoding battery: string → bytes (encode), base64 and hex
     // renderings, and the decode(unbase64(base64(...))) roundtrip that
     // pins both directions at once. All map-side scalar work; both
-    // engines render hex uppercase and base64 unpadded-standard.
+    // engines render hex uppercase and base64 PADDED RFC-4648 standard
+    // (both pad; an 'unpadded' consumer contract would mismatch both).
     "fn_encoding" -> ((s, d) =>
       customer(s, d).filter(col("c_custkey") % 37 === 0)
         .select(col("c_custkey"),
@@ -217,16 +218,20 @@ object Fn {
     // not CollapseProject-"cheap", so the struct is never inlined into
     // its two consumers. The schema types k as STRING — the raw-scalar
     // extraction `get_json_object`/`json_extract_string` semantics for
-    // any payload ("12", 1.5, 12 all round-trip) — and k_typed is the
-    // CAST of that string, the exact shape of the oracle's
-    // CAST(json_extract_string(...) AS INTEGER): both engines agree on
-    // nulls and both reject non-numeric payloads the same way.
+    // any payload ("12", 1.5, 12 all round-trip) — and k_typed is an
+    // INTEGRAL-regex-gated try_cast, spelled identically in the oracle:
+    // the engines' bare string→int casts genuinely disagree off the
+    // integral path (review finding r10 — DuckDB ROUNDS '1.5' to 2,
+    // Spark nulls it or throws under ANSI), so the gate is made
+    // explicit on both sides instead of trusting cast coincidence.
     "fn_json" -> ((s, d) =>
       events(s, d)
         .withColumn("j", from_json(col("props"), lit("k STRING")))
+        .select(col("event_id"), col("j").getField("k").as("k_str"))
         .select(col("event_id"),
-          col("j").getField("k").cast("int").as("k_typed"),
-          col("j").getField("k").as("k_str"))
+          when(col("k_str").rlike("^-?[0-9]+$"),
+            expr("try_cast(k_str AS INT)")).as("k_typed"),
+          col("k_str"))
         .orderBy("event_id")),
 
     // URL function family: host / path / single-query-param extraction —
@@ -365,7 +370,10 @@ object Fn {
         |ORDER BY o_orderkey""".stripMargin,
     "fn_json" ->
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+        |  CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+        |              '^-?[0-9]+$')
+        |    THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |  END AS k_typed,
         |  json_extract_string(props, '$.k') AS k_str
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_url" ->

@@ -30,6 +30,9 @@ import graft.Tables._
 object Mr {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-JVM memo of the executor-side python3 probe (see pipe_script). */
+  @volatile private var python3Probe: Option[Boolean] = None
+
   /** Shuffle key of a map-output line: text before the FIRST comma
     * (`Worker/worker.py:122`; keys containing commas truncate — compat).
     */
@@ -39,7 +42,11 @@ object Mr {
     * map each input line to 0..N "key,value" lines, hash-partition on the
     * key into `reducers` runs, sort each run lexicographically on the WHOLE
     * line (O5 semantics — groups equal keys contiguously because the
-    * "key," prefix determines order), then stream each sorted run through
+    * "key," prefix determines order; this REQUIRES every emitted line to
+    * contain a comma — a bare "key" line sorts below "key!..." lines,
+    * splitting the key's run, because bytes under ',' interleave — the
+    * "key,value" emit shape is the facade's contract, as in the
+    * reference), then stream each sorted run through
     * `reduceRun` exactly as the reference pipes it through the reducer
     * script. Returns the reduce-output lines (un-merged; READ's global
     * sort is the caller's presentation step, as in the reference).
@@ -96,7 +103,12 @@ object Mr {
     // the engine's rule is: native Column exprs first, UDF only for truly
     // arbitrary user code. This entry exists to cover that surface.
     "udf_scalar" -> ((s, d) => {
-      val prio = udf((p: String) => p.split("-")(0).trim.toInt)
+      // null-guarded: a null o_orderpriority must yield a null prio_num
+      // (the oracle's CAST(string_split(NULL,..)..) semantics), not an
+      // NPE that kills the job
+      val prio = udf((p: String) =>
+        if (p == null) null
+        else Integer.valueOf(p.split("-")(0).trim.toInt))
       orders(s, d)
         .select(col("o_orderkey"), prio(col("o_orderpriority")).as("prio_num"))
         .orderBy("o_orderkey")
@@ -154,12 +166,20 @@ object Mr {
       // — a leaner worker image would pass the probe and then fail 32
       // tasks deep). One 1-row pipe job answers for the actual workers;
       // in local mode it degenerates to the driver check it replaces.
-      val python3OnWorkers = scala.util.Try {
-        s.sparkContext.parallelize(Seq("probe"), 1)
-          .pipe(Seq("python3", "-c",
-            "import sys\nfor l in sys.stdin:\n    print(l.strip())"))
-          .count() == 1L
-      }.getOrElse(false)
+      // environment-static per JVM — memoized so the probe job runs
+      // once per process, not inside every timed bench/verify
+      // invocation of this query (review finding r10); a benign race
+      // at worst runs the idempotent probe twice
+      val python3OnWorkers = python3Probe.getOrElse {
+        val ok = scala.util.Try {
+          s.sparkContext.parallelize(Seq("probe"), 1)
+            .pipe(Seq("python3", "-c",
+              "import sys\nfor l in sys.stdin:\n    print(l.strip())"))
+            .count() == 1L
+        }.getOrElse(false)
+        python3Probe = Some(ok)
+        ok
+      }
       val cmd =
         if (python3OnWorkers) Seq("python3", "-c", script)
         else {
@@ -248,10 +268,20 @@ object Mr {
     "pipe_script" ->
       """SELECT upper(n_name || ',' || CAST(n_nationkey AS VARCHAR)) AS line
         |FROM nation ORDER BY line""".stripMargin,
+    // split_part(token, ',', 1): the compat mapper emits "token,1" and
+    // the reducer keys on the PRE-FIRST-COMMA prefix (keyOf — the
+    // reference's streaming contract), so a token containing a comma
+    // counts under its prefix; the oracle must model the same
+    // truncation or any corpus with punctuation breaks parity (review
+    // finding r10 — the shipped fixture is comma-free, which had been
+    // masking the gap).
     "mr_wordcount" ->
       """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |WHERE length(token) > 0 GROUP BY token ORDER BY token""".stripMargin,
+        |  SELECT split_part(token0, ',', 1) AS token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token0
+        |    FROM documents)
+        |  WHERE length(token0) > 0)
+        |GROUP BY token ORDER BY token""".stripMargin,
     // sort_within_partitions: the ROW MULTISET is the global observable
     // (driver sorts rows before hashing) — the oracle pins that the
     // repartition+sort moved rows without dropping/duplicating/mutating

@@ -60,6 +60,26 @@ class MrSpec extends SparkSpec {
       "a key appearing in two partitions breaks the reduce contract")
   }
 
+  test("mr_wordcount truncates comma-bearing tokens at the first comma (compat)") {
+    import spark.implicits._
+    // the reference keys map-output lines on the pre-first-comma prefix
+    // (worker.py:122); a token containing a comma therefore counts under
+    // its prefix. The shipped fixtures are comma-free, so this planted
+    // corpus is the only thing standing between the engine and a silent
+    // oracle divergence on punctuated text (the oracle models the same
+    // split_part truncation).
+    val dir = SparkSpec.scratchDir("graft_mr_commas")
+    Seq((1L, "foo foo,bar baz", "en", "crawl", 15L),
+        (2L, "baz ,tail", "en", "crawl", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mr_wordcount")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // "foo,bar" counts under "foo"; ",tail" truncates to the empty key
+    assert(got == Map("foo" -> 2L, "baz" -> 2L, "" -> 1L),
+      s"got $got")
+  }
+
   test("pipe parity: external python3 reduce == native fold through MrJob") {
     import spark.implicits._
     // the same word-count job, once with the JVM streaming fold and once
