@@ -37,7 +37,16 @@ generation is current:
   orders' o_custkey is NOT offset, so per-customer fan-out grows 10x -
   the realistic "same customers, more history" shape).
 
-Usage: make_sf1.py [src_dir] [dst_dir]   (defaults sf0.1 -> /tmp/graft_sf1)
+Usage: make_sf1.py [src_dir] [dst_dir] [copies]
+       (defaults sf0.1 -> /tmp/graft_sf1, 10 copies)
+
+copies > 10 (r11: the sf3 exponent probe runs 30 copies of sf0.1) keeps
+every per-copy construction; document rotation switches to an a-z0-9
+36-character rotation for copies >= 26 (still a character bijection per
+copy — within-copy set similarities exactly preserved — while the plain
+a-z rotation would wrap to the identity at copy 26 and plant a full
+cross-copy duplicate corpus). Copies 0-25 use the ORIGINAL a-z rotation
+byte-for-byte, so default sf1 output is unchanged.
 """
 import os
 import sys
@@ -48,16 +57,20 @@ import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+assert COPIES <= 36, "document rotation is a bijection only up to 36 copies"
 
 ROT_TABLES = {"documents"}
 
 
 def rotate_text(col: pa.ChunkedArray, k: int) -> pa.Array:
-    """Rotate a-z by k (bijection; non-letters untouched)."""
+    """Rotate a character alphabet by k (bijection; other chars untouched):
+    a-z for k < 26 (the original sf1 construction, unchanged), a-z0-9 for
+    26 <= k < 36 (the sf3 probe's extra copies)."""
     if k == 0:
         return col.combine_chunks()
-    src = "abcdefghijklmnopqrstuvwxyz"
+    src = "abcdefghijklmnopqrstuvwxyz" if k < 26 \
+        else "abcdefghijklmnopqrstuvwxyz0123456789"
     dst = src[k:] + src[:k]
     py = col.to_pylist()
     table = str.maketrans(src, dst)

@@ -1,0 +1,126 @@
+#!/usr/bin/env bash
+# Multi-process execution smoke (dev tool; the shipped library does not
+# depend on this): stand up a real spark:// standalone master + 2 worker
+# JVMs on this box, run graft.Smoke's query subset under BOTH local[*]
+# and the standalone master, and diff the canonical SMOKE lines. Also
+# drives the reference-compat CLI flagship (-w / -mr / -r) through the
+# standalone master. Any local-mode assumption (driver-JVM state,
+# non-shared scratch paths, closures that don't serialize, scripts that
+# don't ship) shows up as a hash mismatch or a failed stage.
+#
+# Usage: standalone_smoke.sh [sfDir] [outDir]
+set -euo pipefail
+
+SPARK_HOME=${SPARK_HOME:-/opt/spark}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/graft_smoke}
+MASTER_URL=spark://127.0.0.1:7077
+
+mkdir -p "$OUT"/logs "$OUT"/pids "$OUT"/work
+JAR=$(ls "$REPO"/target/scala-2.13/graft*.jar 2>/dev/null | head -1) \
+  || { echo "run 'sbt package' first" >&2; exit 1; }
+
+export SPARK_MASTER_HOST=127.0.0.1
+export SPARK_LOG_DIR="$OUT/logs" SPARK_PID_DIR="$OUT/pids"
+
+cleanup() {
+  SPARK_IDENT_STRING=w2 "$SPARK_HOME/sbin/stop-worker.sh" || true
+  SPARK_IDENT_STRING=w1 "$SPARK_HOME/sbin/stop-worker.sh" || true
+  "$SPARK_HOME/sbin/stop-master.sh" || true
+}
+trap cleanup EXIT
+
+"$SPARK_HOME/sbin/start-master.sh" --webui-port 8089
+# two separate worker JVMs: SPARK_IDENT_STRING keeps their pid files
+# apart; each executor JVM then forks from its own worker
+SPARK_IDENT_STRING=w1 SPARK_WORKER_DIR="$OUT/work/w1" \
+  "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL" \
+  -c 4 -m 6g --webui-port 8090
+SPARK_IDENT_STRING=w2 SPARK_WORKER_DIR="$OUT/work/w2" \
+  "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL" \
+  -c 4 -m 6g --webui-port 8091
+sleep 5
+
+submit() { # submit <master> <outfile> <class> [args...]
+  local master=$1 outfile=$2 cls=$3; shift 3
+  "$SPARK_HOME/bin/spark-submit" --master "$master" \
+    --driver-memory 4g --executor-memory 5g \
+    --conf spark.ui.enabled=false \
+    --class "$cls" "$JAR" "$@" > "$outfile" 2> "$outfile.err" \
+    || { echo "submit $cls on $master failed:" >&2
+         tail -30 "$outfile.err" >&2; exit 1; }
+}
+
+echo "== graft.Smoke under local[8] =="
+submit 'local[8]' "$OUT/local.txt" graft.Smoke "$SF"
+echo "== graft.Smoke under $MASTER_URL (2 workers) =="
+submit "$MASTER_URL" "$OUT/cluster.txt" graft.Smoke "$SF"
+
+grep '^SMOKE' "$OUT/local.txt"   > "$OUT/local.smoke"
+grep '^SMOKE' "$OUT/cluster.txt" > "$OUT/cluster.smoke"
+if diff "$OUT/local.smoke" "$OUT/cluster.smoke"; then
+  echo "SMOKE DIFF: identical ($(wc -l < "$OUT/local.smoke") keys)"
+else
+  echo "SMOKE DIFF: MISMATCH between local and standalone" >&2
+  exit 1
+fi
+
+echo "== reference-compat CLI (-w / -mr / -r) local-vs-standalone =="
+# wordcount mapper/reducer over stdin/stdout — the same external-script
+# pair CliSpec drives; the -mr path then exercises rdd.pipe script
+# launch on real worker-forked executor JVMs
+write_scripts() {
+  cat > "$1/wc_map.py" <<'EOF'
+import sys
+for line in sys.stdin:
+    w = line.strip().split(',')[0]
+    if w:
+        print(f"{w},1")
+EOF
+  cat > "$1/wc_red.py" <<'EOF'
+import sys
+cur, n = None, 0
+for line in sys.stdin:
+    k, v = line.strip().split(',')
+    if cur is not None and k != cur:
+        print(f"{cur},{n}"); n = 0
+    cur = k; n += int(v)
+if cur is not None:
+    print(f"{cur},{n}")
+EOF
+}
+# data: unpack the flagship input bundled in the jar, keyed per master so
+# the two runs never share chunk dirs
+run_cli_suite() { # run_cli_suite <master> <dir>
+  local master=$1 dir=$2
+  rm -rf "$dir"; mkdir -p "$dir"
+  unzip -o -q "$JAR" 'reference/data.txt' -d "$dir"
+  cp "$dir/reference/data.txt" "$dir/data.txt"
+  write_scripts "$dir"
+  local step
+  for step in "-w:$dir/data.txt:3" \
+              "-mr:$dir/data.txt:$dir/wc_map.py:$dir/wc_red.py:3" \
+              "-r:$dir/data.txt"; do
+    IFS=':' read -ra a <<< "$step"
+    "$SPARK_HOME/bin/spark-submit" --master "$master" \
+      --driver-memory 2g --executor-memory 3g \
+      --conf spark.ui.enabled=false \
+      --class graft.compat.ClientCli "$JAR" "${a[@]}" \
+      > "$dir/cli_${a[0]#-}.txt" 2> "$dir/cli_${a[0]#-}.err" \
+      || { echo "CLI ${a[*]} on $master failed:" >&2
+           tail -30 "$dir/cli_${a[0]#-}.err" >&2; exit 1; }
+  done
+  grep -q 'MAP REDUCE TASK COMPLETE' "$dir/cli_mr.txt"
+}
+run_cli_suite 'local[8]'    "$OUT/cli_local"
+run_cli_suite "$MASTER_URL" "$OUT/cli_cluster"
+# the merged -r artifact and the -mr merged artifact must be
+# byte-identical across masters
+diff "$OUT/cli_local/data_part-00000.txt" \
+     "$OUT/cli_cluster/data_part-00000.txt"
+diff "$OUT/cli_local/data_mr_part-00000.txt" \
+     "$OUT/cli_cluster/data_mr_part-00000.txt"
+echo "CLI: -w/-mr/-r artifacts byte-identical local vs standalone"
+
+echo "STANDALONE SMOKE: ALL GREEN"

@@ -1,0 +1,96 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-process execution smoke (r11): run a representative query
+  * subset under WHATEVER master spark-submit provides and print one
+  * canonical `SMOKE <key> rows=<n> hash=<md5>` line per key. Running
+  * this twice — once `--master local[*]`, once against a standalone
+  * `spark://` master with separate worker JVMs — and diffing the SMOKE
+  * lines proves no local-mode assumption (driver-JVM state, non-shared
+  * temp paths, unserializable closures) crept into the operators. The
+  * driver-side correctness gate only ever exercises `local[*]`, where
+  * driver and executors share one JVM and one filesystem — exactly the
+  * environment that masks those bugs (`scripts/standalone_smoke.sh`
+  * orchestrates the master/worker fleet and the diff).
+  *
+  * Canonicalization matches the driver's compare: columns sorted by
+  * name, rows JSON-encoded and sorted, md5 over the sorted stream. The
+  * default subset spans every execution shape that could differ off
+  * local mode: parquet scan, shuffle agg, broadcast join, window,
+  * global sort, salted LSH self-join, bounded-probe broadcast ANN,
+  * executor-side `rdd.pipe` (script shipping), a parquet sink readback
+  * (shared-filesystem contract), and the two-pass global prefix
+  * composition (spark_partition_id stability across real executors).
+  */
+object Smoke {
+  private val DefaultKeys = Seq(
+    "scan_parquet", "agg_multi", "join_broadcast", "win_topk_per_group",
+    "sort_global", "sql_multiway", "dedup_near_minhash", "sim_topk_cosine",
+    "mr_wordcount", "pipe_script", "sink_parquet", "text_quality",
+    "text_pack_sequences", "agg_streaming_fold", "flagship")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val keys =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSeq
+      else DefaultKeys
+    // no .master() here: spark-submit supplies it — standalone-vs-local
+    // is the very thing under test
+    val spark = SparkSession.builder()
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failed = 0
+    keys.foreach { k =>
+      try {
+        // "flagship": the reference's golden MR job (quirk-exact byte
+        // contract) — the one key that is not a DataFrame query, run
+        // here so the golden diff is exercised on real multi-process
+        // executors too, not only in CliSpec's local[*] run
+        if (k == "flagship") {
+          val got = compat.Flagship.run(spark,
+            ops.IO.materializedResource("data.txt"))
+          val want = scala.io.Source.fromInputStream(
+            getClass.getResourceAsStream("/reference/data_part-00000.txt"),
+            "UTF-8").getLines().toSeq
+          if (got == want)
+            println(s"SMOKE flagship rows=${got.size} hash=golden-match")
+          else {
+            failed += 1
+            println(s"SMOKE flagship FAILED: ${got.size} lines vs " +
+              s"golden ${want.size}; first diff at " +
+              got.zipAll(want, "<eof>", "<eof>")
+                .indexWhere(p => p._1 != p._2))
+          }
+        } else {
+          val df = SparkEntry.queries(k)(spark, sfDir)
+          val cols = df.columns.sorted
+          // JSON per row (stable for nested arrays/structs/timestamps
+          // under the UTC session), then sort — row order is not part of
+          // any query's contract
+          val rows = df.select(cols.head, cols.tail: _*)
+            .toJSON.collect().sorted
+          val md = MessageDigest.getInstance("MD5")
+          rows.foreach(r => md.update(r.getBytes("UTF-8")))
+          val hash = md.digest().map("%02x".format(_)).mkString
+          println(s"SMOKE $k rows=${rows.length} hash=$hash")
+        }
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"SMOKE $k FAILED: " +
+            Option(e.getMessage).getOrElse(e.toString)
+              .linesIterator.next())
+      } finally InternalCaches.unpersistAll()
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

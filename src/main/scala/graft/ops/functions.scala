@@ -229,7 +229,12 @@ object Fn {
         .withColumn("j", from_json(col("props"), lit("k STRING")))
         .select(col("event_id"), col("j").getField("k").as("k_str"))
         .select(col("event_id"),
-          when(col("k_str").rlike("^-?[0-9]+$"),
+          // \z (end-of-TEXT) not $: Java regex $ matches before a final
+          // line terminator ('12\n' would pass and try_cast trims it)
+          // while DuckDB's RE2 $ is end-of-text only — \z means the same
+          // thing in both engines, so the gate can't diverge on trailing
+          // newlines (ADVICE r10)
+          when(col("k_str").rlike("^-?[0-9]+\\z"),
             expr("try_cast(k_str AS INT)")).as("k_typed"),
           col("k_str"))
         .orderBy("event_id")),
@@ -371,7 +376,7 @@ object Fn {
     "fn_json" ->
       """SELECT event_id,
         |  CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-        |              '^-?[0-9]+$')
+        |              '^-?[0-9]+\z')
         |    THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
         |  END AS k_typed,
         |  json_extract_string(props, '$.k') AS k_str

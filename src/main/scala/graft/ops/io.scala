@@ -90,22 +90,33 @@ object IO {
       && !f.getName.endsWith(".crc"))
   }
 
-  /** 32-bit Morton (z-order) interleave of the low 16 bits of two
-    * non-negative long columns — a static tree of 64 shift/mask/or
-    * expressions, fully codegen'd. 16 bits per dimension covers both
-    * clustering domains here (custkey ≤ 15 k at sf0.1, epoch-day ≤ 12 k);
-    * a production writer sizes the bit budget to the column domain.
+  /** Domain guard for a [[morton16]] operand. Out-of-domain keys would
+    * alias distant values onto the same z-tile — data stays correct but
+    * min/max file-skipping quietly degrades with zero test signal (the
+    * disjoint-range law holds regardless), so refuse loudly instead
+    * (ANSI raise_error evaluates per row). Applied ONCE per operand in
+    * a projection PRECEDING the interleave — inlining it into the fold
+    * would clone the when/raise_error tree into each of the 16 bit
+    * extractions (32 copies per row: codegen bloat / interpreted-
+    * fallback risk on the clustered-write path — ADVICE r10), and
+    * CollapseProject keeps a non-cheap multi-referenced alias
+    * materialized, so the preceding projection genuinely evaluates once.
     */
-  private[graft] def morton16(a: Column, b: Column): Column = {
-    // out-of-domain keys would alias distant values onto the same z-tile
-    // — data stays correct but min/max file-skipping quietly degrades
-    // with zero test signal (the disjoint-range law holds regardless),
-    // so refuse loudly instead (ANSI raise_error evaluates per row)
-    def guard(c: Column): Column =
-      when(c >= 0 && c < 65536, c)
-        .otherwise(raise_error(concat(
-          lit("morton16: key outside [0, 65536): "), c.cast("string"))))
-    val (ga, gb) = (guard(a), guard(b))
+  private[graft] def mortonGuard(c: Column): Column =
+    when(c >= 0 && c < 65536, c)
+      .otherwise(raise_error(concat(
+        lit("morton16: key outside [0, 65536): "), c.cast("string"))))
+
+  /** 32-bit Morton (z-order) interleave of the low 16 bits of two
+    * [[mortonGuard]]-validated non-negative long columns — a static tree
+    * of 64 shift/mask/or expressions, fully codegen'd. 16 bits per
+    * dimension covers both clustering domains here (custkey ≤ 15 k at
+    * sf0.1, epoch-day ≤ 12 k); a production writer sizes the bit budget
+    * to the column domain. Callers MUST pass guard-projected attributes,
+    * not raw expressions — see [[mortonGuard]] for why the guard lives
+    * one projection up.
+    */
+  private[graft] def morton16(ga: Column, gb: Column): Column =
     (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(ga, i).bitwiseAND(lit(1L)),
@@ -113,7 +124,6 @@ object IO {
         .bitwiseOR(shiftleft(shiftright(gb, i).bitwiseAND(lit(1L)),
           2 * i + 1))
     }
-  }
 
   /** The clustered-sink path for (sf) — exposed so IoSpec can audit the
     * written files' z-ranges (same rationale as [[tmpDir]]).
@@ -350,8 +360,14 @@ object IO {
     "sink_clustered" -> ((s, d) => {
       val dir = clusteredDir(d)
       orders(s, d)
-        .withColumn("zval", morton16(col("o_custkey"),
-          unix_date(to_date(col("o_orderdate"))).cast("long")))
+        // guards evaluate once per operand in this projection; the
+        // 64-expression interleave below references the validated
+        // attributes (see mortonGuard)
+        .withColumn("zx", mortonGuard(col("o_custkey")))
+        .withColumn("zy",
+          mortonGuard(unix_date(to_date(col("o_orderdate"))).cast("long")))
+        .withColumn("zval", morton16(col("zx"), col("zy")))
+        .drop("zx", "zy")
         .repartitionByRange(8, col("zval"))
         .sortWithinPartitions("zval")
         .write.mode("overwrite").parquet(dir)

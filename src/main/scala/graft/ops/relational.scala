@@ -484,9 +484,13 @@ object Relational {
     // the identical double on both sides) (update emitted only when the
     // value ACTUALLY changed —
     // unchanged rows are filtered, the contract that keeps a change feed
-    // sparse), and an inserted key range offset by +10^9 (clear of real
-    // o_orderkey values at every scale factor — the first cut's +20000
-    // collided with live keys at sf0.1).
+    // sparse), and an inserted key range offset by +10^15 (o_orderkey
+    // tops out near 6M×SF, so 10^15 stays clear of live keys up to
+    // SF≈1.7×10^8 — far past any plausible scale; the first cut's
+    // +20000 collided at sf0.1, and the next cut's +10^9 would have
+    // collided again around SF≥170. A production feed would derive the
+    // offset from max(key)+gap; the constant keeps the oracle SQL a
+    // literal replay).
     "cdc_diff" -> ((s, d) => {
       val v0 = orders(s, d).select(col("o_orderkey").as("k"),
         col("o_totalprice").as("price"))
@@ -495,7 +499,7 @@ object Relational {
           when(col("k") % 103 === 0, col("price") + 1.5)
             .otherwise(col("price")).as("price"))
         .unionByName(v0.filter(col("k") % 97 === 0)
-          .select((col("k") + 1000000000L).as("k"), col("price")))
+          .select((col("k") + 1000000000000000L).as("k"), col("price")))
       v0.select(col("k"), col("price").as("before"))
         .join(v1.select(col("k"), col("price").as("after")), Seq("k"),
           "full")
@@ -1449,7 +1453,7 @@ object Relational {
         |    ELSE price END AS price
         |  FROM v0 WHERE k % 101 <> 0
         |  UNION ALL
-        |  SELECT k + 1000000000 AS k, price FROM v0 WHERE k % 97 = 0),
+        |  SELECT k + 1000000000000000 AS k, price FROM v0 WHERE k % 97 = 0),
         |d AS (
         |  SELECT coalesce(a.k, b.k) AS k,
         |    CASE WHEN b.k IS NULL THEN 'delete'

@@ -57,7 +57,16 @@ object Windows {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
         .as("goff"),
       sum(col("c")).over(Window.partitionBy(col(grp))).as("gn"))
-    local.join(broadcast(off), Seq("pid", grp))
+    // null-safe on the group key: groupBy and Window.partitionBy both
+    // treat NULL as a real partition, so the offsets relation carries a
+    // NULL-group row — a plain equi-join here would silently drop every
+    // NULL-group input row (ADVICE r10, high). pid stays a plain equi-key
+    // (spark_partition_id is never null).
+    val offR = off.select(col("pid").as("o_pid"), col(grp).as("o_grp"),
+      col("goff"), col("gn"))
+    local.join(broadcast(offR),
+        col("pid") === col("o_pid") && col(grp) <=> col("o_grp"))
+      .drop("o_pid", "o_grp")
       .withColumn("rn", col("lrn") + col("goff"))
   }
 

@@ -110,17 +110,17 @@ class AccuracySpec extends SparkSpec {
         s"label join ($labelPairs)")
     // subset law: the refined search space is contained in the plain
     // one, so per query the refined rank-1 cosine can never EXCEED the
-    // plain rank-1 cosine — and the default output must be unchanged
-    // with the conf unset
-    val plain = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
-      .filter($"rn" === 1)
-      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
-    spark.conf.set("spark.graft.ivf.refineCells", "true")
-    val refined =
+    // plain rank-1 cosine. Refined IS the default since r11 (the exact
+    // label join sits behind refineCells=false as the demonstrator).
+    spark.conf.set("spark.graft.ivf.refineCells", "false")
+    val plain =
       try SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
         .filter($"rn" === 1)
         .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
       finally spark.conf.unset("spark.graft.ivf.refineCells")
+    val refined = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+      .filter($"rn" === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     InternalCaches.unpersistAll()
     refined.foreach { case (id, cos) =>
       assert(plain.contains(id), s"query $id gained by refinement")

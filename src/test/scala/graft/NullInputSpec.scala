@@ -133,4 +133,52 @@ class NullInputSpec extends SparkSpec {
       s"gap emission vs grid-join: only-got=${(gotFull -- ref).take(5)} " +
         s"only-ref=${(ref -- gotFull).take(5)}")
   }
+
+  test("twoPassRank keeps NULL group keys (win_distribution/win_ntile row parity)") {
+    // ADVICE r10 (high): the two-pass scaffold's offsets join must be
+    // null-safe on the group column — groupBy/Window.partitionBy keep
+    // NULL as a real partition, a plain equi-join drops it. The nulled
+    // fixtures null exactly these group columns (o_orderstatus,
+    // c_mktsegment), so row parity with the base relation is the direct
+    // detector the no-throw sweep can't see.
+    import org.apache.spark.sql.expressions.Window
+    val nOrders = Tables.orders(spark, nulledDir).count()
+    val dist = SparkEntry.queries("win_distribution")(spark, nulledDir)
+    assert(dist.count() == nOrders,
+      s"win_distribution dropped rows on nulled group keys: " +
+        s"${dist.count()} vs $nOrders")
+    // and the values match the retired single-window form row-for-row
+    val wD = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val refD = Tables.orders(spark, nulledDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (floor(percent_rank().over(wD) * 1e6 + 0.5) / 1e6).as("pr"),
+        (floor(cume_dist().over(wD) * 1e6 + 0.5) / 1e6).as("cd"),
+        ntile(4).over(wD).as("quartile"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val gotD = dist.collect().map(r => (r.getLong(0), Option(r.get(1)),
+      r.getDouble(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(gotD == refD,
+      s"win_distribution vs single-window: only-got=${(gotD -- refD).take(5)} " +
+        s"only-ref=${(refD -- gotD).take(5)}")
+
+    val nCust = Tables.customer(spark, nulledDir).count()
+    val nt = SparkEntry.queries("win_ntile")(spark, nulledDir)
+    assert(nt.count() == nCust,
+      s"win_ntile dropped rows on nulled group keys: ${nt.count()} vs $nCust")
+    val wN = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(asc_nulls_first("c_acctbal"), col("c_custkey"))
+    val refN = Tables.customer(spark, nulledDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(wN).as("bal_quartile"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2)))
+      .toSet
+    val gotN = nt.collect().map(r => (r.getLong(0), Option(r.get(1)),
+      r.getInt(2))).toSet
+    assert(gotN == refN,
+      s"win_ntile vs single-window: only-got=${(gotN -- refN).take(5)} " +
+        s"only-ref=${(refN -- gotN).take(5)}")
+    InternalCaches.unpersistAll()
+  }
 }
