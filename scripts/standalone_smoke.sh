@@ -18,7 +18,7 @@ OUT=${2:-/tmp/graft_smoke}
 MASTER_URL=spark://127.0.0.1:7077
 
 mkdir -p "$OUT"/logs "$OUT"/pids "$OUT"/work
-JAR=$(ls "$REPO"/target/scala-2.13/graft*.jar 2>/dev/null | head -1) \
+JAR=$(ls "$REPO"/target/scala-2.13/*.jar 2>/dev/null | head -1) \
   || { echo "run 'sbt package' first" >&2; exit 1; }
 
 export SPARK_MASTER_HOST=127.0.0.1
@@ -119,8 +119,8 @@ run_cli_suite "$MASTER_URL" "$OUT/cli_cluster"
 # byte-identical across masters
 diff "$OUT/cli_local/data_part-00000.txt" \
      "$OUT/cli_cluster/data_part-00000.txt"
-diff "$OUT/cli_local/data_mr_part-00000.txt" \
-     "$OUT/cli_cluster/data_mr_part-00000.txt"
+diff "$OUT/cli_local/data_part-00000.txt_mr" \
+     "$OUT/cli_cluster/data_part-00000.txt_mr"
 echo "CLI: -w/-mr/-r artifacts byte-identical local vs standalone"
 
 echo "STANDALONE SMOKE: ALL GREEN"

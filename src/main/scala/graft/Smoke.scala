@@ -50,25 +50,20 @@ object Smoke {
     var failed = 0
     keys.foreach { k =>
       try {
-        // "flagship": the reference's golden MR job (quirk-exact byte
-        // contract) — the one key that is not a DataFrame query, run
-        // here so the golden diff is exercised on real multi-process
-        // executors too, not only in CliSpec's local[*] run
+        // "flagship": the reference's golden MR job — the one key that
+        // is not a DataFrame query, run here so the Mr.run pipeline
+        // (mapPartitions scripts, first-comma shuffle, run sort) is
+        // exercised on real multi-process executors too. The byte-exact
+        // golden diff lives in the test suite (compat/flagship.scala);
+        // here the hash line gives local-vs-standalone parity like
+        // every other key.
         if (k == "flagship") {
           val got = compat.Flagship.run(spark,
             ops.IO.materializedResource("data.txt"))
-          val want = scala.io.Source.fromInputStream(
-            getClass.getResourceAsStream("/reference/data_part-00000.txt"),
-            "UTF-8").getLines().toSeq
-          if (got == want)
-            println(s"SMOKE flagship rows=${got.size} hash=golden-match")
-          else {
-            failed += 1
-            println(s"SMOKE flagship FAILED: ${got.size} lines vs " +
-              s"golden ${want.size}; first diff at " +
-              got.zipAll(want, "<eof>", "<eof>")
-                .indexWhere(p => p._1 != p._2))
-          }
+          val md = MessageDigest.getInstance("MD5")
+          got.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+          val hash = md.digest().map("%02x".format(_)).mkString
+          println(s"SMOKE flagship rows=${got.size} hash=$hash")
         } else {
           val df = SparkEntry.queries(k)(spark, sfDir)
           val cols = df.columns.sorted
