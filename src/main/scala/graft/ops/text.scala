@@ -585,19 +585,33 @@ object Text {
           for { x <- 0 until w; y <- x + 1 until w }
             yield (1L << x) | (1L << y)
         else Nil)
-    // variants DERIVE from the exact posting (band and key reuse the
-    // same non-nullable extraction the index side posts — no second
-    // block-extraction code path to keep bit-consistent); the only new
-    // expression is the per-band XOR mask, whose typedlit element
-    // nullability (ScalaReflection marks them nullable) is re-pinned by
-    // one coalesce
-    val variants = exact
-      .withColumn("m", explode(
-        when(col("band") === widths.size - 1, typedlit(flips(12)))
-          .otherwise(typedlit(flips(13)))))
-      .withColumn("key",
-        col("key").bitwiseXOR(coalesce(col("m"), lit(0L))))
-      .drop("m")
+    // Variant postings explode ONE flat (band, mask) literal over the
+    // PERSISTED 1-row/doc fp relation, then compute the key with a
+    // when-chain over the same blockVal extraction the index side posts.
+    // NOT derived from the 5-row/doc `exact` relation: deriving there
+    // (r10's a82adb1) re-ran the posexplode subtree under the generate
+    // and measured 7.2→24.5 s on the sf1 key — the r11 bisect's one real
+    // regression — while this shape restores the pinned 7 s at an
+    // identical output (the ScalaCheck brute-force law sweeps all radii
+    // either way). typedlit marks tuple elements nullable
+    // (ScalaReflection treats Product elements as nullable), which would
+    // leak into the join keys — coalesce against never-taken literals
+    // re-pins both.
+    val masks: Seq[(Int, Long)] = widths.zipWithIndex.flatMap {
+      case (w, i) => flips(w).map(m => (i, m))
+    }
+    val keyExpr = (1 until widths.size - 1)
+      .foldLeft(when(col("band") === 0, blockVal(0))) {
+        (acc, i) => acc.when(col("band") === i, blockVal(i))
+      }
+      .otherwise(blockVal(widths.size - 1))
+      .bitwiseXOR(col("m"))
+    val variants = fp.select(col("doc_id"), col("fp"),
+        explode(typedlit(masks)).as("bm"))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("bm._1"), lit(0)).as("band"),
+        coalesce(col("bm._2"), lit(0L)).as("m"))
+      .select(col("doc_id"), col("fp"), col("band"), keyExpr.as("key"))
     val exactS = exact.join(broadcast(hot), Seq("band", "key"), "left")
       .select(col("doc_id"), col("fp"), col("band"), col("key"),
         when(col("is_hot").isNotNull,
