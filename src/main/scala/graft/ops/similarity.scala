@@ -537,9 +537,20 @@ object Similarity {
       val p = s.sparkContext.defaultParallelism
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
+      // strict boolean parse (ADVICE r11): a sloppy value ("0", "off",
+      // "Flase") must fail loudly, not silently select the refined
+      // default — this conf flips the PLAN, and a typo that reads as
+      // "true" would make a label-only-vs-refined comparison measure
+      // the same plan twice
+      val refineCells = s.conf.getOption("spark.graft.ivf.refineCells")
+        .forall {
+          case v if v.equalsIgnoreCase("true")  => true
+          case v if v.equalsIgnoreCase("false") => false
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.ivf.refineCells must be true or false, got '$other'")
+        }
       val pairs =
-        if (s.conf.getOption("spark.graft.ivf.refineCells")
-            .contains("false")) {
+        if (!refineCells) {
           val a = vecs(s, d).repartition(p, col("label"))
           val b = vecs(s, d).select(col("label").as("blabel"),
             col("vec_id").as("nbr_id"), col("v").as("bv"),

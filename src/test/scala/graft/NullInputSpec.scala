@@ -59,6 +59,58 @@ class NullInputSpec extends SparkSpec {
       s"${failures.size} queries threw on nulled input:\n${failures.mkString("\n")}")
   }
 
+  test("window family: row parity on nulled input (silent-drop net)") {
+    // r11 verdict item 5: the no-throw sweep cannot see a silent row
+    // drop — exactly the class of the twoPassRank null-group-key bug
+    // (a plain equi-join back to per-group offsets drops the NULL
+    // partition that Window.partitionBy keeps). Every per-event window
+    // annotation query has a structural row-parity contract: ONE output
+    // row per input event, no matter what the value/type columns hold.
+    // Nulled `value` and `event_type` (the nulled fixture's 10% slices)
+    // must not change the count; any mismatch is a dropped (or
+    // duplicated) partition in a hand-rolled scale path.
+    val nEvents = Tables.events(spark, nulledDir).count()
+    val rowPreserving = Seq("win_running", "win_range_frame",
+      "win_first_last", "win_ratio_to_report", "win_pct_change",
+      "win_zscore", "win_moving_median", "win_ewma", "win_cumsum_reset",
+      "win_sessionize", "win_lag_lead")
+    val bad = rowPreserving.flatMap { k =>
+      val n = SparkEntry.queries(k)(spark, nulledDir).count()
+      InternalCaches.unpersistAll()
+      if (n == nEvents) None else Some(s"$k: $n rows vs $nEvents events")
+    }
+    assert(bad.isEmpty,
+      s"row-preserving window queries changed cardinality on nulled " +
+        s"input:\n${bad.mkString("\n")}")
+  }
+
+  test("grouped-agg family: NULL group survives nulled group keys") {
+    // Same detector for the groupBy side: when the GROUP column itself
+    // is nulled (o_orderstatus, event_type, lang carry the 10% slice),
+    // SQL semantics make NULL a real group — output cardinality must
+    // equal the distinct count INCLUDING the null group. A two-pass or
+    // salted rewrite that equi-joins on the group key silently loses
+    // that group; count parity against an independent distinct() sees
+    // it where no-throw cannot.
+    val cases = Seq(
+      ("agg_count_distinct", "orders", "o_orderstatus"),
+      ("agg_mode", "orders", "o_orderstatus"),
+      ("agg_bitmap_distinct", "events", "event_type"),
+      ("agg_arg_extrema", "events", "event_type"),
+      ("agg_collect_set", "documents", "lang"))
+    val bad = cases.flatMap { case (k, table, groupCol) =>
+      val want = Tables.t(spark, nulledDir, table)
+        .select(groupCol).distinct().count()
+      val got = SparkEntry.queries(k)(spark, nulledDir).count()
+      InternalCaches.unpersistAll()
+      if (got == want) None
+      else Some(s"$k: $got groups vs $want distinct $table.$groupCol")
+    }
+    assert(bad.isEmpty,
+      s"grouped aggs lost/minted groups on nulled group keys:\n" +
+        bad.mkString("\n"))
+  }
+
   test("win_gap_fill: null-summed hours fill like gaps (gap emission == grid-join)") {
     // The r10 gap-emission rewrite's one semantic cliff is an hour that
     // HAS events but whose sum is null (every event in it carries a null
