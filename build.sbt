@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench/test sweep runs ~200 distinct queries in ONE JVM, each
+  // with freshly generated (whole-stage-codegen) classes, while 32
+  // executor threads saturate every core — the default JIT compiler
+  // thread count starves behind that load and codegen'd regex/json/math
+  // chains run interpreted for most of a short query's life (measured:
+  // dedup_url 13.8 s -> 2.0 s at sf1 with this flag, same build, same
+  // sweep). Long-lived production executors compile a handful of hot
+  // queries once; the flag restores that steady-state fidelity here.
+  "-XX:CICompilerCount=16",
 )

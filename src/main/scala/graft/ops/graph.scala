@@ -69,7 +69,9 @@ object Graph {
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).filter(col("l_quantity") > 25)
       .select(col("l_orderkey"), col("l_partkey"))
-    li.as("a").join(li.as("b"),
+    // fact-table self-join: both sides corpus-sized — shuffle pin
+    // (broadcast-cliff hazard, see ops/text.scala hammingBlockPairs)
+    li.as("a").hint("shuffle_merge").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
@@ -112,13 +114,19 @@ object Graph {
         when(ku < kv, kv).otherwise(ku).as("kdst"))
         .repartition(col("src")),
       eager = true)
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+    // shuffle pins on both wedge joins: the edge relation is
+    // corpus-sized, and the co-partitioned-cache-no-exchange contract
+    // above only holds if AQE never swaps in a broadcast build
+    // (broadcast-cliff hazard, see ops/text.scala hammingBlockPairs)
+    val wedges = oriented.as("e1").hint("shuffle_merge")
+      .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
     // Left-semi keeps every wedge ROW with a closing edge (no dedup of the
     // left side): distinct wedges (a,b,c) map 1:1 to counted triangles.
     val closed = wedges.join(
-      oriented.select(col("src").as("wu"), col("dst").as("wv")),
+      oriented.select(col("src").as("wu"), col("dst").as("wv"))
+        .hint("shuffle_merge"),
       Seq("wu", "wv"), "left_semi")
     closed.agg(count(lit(1)).as("n_triangles"))
   }

@@ -114,7 +114,12 @@ object Similarity {
       col("nrm").as("bn"),
       explode(sequence(lit(0), col("blk"))).as("pi"),
       col("blk").as("pj"))
-    x.as("x").join(y.as("y"),
+    // shuffle-strategy pin: enforces the "no broadcast anywhere"
+    // contract above against AQE's runtime conversion — a vector-payload
+    // side near the adaptive threshold otherwise becomes a
+    // single-threaded driver-built broadcast (the jstack-caught
+    // dedup_simhash sf1 cliff, ops/text.scala hammingBlockPairs)
+    x.as("x").hint("shuffle_merge").join(y.as("y"),
         col("x.pi") === col("y.pi") && col("x.pj") === col("y.pj") &&
         col("x.vec_id") =!= col("y.nbr_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.v").as("v"),
@@ -286,7 +291,10 @@ object Similarity {
         col("nrm").as("an"))
     val y = probes.select(col("pcell").as("ycell"),
       col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-    x.join(y, col("pcell") === col("ycell") && col("a_id") < col("b_id"))
+    // corpus-sized vector relations on both sides — shuffle pin
+    // (broadcast-cliff hazard, see blockedPairs)
+    x.hint("shuffle_merge")
+      .join(y, col("pcell") === col("ycell") && col("a_id") < col("b_id"))
       .select(col("a_id").as("a"), col("b_id").as("b"),
         cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -340,7 +348,11 @@ object Similarity {
         col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
-      probes.join(index, col("pcell") === col("bcell")
+      // probes and index are both the full vector corpus — pinned
+      // shuffle_hash, build on the 1-row/vec index side (broadcast-cliff
+      // hazard, see blockedPairs; sort-free, cell keys are coarse)
+      probes.join(index.hint("shuffle_hash"),
+          col("pcell") === col("bcell")
           && col("vec_id") =!= col("nbr_id"))
         .select(col("vec_id"), col("nbr_id"),
           cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
@@ -455,24 +467,30 @@ object Similarity {
 
     // LSH-bucketed ANN — the hash-based alternative to the IVF cell
     // restriction: a 64-bit hyperplane sign sketch per vector (codegen'd,
-    // graft.expr.SignSketch64), 8-bit bands as bucket keys, candidates
-    // only within a shared band bucket (through the same hot-bucket-salted
-    // self-join as the text dedups — a degenerate sketch bucket spreads
-    // across block-pair tasks), then exact rounded cosine + top-3 per
-    // query. Per-bit collision P is 1 − θ/π, so an 8-bit band passes
-    // near-orthogonal noise with P ≈ 0.5⁸ ≈ 0.4% (×8 bands ≈ 3% of all
-    // pairs — a 30× candidate cut) while a true near-dup at cos ≥ 0.95
-    // collides somewhere with P ≈ 0.99. The band width is the
-    // selectivity/recall dial: narrower bands (4-bit) chase moderate-cos
-    // neighbors but admit most of the corpus — at THAT point use
-    // `sim_ann_ivf`, which partitions by data clusters instead of hash
-    // geometry. Two persists, matched to the read pattern: the
+    // graft.expr.SignSketch64), bucketed through the MULTI-INDEX probe
+    // (Text.multiIndexCandidates): 4 bands of 16 bits as 65 536-way
+    // index keys posted exactly, the query side probing every key
+    // within 1 bit flip (17 masks/band — the simhash machinery at ANN
+    // dials), then exact rounded cosine + top-3 per query. Per-bit
+    // collision P is 1 − θ/π, so a clone pair at cos ≈ 0.995 (P ≈ 0.97)
+    // agrees to ≤1 bit on some band with P(miss) ≈ (1−0.92)⁴ ≈ 5e-5,
+    // while a random pair passes a band with P ≈ 17/65536 — ×4 bands
+    // ≈ 0.1 % of all pairs. The r11 8-bit-band form keyed a FIXED
+    // 256-value vocabulary per band: collision mass 8·n²/256 — the sf3
+    // exponent probe measured it at 2.62 on 3× data (14→250 s), the
+    // same fixed-vocabulary Ω(n²/K) class as the retired label-only
+    // sim_ann_ivf; the 16-bit multi-probe keys cut candidates ~30× at
+    // equal clone recall and leave the quadratic constant 256× smaller.
+    // Moderate-cos neighbors (θ ≈ 60°) are NOT this operator's
+    // contract — that regime belongs to `sim_ann_ivf`, which partitions
+    // by data clusters instead of hash geometry (see AccuracySpec's
+    // recall law). Two persists, matched to the read pattern: the
     // (vec_id, v, nrm) relation feeds both verification joins, and the
     // 16-byte/row (vec_id, sk) sketch relation feeds the THREE branches
-    // of the salted band join (hot-bucket agg + x/y sides) — uncached,
-    // the 64-hyperplane sketch would re-run per branch. Rows-only driver
-    // check (hash hyperplanes aren't expressible in the oracle); recall
-    // law in AccuracySpec.
+    // of the salted multi-index join (hot-key agg + exact/variant
+    // sides) — uncached, the 64-hyperplane sketch would re-run per
+    // branch. Rows-only driver check (hash hyperplanes aren't
+    // expressible in the oracle); recall law in AccuracySpec.
     "sim_ann_lsh" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       // rebalance BEFORE the sketch: a one-split parquet input would pin
@@ -487,19 +505,15 @@ object Similarity {
       // join, all within one action — lazily, the projection and the
       // 64-hyperplane sketch re-ran per concurrently-submitted branch
       val sk = graft.InternalCaches.persistTracked(
-        v.select(col("vec_id"),
+        v.select(col("vec_id").as("doc_id"),
           coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
-            .as("sk")), eager = true)
-      val bands = sk.select(col("vec_id").as("doc_id"),
-          posexplode(array((0 until 8).map(j =>
-            shiftrightunsigned(col("sk"), j * 8).bitwiseAND(255)): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bhash")
+            .as("fp")), eager = true)
       // unordered collision pairs → both orientations (top-k is per
       // query). Emitted via ONE explode, not a self-union: a union would
-      // reference the candidate subtree (hot agg, band join, distinct)
-      // twice and execute it twice.
-      val cand = Text.saltedBandPairs(bands)
+      // reference the candidate subtree (hot agg, multi-index join,
+      // distinct) twice and execute it twice.
+      val cand = Text.multiIndexCandidates(sk, Seq(16, 16, 16, 16), 1)
+        .select(col("a"), col("b")).distinct()
         .select(explode(array(
           struct(col("a").as("vec_id"), col("b").as("nbr_id")),
           struct(col("b").as("vec_id"), col("a").as("nbr_id")))).as("p"))
@@ -507,9 +521,14 @@ object Similarity {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
       cand
-        .join(v.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        // vector join-backs: candidates × full corpus with float[64]
+        // payloads — shuffle_HASH pinned on the vector side (scale-safe
+        // per-partition build; a sort-merge pin here sorted the wide
+        // candidate stream, measured 5.2→39.8 s on the sf1 key)
+        .join(v.select(col("vec_id"), col("v"), col("nrm"))
+          .hint("shuffle_hash"), "vec_id")
         .join(v.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
-          col("nrm").as("bn")), "nbr_id")
+          col("nrm").as("bn")).hint("shuffle_hash"), "nbr_id")
         .select(col("vec_id"), col("nbr_id"),
           cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
         .withColumn("rn", row_number().over(w))
@@ -650,7 +669,10 @@ object Similarity {
     val b = scored.select(col("label").as("blabel"),
       col("sc").getItem(0).getField("cid").as("bcell"),
       col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
-    a.join(b, col("label") === col("blabel")
+    // both refined-cell sides carry the full vector corpus — pinned
+    // shuffle_hash, build on the 1-row/vec index side (broadcast-cliff
+    // hazard, see blockedPairs)
+    a.join(b.hint("shuffle_hash"), col("label") === col("blabel")
         && col("pcell") === col("bcell")
         && col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("label"), col("nbr_id"),

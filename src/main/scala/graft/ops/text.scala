@@ -481,7 +481,12 @@ object Text {
           .otherwise(array(lit(0)))).as("pi") +:
       col("blk").as("pj") +:
       carry.map(c => col(c).as(c + "_y")): _*)
-    val joined = x.as("x").join(y.as("y"),
+    // shuffle-strategy pin: both banded posting sides grow with the
+    // corpus — near the adaptive broadcast threshold AQE flip-flops one
+    // side into a single-threaded driver-built broadcast (the
+    // jstack-caught dedup_simhash sf1 cliff, see hammingBlockPairs);
+    // the merge hint keeps the candidate join a shuffle at every scale
+    val joined = x.as("x").hint("shuffle_merge").join(y.as("y"),
       col("x.band") === col("y.band") &&
       col("x.bhash") === col("y.bhash") &&
       col("x.pi") === col("y.pi") &&
@@ -553,7 +558,28 @@ object Text {
       : DataFrame = {
     require(maxDist <= 14, "5-block/2-error enumeration is recall-" +
       s"complete only up to hamming 14, got $maxDist")
-    val widths = Seq(13, 13, 13, 13, 12)
+    // the variant radius SCALES with the threshold: pigeonhole puts
+    // some block within ⌊maxDist/5⌋ errors, so radius 2 (447 masks/doc)
+    // is needed only for maxDist 10–14; at the production dial
+    // (maxDist ≤ 4, Manku's k ≤ 3) the index keys are probed EXACTLY
+    multiIndexCandidates(fp, Seq(13, 13, 13, 13, 12), maxDist / 5)
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** The multi-index candidate generator underneath [[hammingBlockPairs]]
+    * and `sim_ann_lsh`'s 16-bit-band ANN probe: the 64-bit key splits
+    * into `widths` blocks; the index side posts each doc's exact block
+    * values, the query side posts every value within `radius` bit flips
+    * of each block, candidates are the salted (band, key) equi-join.
+    * Emits one (a, b, hamming) row per agreeing (band, salt) — callers
+    * apply their own cut and `.distinct()` (fusing the cut BEFORE the
+    * distinct keeps the wide shuffle on survivors, not candidates).
+    * Pigeonhole: the candidate set is complete for any hamming cut
+    * ≤ (radius+1)·|widths| − 1.
+    */
+  private[graft] def multiIndexCandidates(fp: DataFrame, widths: Seq[Int],
+      radius: Int): DataFrame = {
     val shifts = widths.scanLeft(0)(_ + _).init
     def blockVal(i: Int): Column =
       shiftrightunsigned(col("fp"), shifts(i))
@@ -576,15 +602,6 @@ object Text {
     // hot-key list is tiny by construction (distinct over-width keys) —
     // broadcast, so salt tagging never shuffles either posting relation
     val hot = hotKeys(exact, Seq("band", "key"), hotWidth)
-    // The variant radius SCALES with the threshold: pigeonhole puts
-    // some block within floor(maxDist/5) errors, so radius 2 (447
-    // masks/doc) is needed only for maxDist 10–14; at the production
-    // dial (maxDist ≤ 4, e.g. the Manku k ≤ 3 setting) the index keys
-    // are probed EXACTLY — 5 postings/doc, ~5/8192 ≈ 0.06 % random-pair
-    // pass rate (review finding r10: a hardcoded radius 2 kept the
-    // candidate stream Θ(n²)-shaped at precisely the setting the scale
-    // note advertises as output-sized).
-    val radius = maxDist / widths.size
     def flips(w: Int): Seq[Long] =
       Seq(0L) ++
         (if (radius >= 1) (0 until w).map(b => 1L << b) else Nil) ++
@@ -630,15 +647,25 @@ object Text {
         explode(when(col("is_hot").isNotNull,
             sequence(lit(0), lit(saltBlocks - 1)))
           .otherwise(array(lit(0)))).as("salt"))
-    varS.as("q").join(exactS.as("x"),
+    // SHUFFLE-STRATEGY PIN (r12): both posting relations grow with the
+    // corpus (5 and 447 rows/doc). Near the adaptive broadcast
+    // threshold their measured compressed size makes AQE flip-flop the
+    // exact side into a BroadcastHashJoin whose UnsafeHashedRelation is
+    // built and serialized single-threaded on the driver while every
+    // executor thread idles — jstack-caught at sf1, where the flip is
+    // the whole bimodal 7 s/35 s evidence split of r10–r12 (and the
+    // GC of the abandoned 10⁵-row broadcast then bled into the NEXT
+    // alphabetical keys: dedup_url's phantom 2→16 s "regression").
+    // A corpus-growing side must never sit on a broadcast cliff — the
+    // merge hint pins the shuffle plan at every scale; only the
+    // bounded hot-key relation is broadcast.
+    varS.as("q").hint("shuffle_merge").join(exactS.as("x"),
         col("q.band") === col("x.band") &&
         col("q.key") === col("x.key") &&
         col("q.salt") === col("x.salt") &&
         col("q.doc_id") < col("x.doc_id"))
       .select(col("q.doc_id").as("a"), col("x.doc_id").as("b"),
         bit_count(col("q.fp").bitwiseXOR(col("x.fp"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 
   /** Banded MinHash-LSH near-dup pairs over a (doc_id, s: array<string>)
@@ -710,8 +737,19 @@ object Text {
     val estOk =
       if (margin >= 1.0) cand
       else cand
-        .join(aSig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
-        .join(bSig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
+        // signature join-backs: both sides corpus-sized (candidates ×
+        // 1-row/doc 128-long signatures), so the join must stay a
+        // SHUFFLE — but a SORT-merge would sort the huge candidate
+        // stream (measured 8× on sim_ann_lsh sf1), so the pin is
+        // shuffle_HASH with the build on the 1-row/doc signature side:
+        // scale-safe (per-partition build, no driver broadcast) and
+        // sort-free. The hint rides on the signature side so EACH
+        // join-back is pinned, not only the first (a hint inside a
+        // join's subtree does not mark the enclosing join).
+        .join(aSig.select(col("doc_id").as("a"), col("sig").as("ga"))
+          .hint("shuffle_hash"), "a")
+        .join(bSig.select(col("doc_id").as("b"), col("sig").as("gb"))
+          .hint("shuffle_hash"), "b")
         .withColumn("est",
           aggregate(zip_with(col("ga"), col("gb"),
               (x, y) => when(x === y, 1).otherwise(0)),
@@ -719,8 +757,10 @@ object Text {
         .filter(col("est") >= threshold - margin)
         .select(col("a"), col("b"))
     estOk
-      .join(aSig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
-      .join(bSig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .join(aSig.select(col("doc_id").as("a"), col("s").as("sa"))
+        .hint("shuffle_hash"), "a")
+      .join(bSig.select(col("doc_id").as("b"), col("s").as("sb"))
+        .hint("shuffle_hash"), "b")
       .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac",
         round(col("ni").cast("double")
@@ -811,7 +851,9 @@ object Text {
         explode(when(col("is_hot").isNotNull,
             sequence(lit(0), lit(blocks - 1)))
           .otherwise(array(lit(0)))).as("blk"))
-    bTagged.join(iTagged, Seq("band", "bhash", "blk"))
+    // batch×index probe: both posting sides scale with their corpora —
+    // same shuffle pin as saltedBandPairs (broadcast-cliff hazard)
+    bTagged.hint("shuffle_merge").join(iTagged, Seq("band", "bhash", "blk"))
       .select(col("a"), col("b")).distinct()
   }
 
@@ -1676,13 +1718,20 @@ object Text {
           .select(col("doc_id"), explode(shingleCol(col("t"))).as("sh")),
         eager = true)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pi = sh.as("x").join(sh.as("y"),
+      // posting self-join + size join-backs: every side corpus-sized —
+      // shuffle pin (see hammingBlockPairs on the broadcast cliff)
+      val pi = sh.as("x").hint("shuffle_merge").join(sh.as("y"),
           col("x.sh") === col("y.sh")
             && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("ni"))
-      pi.join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      // size join-backs: shuffle_hash, build on the 1-row/doc size side
+      // (sort-merge would sort the wide pair stream — see
+      // estimateAndVerify)
+      pi.join(sz.select(col("doc_id").as("a"), col("n").as("na"))
+          .hint("shuffle_hash"), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb"))
+          .hint("shuffle_hash"), "b")
         .withColumn("containment",
           round(col("ni").cast("double")
             / least(col("na"), col("nb")), 4))

@@ -130,6 +130,33 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
         }
     }
 
+  property("multiIndexCandidates(4x16, r=1) covers every pair within " +
+    "hamming 7, any fps, any dials") =
+    // the generator underneath sim_ann_lsh's ANN probe: pigeonhole says
+    // ≤7 errors over 4 blocks leave SOME block within 1 bit, so the
+    // candidate set must be a SUPERSET of the hamming-7 brute sweep
+    // (not equality — candidates beyond 7 legitimately surface and the
+    // consumer's cosine verify owns the cut)
+    Prop.forAll(genFpRows, genSalt, genHotW) { (rows, saltW, hotW) =>
+      val fp = rows.toDF("doc_id", "fp")
+      spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
+      spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+      try {
+        val got = ops.Text.multiIndexCandidates(fp, Seq(16, 16, 16, 16), 1)
+          .select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val need = (for {
+          (d1, f1) <- rows; (d2, f2) <- rows
+          if d1 < d2 && java.lang.Long.bitCount(f1 ^ f2) <= 7
+        } yield (d1, d2)).toSet
+        Prop((need -- got).isEmpty) :|
+          s"salt=$saltW hot=$hotW missing=${need -- got}"
+      } finally {
+        spark.conf.unset("spark.graft.lsh.saltBlocks")
+        spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+      }
+    }
+
   // the OTHER hand-rolled triangle decomposition (blocked exact all-pairs
   // in similarity.scala) earns the same law: every unordered id pair
   // reaches exactly one-or-two tasks with its payload columns still
