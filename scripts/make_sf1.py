@@ -47,8 +47,26 @@ copy — within-copy set similarities exactly preserved — while the plain
 a-z rotation would wrap to the identity at copy 26 and plant a full
 cross-copy duplicate corpus). Copies 0-25 use the ORIGINAL a-z rotation
 byte-for-byte, so default sf1 output is unchanged.
+
+copies > 36 (r12: the sf10 decade probe runs 100 copies) switches the
+per-copy text bijection from a rotation to a SEEDED PERMUTATION of the
+36-char alphabet (seed = copy index, so the fixture is deterministic):
+still a character bijection per copy — within-copy gram/shingle/set
+statistics exactly preserved — with 36! distinct permutations, so no
+copy pair shares the map. Cross-copy vocabularies are no longer
+provably disjoint (two permutations can incidentally agree on one
+word), but an 8-char shingle collides with probability ~36^-d — far
+below any near-dup threshold's candidate mass, and invisible to a
+timing probe. Embeddings keep the dim-rotation for copies < 64 and add
+a seeded per-copy ±1 sign-flip diagonal for copies >= 64: rotation
+alone repeats mod the 64 dims (copy 64 would duplicate copy 0's
+geometry exactly — a planted cross-copy exact-dup corpus), while
+rotation∘sign-flip is still an isometry (within-copy cosines, norms
+and cell geometry exactly preserved) that decorrelates every copy
+pair. Copies 0-63 are byte-identical to the pre-r12 construction.
 """
 import os
+import random
 import sys
 
 import pyarrow as pa
@@ -58,7 +76,7 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-assert COPIES <= 36, "document rotation is a bijection only up to 36 copies"
+assert COPIES <= 1000, "keep the fixture in the probe regime"
 
 ROT_TABLES = {"documents"}
 
@@ -69,9 +87,19 @@ def rotate_text(col: pa.ChunkedArray, k: int) -> pa.Array:
     26 <= k < 36 (the sf3 probe's extra copies)."""
     if k == 0:
         return col.combine_chunks()
-    src = "abcdefghijklmnopqrstuvwxyz" if k < 26 \
-        else "abcdefghijklmnopqrstuvwxyz0123456789"
-    dst = src[k:] + src[:k]
+    if k < 26:
+        src = "abcdefghijklmnopqrstuvwxyz"
+        dst = src[k:] + src[:k]
+    elif k < 36:
+        src = "abcdefghijklmnopqrstuvwxyz0123456789"
+        dst = src[k:] + src[:k]
+    else:
+        # seeded permutation: deterministic per copy, bijective, and no
+        # two copies share the map (rotation would wrap at 36)
+        src = "abcdefghijklmnopqrstuvwxyz0123456789"
+        chars = list(src)
+        random.Random(k).shuffle(chars)
+        dst = "".join(chars)
     py = col.to_pylist()
     table = str.maketrans(src, dst)
     return pa.array([None if t is None else t.translate(table) for t in py],
@@ -141,7 +169,16 @@ def main() -> None:
             ids = t.column("vec_id")
             parts = []
             for k in range(COPIES):
-                rot = [None if v is None else v[k:] + v[:k] for v in vecs]
+                r = k % 64
+                rot = [None if v is None else v[r:] + v[:r] for v in vecs]
+                if k >= 64:
+                    # rotation repeats mod the 64 dims; compose a seeded
+                    # ±1 diagonal (an isometry — within-copy geometry
+                    # exactly preserved) so no copy pair shares geometry
+                    rng = random.Random(1000 + k)
+                    signs = [rng.choice((1.0, -1.0)) for _ in range(64)]
+                    rot = [None if v is None else
+                           [x * s for x, s in zip(v, signs)] for v in rot]
                 parts.append(pa.table({
                     "vec_id": pc.add(ids, k * 10_000_000),
                     "embedding": pa.array(rot, type=t.schema.field(
