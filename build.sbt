@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sweep). Long-lived production executors compile a handful of hot
   // queries once; the flag restores that steady-state fidelity here.
   "-XX:CICompilerCount=16",
-)
+) ++
+  // dial/probe passthrough for bench runs, e.g.
+  // SPARK_GRAFT_EXTRA_OPTS="-Dspark.graft.simhash.maxDist=4" —
+  // SparkSession absorbs spark.* system properties into its conf
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -64,10 +64,16 @@ submit() { # submit <master> <outfile> <class> [args...]
          tail -30 "$outfile.err" >&2; exit 1; }
 }
 
+# GRAFT_SMOKE_KEYS: comma list, or "all" for the full SparkEntry
+# surface (195 keys + flagship) — the per-round default stays the
+# 30-key representative subset for speed
+SMOKE_KEYS=${GRAFT_SMOKE_KEYS:-}
 echo "== graft.Smoke under local[8] =="
-submit 'local[8]' "$OUT/local.txt" graft.Smoke "$SF"
+submit 'local[8]' "$OUT/local.txt" graft.Smoke "$SF" \
+  ${SMOKE_KEYS:+"$SMOKE_KEYS"}
 echo "== graft.Smoke under $MASTER_URL (2 workers) =="
-submit "$MASTER_URL" "$OUT/cluster.txt" graft.Smoke "$SF"
+submit "$MASTER_URL" "$OUT/cluster.txt" graft.Smoke "$SF" \
+  ${SMOKE_KEYS:+"$SMOKE_KEYS"}
 
 grep '^SMOKE' "$OUT/local.txt"   > "$OUT/local.smoke"
 grep '^SMOKE' "$OUT/cluster.txt" > "$OUT/cluster.smoke"

@@ -48,8 +48,13 @@ object Smoke {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // "all" = the full SparkEntry surface plus the flagship MR job — the
+    // strongest cluster proof the harness can produce (every key's hash
+    // compared local[*] vs real multi-JVM workers)
     val keys =
-      if (args.length > 1) args(1).split(",").map(_.trim).toSeq
+      if (args.length > 1 && args(1) == "all")
+        SparkEntry.queries.keys.toSeq.sorted :+ "flagship"
+      else if (args.length > 1) args(1).split(",").map(_.trim).toSeq
       else DefaultKeys
     // no .master() here: spark-submit supplies it — standalone-vs-local
     // is the very thing under test

@@ -150,14 +150,18 @@ object Graph {
     // Persisted: the deg materialization and the ce degree-attach join
     // both read this relation (the r0 seed reads the separately-persisted
     // deg) — un-cached each reader would recompute the caller's edge
-    // derivation. Join strategy per iteration is left
-    // to the planner ON PURPOSE: with accurate cache stats it broadcasts
-    // the rank relation while it fits (the fast local plan) and falls
-    // back to a shuffle join aligned with the cached hash(src)
-    // partitioning when node count outgrows the threshold (the 100 TB
-    // plan — only ranks move, the edge side stays put). A window-count
-    // degree variant that pinned the SMJ-off-cache plan measured 3-6×
-    // slower at bench scale for zero scale benefit.
+    // derivation. Join strategy per iteration: the rank relation GROWS
+    // WITH THE GRAPH (one row per source node), so it must never sit on
+    // the adaptive broadcast cliff (ops/text.scala hammingBlockPairs —
+    // the r12 rule: a corpus-growing side is never broadcast). Measured
+    // at sf10 (2.1M nodes): the planner-chosen plan was bimodal 117/221 s
+    // across identical runs — the slow mode repeatedly building hashed
+    // rank relations on the single-threaded driver — vs deterministic
+    // shuffle plans at 161 s. The pin is shuffle_HASH with the build on
+    // the rank side: the ce side stays on its cached hash(src)
+    // partitioning (no re-shuffle, no sort of the edge stream), only
+    // rank-sized relations move — the same plan a 1000-executor cluster
+    // needs, now also the plan the bench measures.
     val e = InternalCaches.persistTracked(edges, eager = true)
     val deg = InternalCaches.persistTracked(
       e.groupBy("src").agg(count(lit(1)).as("d")), eager = true)
@@ -165,7 +169,8 @@ object Graph {
       e.join(deg, "src").repartition(col("src")), eager = true)
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
-      val contribs = ce.join(ranks, ce("src") === ranks("node"))
+      val contribs = ce.join(ranks.hint("shuffle_hash"),
+          ce("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("d")).as("c"))
       // Re-key on the FULL source-node set, not just contribution
@@ -178,7 +183,8 @@ object Graph {
       // skips dangling redistribution: rank is computed over nodes
       // that can propagate. Both-direction callers are unaffected.)
       ranks = deg.select(col("src").as("node"))
-        .join(contribs, col("node") === col("dst"), "left")
+        .join(contribs.hint("shuffle_hash"),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
     }
@@ -225,11 +231,20 @@ object Graph {
       // persistTrackedCounted: the materializing count IS the loop
       // condition — eager + a separate isEmpty probe was two jobs per
       // hop for one number
+      // Both the frontier and the visited set GROW WITH THE GRAPH (on a
+      // dense graph the 2nd frontier is already most nodes) — shuffle
+      // pins on both joins, same broadcast-cliff rule as pagerank above.
+      // Measured at sf10: the planner-chosen plan broadcast the ~1M-node
+      // frontier/visited relations, 87.6 s vs 44.9 s with shuffle plans.
+      // Build sides: the frontier against the cached hash(src) edge
+      // partitioning (edges never move), the visited set for the anti.
       val (next, n) = InternalCaches.persistTrackedCounted(
-        frontier.as("f").join(e.as("g"), col("f.node") === col("g.src"))
+        frontier.as("f").hint("shuffle_hash")
+          .join(e.as("g"), col("f.node") === col("g.src"))
           .select(col("g.dst").as("node")).distinct()
           .as("x")
-          .join(visited.as("v"), col("x.node") === col("v.node"),
+          .join(visited.as("v").hint("shuffle_hash"),
+            col("x.node") === col("v.node"),
             "left_anti")
           .withColumn("hops", lit(h)))
       // Early exit on an exhausted frontier: the remaining hops would
