@@ -100,9 +100,16 @@ object Graph {
       e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg")),
       eager = true)
+    // The degree relation is node-sized — corpus-growing, so the two
+    // attach joins carry the same shuffle_hash pin as pagerank's rank
+    // joins (broadcast-cliff rule; the planner-chosen plan was bimodal
+    // 105/208 s at sf10 building 2.1M-node hashed relations on the
+    // driver)
     val withDeg = e
-      .join(deg.withColumnsRenamed(Map("node" -> "u", "deg" -> "du")), "u")
-      .join(deg.withColumnsRenamed(Map("node" -> "v", "deg" -> "dv")), "v")
+      .join(deg.withColumnsRenamed(Map("node" -> "u", "deg" -> "du"))
+        .hint("shuffle_hash"), "u")
+      .join(deg.withColumnsRenamed(Map("node" -> "v", "deg" -> "dv"))
+        .hint("shuffle_hash"), "v")
     val ku = struct(col("du").as("kd"), col("u").as("kid"))
     val kv = struct(col("dv").as("kd"), col("v").as("kid"))
     // Pre-partitioned by src: the wedge self-join then reads a
