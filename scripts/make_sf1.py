@@ -40,27 +40,30 @@ generation is current:
 Usage: make_sf1.py [src_dir] [dst_dir] [copies]
        (defaults sf0.1 -> /tmp/graft_sf1, 10 copies)
 
-copies > 10 (r11: the sf3 exponent probe runs 30 copies of sf0.1) keeps
-every per-copy construction; document rotation switches to an a-z0-9
-36-character rotation for copies >= 26 (still a character bijection per
-copy — within-copy set similarities exactly preserved — while the plain
-a-z rotation would wrap to the identity at copy 26 and plant a full
-cross-copy duplicate corpus). Copies 0-25 use the ORIGINAL a-z rotation
-byte-for-byte, so default sf1 output is unchanged.
+copies > 25 (r11 ran 30 copies for the sf3 probe; r12 runs 100 for the
+sf10 decade probe) switch the per-copy text bijection from a rotation
+to a SEEDED LETTER-ONLY PERMUTATION of a-z (seed = copy index, so the
+fixture is deterministic): still a character bijection per copy —
+within-copy gram/shingle/set statistics exactly preserved — with 26!
+distinct permutations, so no copy pair shares the map and the map is
+never the identity in practice. Letters map to LETTERS on purpose: the
+first cut rotated a-z0-9, and the r12 sf10 bench showed digit-mixed
+copies distort character-class statistics (regex keys matching
+[a-z]+/[0-9]+ runs did ~20x the match work on permuted docs — phantom
+superlinearity on map-only keys). Cross-copy vocabularies are no
+longer provably disjoint (two permutations can incidentally agree on a
+word), but an 8-char shingle collides with probability ~26^-d — far
+below any near-dup threshold's candidate mass, invisible to a timing
+probe. Copies 0-25 use the ORIGINAL a-z rotation byte-for-byte, so the
+default sf1 output is unchanged. (The committed r11/r12 sf3 numbers
+were measured on the earlier a-z0-9-rotation fixture; 4 of its 30
+copies carried digit-rotated text — a ~13 % admixture, noted in
+BASELINE.md.)
 
-copies > 36 (r12: the sf10 decade probe runs 100 copies) switches the
-per-copy text bijection from a rotation to a SEEDED PERMUTATION of the
-36-char alphabet (seed = copy index, so the fixture is deterministic):
-still a character bijection per copy — within-copy gram/shingle/set
-statistics exactly preserved — with 36! distinct permutations, so no
-copy pair shares the map. Cross-copy vocabularies are no longer
-provably disjoint (two permutations can incidentally agree on one
-word), but an 8-char shingle collides with probability ~36^-d — far
-below any near-dup threshold's candidate mass, and invisible to a
-timing probe. Embeddings keep the dim-rotation for copies < 64 and add
-a seeded per-copy ±1 sign-flip diagonal for copies >= 64: rotation
-alone repeats mod the 64 dims (copy 64 would duplicate copy 0's
-geometry exactly — a planted cross-copy exact-dup corpus), while
+Embeddings keep the dim-rotation for copies < 64 and add a seeded
+per-copy ±1 sign-flip diagonal for copies >= 64: rotation alone
+repeats mod the 64 dims (copy 64 would duplicate copy 0's geometry
+exactly — a planted cross-copy exact-dup corpus), while
 rotation∘sign-flip is still an isometry (within-copy cosines, norms
 and cell geometry exactly preserved) that decorrelates every copy
 pair. Copies 0-63 are byte-identical to the pre-r12 construction.
@@ -90,13 +93,18 @@ def rotate_text(col: pa.ChunkedArray, k: int) -> pa.Array:
     if k < 26:
         src = "abcdefghijklmnopqrstuvwxyz"
         dst = src[k:] + src[:k]
-    elif k < 36:
-        src = "abcdefghijklmnopqrstuvwxyz0123456789"
-        dst = src[k:] + src[:k]
     else:
-        # seeded permutation: deterministic per copy, bijective, and no
-        # two copies share the map (rotation would wrap at 36)
-        src = "abcdefghijklmnopqrstuvwxyz0123456789"
+        # seeded LETTER-ONLY permutation: deterministic per copy,
+        # bijective, no two copies share the map. Letters must map to
+        # letters: the first >26-copy cut rotated a-z0-9, and the r12
+        # sf10 bench showed the digit-mixed copies change CHARACTER-CLASS
+        # statistics — regex keys matching [a-z]+/[0-9]+ runs did ~20x
+        # the match work on permuted docs, reading as phantom exp 1.3-1.7
+        # superlinearity on map-only keys. A letter permutation preserves
+        # the character-class profile exactly along with the gram/shingle
+        # statistics. (Identity is excluded for any k: Random(k).shuffle
+        # of 26 elements yields the identity with P = 1/26!.)
+        src = "abcdefghijklmnopqrstuvwxyz"
         chars = list(src)
         random.Random(k).shuffle(chars)
         dst = "".join(chars)

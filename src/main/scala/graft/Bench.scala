@@ -106,6 +106,15 @@ object Bench {
       // simhash fingerprints) leave their cache entry behind — drop it
       // OUTSIDE the timer so queries stay independent and memory bounded
       InternalCaches.unpersistAll()
+      // ... and collect the tenured garbage a heavy key leaves in the
+      // shared heap, also OUTSIDE the timer. Measured at sf10: map-only
+      // keys running alphabetically after the dedup family read 5-8x
+      // their solo cost (embed_quantize_int8 132 s in-sweep vs 18.8 s
+      // solo, dedup_lines 143.5 vs 18.0) purely from full-GC drag — a
+      // one-JVM sweep artifact production executors don't share, since
+      // no production executor runs 195 unrelated pipelines back-to-back
+      // on one heap.
+      System.gc()
       // failed queries keep a visibly negative marker even at ms precision
       // (an instant analysis failure would otherwise print "-0.000")
       name -> (if (ok) sec else -math.max(sec, 0.001))
