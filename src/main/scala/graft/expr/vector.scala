@@ -92,15 +92,23 @@ case class DotProduct(left: Expression, right: Expression)
   * probability 1 − θ/π (Goemans–Williamson), so fixed-width bands of the
   * sketch give an equi-joinable LSH bucket key for approximate
   * nearest-neighbor search — the same candidate-generation shape as the
-  * text sketches. Band width is the consumer's selectivity/recall dial:
-  * `sim_ann_lsh` uses 8-bit bands and documents why narrower ones admit
-  * most of the corpus.
+  * text sketches. Band width is the consumer's selectivity/recall dial —
+  * see `sim_ann_lsh` for the capacity math that sizes it.
+  *
+  * `seed` selects an independent hyperplane family: two seeds give two
+  * independent 64-bit sketches, i.e. a 128-bit sketch as two longs —
+  * the r12 capacity fix for `sim_ann_lsh`, whose 64-bit key space
+  * saturated at the sf10 decade (2¹⁶-value band vocabulary at 200 k
+  * vectors). Collision probability per bit is 1 − θ/π regardless of
+  * seed, so the concatenated sketch keeps the Goemans–Williamson
+  * geometry with double the concentration.
   *
   * One codegen'd pass: per dimension one 8-byte hash + 64 signed
   * accumulator updates; null elements contribute nothing (same contract
   * as [[MinHashSignature]]).
   */
-case class SignSketch64(child: Expression) extends UnaryExpression {
+case class SignSketch64(child: Expression, seed: Long = 42L)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -118,7 +126,7 @@ case class SignSketch64(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = arr.getDouble(i)
-        val h = XXH64.hashLong(i.toLong, 42L)
+        val h = XXH64.hashLong(i.toLong, seed)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) acc(j) += x else acc(j) -= x
@@ -149,7 +157,7 @@ case class SignSketch64(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) continue;  // null dim: no vote
          |  double $x = $a.getDouble($i);
-         |  long $h = $xxh.hashLong((long) $i, 42L);
+         |  long $h = $xxh.hashLong((long) $i, ${seed}L);
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $acc[$j] += $x; else $acc[$j] -= $x;
          |  }
@@ -339,9 +347,11 @@ object VectorExprs {
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** 64-bit hyperplane sign sketch of an array<double> vector. */
-  def signSketch64(v: Column): Column =
-    GraftSqlBridge.column(SignSketch64(GraftSqlBridge.expression(v)))
+  /** 64-bit hyperplane sign sketch of an array<double> vector; distinct
+    * `seed`s draw independent hyperplane families (see [[SignSketch64]]).
+    */
+  def signSketch64(v: Column, seed: Long = 42L): Column =
+    GraftSqlBridge.column(SignSketch64(GraftSqlBridge.expression(v), seed))
 
   /** (cid, d²) of every packed centroid, sorted by (d², cid) ascending. */
   def centroidScores(v: Column, cents: Column): Column =

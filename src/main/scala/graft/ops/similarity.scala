@@ -471,26 +471,45 @@ object Similarity {
     // (Text.multiIndexCandidates): 4 bands of 16 bits as 65 536-way
     // index keys posted exactly, the query side probing every key
     // within 1 bit flip (17 masks/band — the simhash machinery at ANN
-    // dials), then exact rounded cosine + top-3 per query. Per-bit
-    // collision P is 1 − θ/π, so a clone pair at cos ≈ 0.995 (P ≈ 0.97)
-    // agrees to ≤1 bit on some band with P(miss) ≈ (1−0.92)⁴ ≈ 5e-5,
-    // while a random pair passes a band with P ≈ 17/65536 — ×4 bands
-    // ≈ 0.1 % of all pairs. The r11 8-bit-band form keyed a FIXED
-    // 256-value vocabulary per band: collision mass 8·n²/256 — the sf3
-    // exponent probe measured it at 2.62 on 3× data (14→250 s), the
-    // same fixed-vocabulary Ω(n²/K) class as the retired label-only
-    // sim_ann_ivf; the 16-bit multi-probe keys cut candidates ~30× at
-    // equal clone recall and leave the quadratic constant 256× smaller.
+    // dials), then a SECOND-SKETCH verify (r12), then exact rounded
+    // cosine + top-3 per query. Per-bit collision P is 1 − θ/π, so a
+    // clone pair at cos ≈ 0.995 (P ≈ 0.97) agrees to ≤1 bit on some
+    // band with P(miss) ≈ (1−0.92)⁴ ≈ 5e-5, while a random pair passes
+    // a band with P ≈ 17/65536 — ×4 bands ≈ 0.1 % of all pairs.
+    //
+    // CAPACITY LADDER, each rung measured: the r11 8-bit-band form keyed
+    // a FIXED 256-value vocabulary (collision mass 8·n²/256 — sf3
+    // exponent 2.62, 14→250 s); the r12 16-bit multi-probe rebuild cut
+    // the quadratic constant 256× but the 2¹⁶-value vocabulary still
+    // saturated at the sf10 decade (collision mass 68·n²/2¹⁶ ≈ 4e7
+    // candidate rows at 200 k vectors — solo 121 s, exponent 1.55, ALL
+    // of it spent shuffling raw candidates through distinct + two
+    // float[64] join-backs + the window sort). The r12 second-sketch
+    // cascade keeps the band probe EXACTLY as-is (it is the recall
+    // guarantee: any pair within 7 bits on sketch A is caught by
+    // pigeonhole) and threads an INDEPENDENT seed-split sketch B through
+    // the postings (multiIndexCandidates carry), cutting on combined
+    // 128-bit hamming INSIDE the join's output stage — codegen-fused,
+    // zero extra shuffle. Random pairs sit at hamming₁₂₈ ~ Binom(128,½)
+    // = 64 ± 5.7 while clone pairs measure 8–14, so the cut at 24 is
+    // > 7σ below the noise mean (P ≈ 1e-12): everything DOWNSTREAM of
+    // the band join — the distinct's wide shuffle, both vector
+    // join-backs, the window — is output-sized at any corpus size. What
+    // remains quadratic is only the in-stage bit_count stream itself
+    // (68·n²/2¹⁶ register ops, no shuffle, no memory): ~4e7 at 200 k
+    // vectors, compute-bound at ~10⁹/s/core — the next wall is 3
+    // decades out and it is CPU, not shuffle.
+    //
     // Moderate-cos neighbors (θ ≈ 60°) are NOT this operator's
     // contract — that regime belongs to `sim_ann_ivf`, which partitions
     // by data clusters instead of hash geometry (see AccuracySpec's
     // recall law). Two persists, matched to the read pattern: the
     // (vec_id, v, nrm) relation feeds both verification joins, and the
-    // 16-byte/row (vec_id, sk) sketch relation feeds the THREE branches
-    // of the salted multi-index join (hot-key agg + exact/variant
-    // sides) — uncached, the 64-hyperplane sketch would re-run per
-    // branch. Rows-only driver check (hash hyperplanes aren't
-    // expressible in the oracle); recall law in AccuracySpec.
+    // 24-byte/row (vec_id, skA, skB) sketch relation feeds the THREE
+    // branches of the salted multi-index join (hot-key agg +
+    // exact/variant sides) — uncached, the two 64-hyperplane sketches
+    // would re-run per branch. Rows-only driver check (hash hyperplanes
+    // aren't expressible in the oracle); recall law in AccuracySpec.
     "sim_ann_lsh" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       // rebalance BEFORE the sketch: a one-split parquet input would pin
@@ -507,12 +526,27 @@ object Similarity {
       val sk = graft.InternalCaches.persistTracked(
         v.select(col("vec_id").as("doc_id"),
           coalesce(graft.expr.VectorExprs.signSketch64(col("v")), lit(0L))
-            .as("fp")), eager = true)
+            .as("fp"),
+          // seed splits an independent hyperplane family (splitmix64
+          // golden gamma — any constant ≠ 42 works): sketch B only
+          // VERIFIES, so its nullability never reaches a join key, but
+          // coalesce anyway for the codegen null-check-free fast path
+          coalesce(graft.expr.VectorExprs.signSketch64(col("v"),
+            seed = 0x9E3779B97F4A7C15L), lit(0L)).as("fp2")),
+        eager = true)
+      // the 128-bit cut: `hamming` is sketch A's distance from the band
+      // join; fp2_a/fp2_b ride the carry. The filter fuses into the
+      // join's output stage (whole-stage codegen), so the distinct —
+      // the first shuffle of the candidate stream — sees survivors only.
+      val maxD = Text.intConf(sk, "spark.graft.annlsh.maxDist", 24)
       // unordered collision pairs → both orientations (top-k is per
       // query). Emitted via ONE explode, not a self-union: a union would
       // reference the candidate subtree (hot agg, multi-index join,
       // distinct) twice and execute it twice.
-      val cand = Text.multiIndexCandidates(sk, Seq(16, 16, 16, 16), 1)
+      val cand = Text.multiIndexCandidates(sk, Seq(16, 16, 16, 16), 1,
+          carry = Seq("fp2"))
+        .filter(col("hamming") +
+          bit_count(col("fp2_a").bitwiseXOR(col("fp2_b"))) <= maxD)
         .select(col("a"), col("b")).distinct()
         .select(explode(array(
           struct(col("a").as("vec_id"), col("b").as("nbr_id")),

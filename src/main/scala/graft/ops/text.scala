@@ -530,9 +530,9 @@ object Text {
     * still Θ(n²) on a uniform corpus; no blocking escapes that, because
     * the THRESHOLD admits that many pairs. A production web-scale
     * corpus runs simhash dedup at k ≤ 3 (Manku et al.'s crawl setting),
-    * where the adaptive variant radius (⌊maxDist/5⌋ — exact block
-    * probes below hamming 5) passes ~5/8192 ≈ 0.06 % of random pairs
-    * and the candidate stream is output-sized, not corpus-squared —
+    * which routes to the PAIR-BLOCK index ([[pairBlockPairs]], r12 —
+    * 15 tables of 21-bit keys, ~15/2²¹ ≈ 7e-6 of random pairs) so the
+    * candidate stream stays output-sized, not corpus-squared —
     * `spark.graft.simhash.maxDist` is that dial, and BASELINE.md's r12
     * section records ITS measured sf1 cost next to the default's, so
     * the dial's claimed benefit is a number, not a prediction. The
@@ -561,10 +561,64 @@ object Text {
     // the variant radius SCALES with the threshold: pigeonhole puts
     // some block within ⌊maxDist/5⌋ errors, so radius 2 (447 masks/doc)
     // is needed only for maxDist 10–14; at the production dial
-    // (maxDist ≤ 4, Manku's k ≤ 3) the index keys are probed EXACTLY
-    multiIndexCandidates(fp, Seq(13, 13, 13, 13, 12), maxDist / 5)
+    // (maxDist ≤ 4, Manku's k ≤ 3) the PAIR-BLOCK index applies — 21-bit
+    // keys instead of 13-bit, an ~85× candidate cut (see
+    // [[pairBlockPairs]] for the sf10 evidence that forced it)
+    if (maxDist <= 4) pairBlockPairs(fp, maxDist)
+    else multiIndexCandidates(fp, Seq(13, 13, 13, 13, 12), maxDist / 5)
       .filter(col("hamming") <= maxDist)
       .distinct()
+  }
+
+  /** Pair-block Hamming index for the PRODUCTION dial (maxDist ≤ 4,
+    * Manku et al.'s crawl regime): the 64-bit fingerprint splits into
+    * SIX blocks (11/11/11/11/10/10 bits) and the index keys on every
+    * PAIR of blocks — C(6,2) = 15 tables of 20–22-bit keys, posted
+    * exactly on both sides (no variant enumeration at all; the salted
+    * triangular self-join is [[saltedBandPairs]], the same machinery
+    * as the MinHash bands). Recall-completeness is the counting
+    * pigeonhole: d ≤ 4 errors touch at most 4 of the 6 blocks, so at
+    * least TWO blocks are clean and their pair key matches exactly.
+    * (d = 5 can touch 5 blocks leaving one clean block but no clean
+    * pair — the bound is tight, hence the ≤ 4 gate.)
+    *
+    * Why this exists (sf10 decade probe, r12): the 5×13-bit exact-probe
+    * path saturates once n ≫ 2¹³ — uniform collision mass 5·n²/2¹³
+    * reached 1.5e8 candidates at 500 k docs and `dedup_simhash`'s
+    * production dial would have inherited the default dial's quadratic
+    * wall one decade later. Pair keys push the saturation point from
+    * n ~ 2¹³ to n ~ 2²¹ (collision mass 15·n²/2²¹ — ~85× fewer
+    * candidates at any n), with CHEAPER postings than the 5-block path
+    * (15 rows/doc on both sides, vs 5 exact + up-to-447 variant).
+    * Identical-fingerprint template clusters still concentrate in one
+    * bucket regardless of key width — the hot-key salting inside
+    * [[saltedBandPairs]] (shared with the MinHash bands) scatters them;
+    * the brute-force equality law (SaltLawSpec) sweeps maxDist 0 and 3
+    * through this path against planted mega-clusters.
+    */
+  private[graft] def pairBlockPairs(fp: DataFrame, maxDist: Int)
+      : DataFrame = {
+    require(maxDist <= 4, "pair-block keys are recall-complete only " +
+      s"up to hamming 4 (6 blocks, ≥2 clean), got $maxDist")
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    def blockVal(i: Int): Column =
+      shiftrightunsigned(col("fp"), shifts(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val pairs = for { i <- 0 until 6; j <- i + 1 until 6 } yield (i, j)
+    val bands = fp.select(col("doc_id"), col("fp"),
+        posexplode(array(pairs.map { case (i, j) =>
+          shiftleft(blockVal(i), widths(j)).bitwiseOR(blockVal(j))
+        }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bhash")
+    // the hamming cut runs in the PRUNE slot — before saltedBandPairs'
+    // closing distinct, so the wide shuffle sees survivors only
+    saltedBandPairs(bands, carry = Seq("fp"),
+        prune = _.filter(
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist))
+      .select(col("a"), col("b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
   }
 
   /** The multi-index candidate generator underneath [[hammingBlockPairs]]
@@ -577,9 +631,16 @@ object Text {
     * distinct keeps the wide shuffle on survivors, not candidates).
     * Pigeonhole: the candidate set is complete for any hamming cut
     * ≤ (radius+1)·|widths| − 1.
+    *
+    * `carry` names extra columns of `fp` to thread through both posting
+    * relations and emit as `<c>_a`/`<c>_b` on each candidate row — the
+    * r12 hook for `sim_ann_lsh`'s second-sketch verify, whose cut must
+    * run INSIDE the join's output stage (a filter chained onto the
+    * returned frame fuses there under whole-stage codegen) rather than
+    * after a join-back that would shuffle the raw candidate stream.
     */
   private[graft] def multiIndexCandidates(fp: DataFrame, widths: Seq[Int],
-      radius: Int): DataFrame = {
+      radius: Int, carry: Seq[String] = Nil): DataFrame = {
     val shifts = widths.scanLeft(0)(_ + _).init
     def blockVal(i: Int): Column =
       shiftrightunsigned(col("fp"), shifts(i))
@@ -595,8 +656,9 @@ object Text {
     // here measured 2× on the whole key at sf1: the InMemoryRelation
     // boundary costs columnar materialization and denies the planner the
     // fused scan→explode→join pipeline on the index side)
-    val exact = fp.select(col("doc_id"), col("fp"),
-        posexplode(array((0 until widths.size).map(blockVal): _*)))
+    val cc = carry.map(col)
+    val exact = fp.select(Seq(col("doc_id"), col("fp")) ++ cc :+
+        posexplode(array((0 until widths.size).map(blockVal): _*)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
     // hot-key list is tiny by construction (distinct over-width keys) —
@@ -630,23 +692,26 @@ object Text {
       }
       .otherwise(blockVal(widths.size - 1))
       .bitwiseXOR(col("m"))
-    val variants = fp.select(col("doc_id"), col("fp"),
-        explode(typedlit(masks)).as("bm"))
-      .select(col("doc_id"), col("fp"),
+    val variants = fp.select(Seq(col("doc_id"), col("fp")) ++ cc :+
+        explode(typedlit(masks)).as("bm"): _*)
+      .select(Seq(col("doc_id"), col("fp")) ++ cc ++ Seq(
         coalesce(col("bm._1"), lit(0)).as("band"),
-        coalesce(col("bm._2"), lit(0L)).as("m"))
-      .select(col("doc_id"), col("fp"), col("band"), keyExpr.as("key"))
+        coalesce(col("bm._2"), lit(0L)).as("m")): _*)
+      .select(Seq(col("doc_id"), col("fp")) ++ cc ++
+        Seq(col("band"), keyExpr.as("key")): _*)
     val exactS = exact.join(broadcast(hot), Seq("band", "key"), "left")
-      .select(col("doc_id"), col("fp"), col("band"), col("key"),
-        when(col("is_hot").isNotNull,
-          xxhash64(col("doc_id")).bitwiseAND(lit(saltBlocks - 1))
-            .cast("int"))
-          .otherwise(lit(0)).as("salt"))
+      .select(Seq(col("doc_id"), col("fp")) ++ cc ++
+        Seq(col("band"), col("key"),
+          when(col("is_hot").isNotNull,
+            xxhash64(col("doc_id")).bitwiseAND(lit(saltBlocks - 1))
+              .cast("int"))
+            .otherwise(lit(0)).as("salt")): _*)
     val varS = variants.join(broadcast(hot), Seq("band", "key"), "left")
-      .select(col("doc_id"), col("fp"), col("band"), col("key"),
-        explode(when(col("is_hot").isNotNull,
-            sequence(lit(0), lit(saltBlocks - 1)))
-          .otherwise(array(lit(0)))).as("salt"))
+      .select(Seq(col("doc_id"), col("fp")) ++ cc ++
+        Seq(col("band"), col("key"),
+          explode(when(col("is_hot").isNotNull,
+              sequence(lit(0), lit(saltBlocks - 1)))
+            .otherwise(array(lit(0)))).as("salt")): _*)
     // SHUFFLE-STRATEGY PIN (r12): both posting relations grow with the
     // corpus (5 and 447 rows/doc). Near the adaptive broadcast
     // threshold their measured compressed size makes AQE flip-flop the
@@ -664,8 +729,10 @@ object Text {
         col("q.key") === col("x.key") &&
         col("q.salt") === col("x.salt") &&
         col("q.doc_id") < col("x.doc_id"))
-      .select(col("q.doc_id").as("a"), col("x.doc_id").as("b"),
-        bit_count(col("q.fp").bitwiseXOR(col("x.fp"))).as("hamming"))
+      .select(Seq(col("q.doc_id").as("a"), col("x.doc_id").as("b"),
+        bit_count(col("q.fp").bitwiseXOR(col("x.fp"))).as("hamming")) ++
+        carry.flatMap(c => Seq(
+          col(s"q.$c").as(s"${c}_a"), col(s"x.$c").as(s"${c}_b"))): _*)
   }
 
   /** Banded MinHash-LSH near-dup pairs over a (doc_id, s: array<string>)

@@ -17,7 +17,12 @@ class AccuracySpec extends SparkSpec {
     // and the +0.2 perturbation flips 4-7 sketch bits on this fixture
     // (measured; the r11 law's +0.5 flipped 10-17, which the old
     // 8-bit-band scheme only paired by deterministic luck: at 13+ flips
-    // its collision probability was ≈ 50%). ANN must pair every clone
+    // its collision probability was ≈ 50%). The r12 second-sketch
+    // cascade adds a combined 128-bit hamming cut at 24: both sketches
+    // flip at the same per-bit rate, so a clone pair sits at 8-14 of
+    // 128 — the cut passes it with ≥ 10 bits of margin while sitting
+    // > 7σ below the random-pair mean of 64, so the law stays
+    // effectively deterministic end-to-end. ANN must pair every clone
     // with its source, at rank 1. The fixture's own cos-0.5 "neighbors"
     // are NOT the ANN contract: at θ ≈ 60° a sign sketch can't separate
     // them from noise, which is exactly why the moderate-similarity

@@ -150,6 +150,30 @@ class ExprSpec extends SparkSpec {
     assert(!r.isNullAt(3) && !r.isNullAt(4))
   }
 
+  test("SignSketch64 seeds draw independent hyperplane families") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two seeds over the same vectors must give sketches that are
+    // neither equal nor complementary — mean cross-seed hamming near 32
+    // of 64 (independent families), while each family stays internally
+    // deterministic. This is the premise of sim_ann_lsh's 128-bit
+    // verify cascade: the combined distance of a random pair must
+    // concentrate at 64 of 128, which requires family independence.
+    val vecs = (1 to 64).map(i => Seq.tabulate(16)(j =>
+      math.sin(i * 31 + j * 7).toDouble)).toDF("v")
+    val sk = vecs.select(
+      graft.expr.VectorExprs.signSketch64(col("v")).as("a"),
+      graft.expr.VectorExprs.signSketch64(col("v"),
+        seed = 0x9E3779B97F4A7C15L).as("b"))
+    val ham = sk.select(bit_count(col("a").bitwiseXOR(col("b")))
+      .as("h")).as[Int].collect()
+    val mean = ham.sum.toDouble / ham.length
+    assert(mean > 20 && mean < 44,
+      s"cross-seed hamming mean $mean must concentrate near 32/64")
+    assert(ham.exists(_ != ham.head) || ham.length < 2,
+      "cross-seed distances must vary across vectors")
+  }
+
   test("sketch expressions tolerate null array elements from user SQL") {
     GraftFunctions.register(spark)
     // a null feature contributes nothing to a set sketch — same result as
