@@ -44,7 +44,14 @@ object Smoke {
     "graph_shortest_path", "stream_session", "stream_watermark_late",
     "sink_parquet_partitioned", "join_partition_pruned",
     "mm_shard_manifest_global", "text_bpe_encode", "agg_percentile",
-    "text_contamination")
+    "text_contamination",
+    // r12 capacity fixes: the second-sketch carry cascade (seeded
+    // SignSketch64 codegen + carry columns through the salted postings)
+    // and the production-dial pair-block simhash index — both new join
+    // shapes must serialize across real JVM boundaries too. The `@4`
+    // suffix runs dedup_simhash under spark.graft.simhash.maxDist=4,
+    // the dial that routes to Text.pairBlockPairs.
+    "sim_ann_lsh", "dedup_simhash@4")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -84,7 +91,19 @@ object Smoke {
           val hash = md.digest().map("%02x".format(_)).mkString
           println(s"SMOKE flagship rows=${got.size} hash=$hash")
         } else {
-          val df = SparkEntry.queries(k)(spark, sfDir)
+          // "<key>@<n>" runs <key> under spark.graft.simhash.maxDist=<n>
+          // for the duration of the key — the smoke's one dial, used to
+          // drive the production pair-block index path
+          val (qk, dial) = k.split("@") match {
+            case Array(base, d) => (base, Some(d))
+            case _ => (k, None)
+          }
+          dial.foreach(d =>
+            spark.conf.set("spark.graft.simhash.maxDist", d))
+          val df =
+            try SparkEntry.queries(qk)(spark, sfDir)
+            finally dial.foreach(_ =>
+              spark.conf.unset("spark.graft.simhash.maxDist"))
           val cols = df.columns.sorted
           // JSON per row (stable for nested arrays/structs/timestamps
           // under the UTC session), then sort — row order is not part of
