@@ -40,4 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dial/probe passthrough for bench runs, e.g.
   // SPARK_GRAFT_EXTRA_OPTS="-Dspark.graft.simhash.maxDist=4" —
   // SparkSession absorbs spark.* system properties into its conf
-  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+"))
+  // filter(_.nonEmpty): an empty or space-padded value would otherwise
+  // emit an empty-string java option, which the launcher reads as the
+  // main class — aborting every forked run
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq
+    .flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -86,8 +86,10 @@ ROT_TABLES = {"documents"}
 
 def rotate_text(col: pa.ChunkedArray, k: int) -> pa.Array:
     """Rotate a character alphabet by k (bijection; other chars untouched):
-    a-z for k < 26 (the original sf1 construction, unchanged), a-z0-9 for
-    26 <= k < 36 (the sf3 probe's extra copies)."""
+    a-z rotation for k < 26 (the original sf1 construction, unchanged);
+    a seeded a-z-ONLY permutation for k >= 26 (the sf10 probe's extra
+    copies — letters map to letters, see the module header for why the
+    earlier a-z0-9 rotation was retired)."""
     if k == 0:
         return col.combine_chunks()
     if k < 26:

@@ -28,12 +28,17 @@ if command -v ss >/dev/null 2>&1 && ss -ltn | awk '{print $4}' \
   exit 1
 fi
 
-mkdir -p "$OUT"/logs "$OUT"/pids "$OUT"/work
+# pid/log dirs are PER-PORT: with a shared OUT dir and only the port
+# overridden, a shared pid dir would make start-master.sh fail on the
+# other run's pid file and the EXIT trap would then stop THAT run's
+# master — the cross-run kill the port pre-flight alone cannot prevent
+RUNDIR="$OUT/run-$MASTER_PORT"
+mkdir -p "$RUNDIR"/logs "$RUNDIR"/pids "$OUT"/work
 JAR=$(ls "$REPO"/target/scala-2.13/*.jar 2>/dev/null | head -1) \
   || { echo "run 'sbt package' first" >&2; exit 1; }
 
 export SPARK_MASTER_HOST=127.0.0.1
-export SPARK_LOG_DIR="$OUT/logs" SPARK_PID_DIR="$OUT/pids"
+export SPARK_LOG_DIR="$RUNDIR/logs" SPARK_PID_DIR="$RUNDIR/pids"
 
 cleanup() {
   SPARK_IDENT_STRING=w2 "$SPARK_HOME/sbin/stop-worker.sh" || true

@@ -60,7 +60,10 @@ object Smoke {
     // compared local[*] vs real multi-JVM workers)
     val keys =
       if (args.length > 1 && args(1) == "all")
-        SparkEntry.queries.keys.toSeq.sorted :+ "flagship"
+        // the @4 dial key rides along: "all" must still exercise the
+        // pair-block index path, which no default-dial key reaches
+        SparkEntry.queries.keys.toSeq.sorted ++
+          Seq("dedup_simhash@4", "flagship")
       else if (args.length > 1) args(1).split(",").map(_.trim).toSeq
       else DefaultKeys
     // no .master() here: spark-submit supplies it — standalone-vs-local
@@ -98,12 +101,22 @@ object Smoke {
             case Array(base, d) => (base, Some(d))
             case _ => (k, None)
           }
+          // restore (not unset) on exit: a spark-submit-supplied dial
+          // must survive for later keys in the list
+          val prior = dial.flatMap(_ =>
+            spark.conf.getOption("spark.graft.simhash.maxDist"))
           dial.foreach(d =>
             spark.conf.set("spark.graft.simhash.maxDist", d))
           val df =
             try SparkEntry.queries(qk)(spark, sfDir)
-            finally dial.foreach(_ =>
-              spark.conf.unset("spark.graft.simhash.maxDist"))
+            finally dial.foreach { _ =>
+              prior match {
+                case Some(v) =>
+                  spark.conf.set("spark.graft.simhash.maxDist", v)
+                case None =>
+                  spark.conf.unset("spark.graft.simhash.maxDist")
+              }
+            }
           val cols = df.columns.sorted
           // JSON per row (stable for nested arrays/structs/timestamps
           // under the UTC session), then sort — row order is not part of

@@ -531,8 +531,11 @@ object Text {
     * the THRESHOLD admits that many pairs. A production web-scale
     * corpus runs simhash dedup at k ≤ 3 (Manku et al.'s crawl setting),
     * which routes to the PAIR-BLOCK index ([[pairBlockPairs]], r12 —
-    * 15 tables of 21-bit keys, ~15/2²¹ ≈ 7e-6 of random pairs) so the
-    * candidate stream stays output-sized, not corpus-squared —
+    * 15 tables of 20–22-bit keys, collision mass 15·n²/2²¹: still a
+    * constant fraction of n² as any recall-complete blocking must be,
+    * but the constant sits three decades past the 13-bit path's
+    * saturation point, so the candidate stream is output-dominated
+    * through the measured range and beyond (sf10: exponent 0.94) —
     * `spark.graft.simhash.maxDist` is that dial, and BASELINE.md's r12
     * section records ITS measured sf1 cost next to the default's, so
     * the dial's claimed benefit is a number, not a prediction. The
@@ -596,15 +599,23 @@ object Text {
     * the brute-force equality law (SaltLawSpec) sweeps maxDist 0 and 3
     * through this path against planted mega-clusters.
     */
+  /** Block extractor shared by BOTH Hamming index paths: the value of
+    * the i-th block of the packed 64-bit `fp` column under `widths`.
+    * One definition so the pair-block and multi-index paths can never
+    * silently diverge on the bit layout.
+    */
+  private def fpBlockVal(widths: Seq[Int]): Int => Column = {
+    val shifts = widths.scanLeft(0)(_ + _).init
+    i => shiftrightunsigned(col("fp"), shifts(i))
+      .bitwiseAND(lit((1L << widths(i)) - 1))
+  }
+
   private[graft] def pairBlockPairs(fp: DataFrame, maxDist: Int)
       : DataFrame = {
     require(maxDist <= 4, "pair-block keys are recall-complete only " +
       s"up to hamming 4 (6 blocks, ≥2 clean), got $maxDist")
     val widths = Seq(11, 11, 11, 11, 10, 10)
-    val shifts = widths.scanLeft(0)(_ + _).init
-    def blockVal(i: Int): Column =
-      shiftrightunsigned(col("fp"), shifts(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val blockVal = fpBlockVal(widths)
     val pairs = for { i <- 0 until 6; j <- i + 1 until 6 } yield (i, j)
     val bands = fp.select(col("doc_id"), col("fp"),
         posexplode(array(pairs.map { case (i, j) =>
@@ -641,10 +652,7 @@ object Text {
     */
   private[graft] def multiIndexCandidates(fp: DataFrame, widths: Seq[Int],
       radius: Int, carry: Seq[String] = Nil): DataFrame = {
-    val shifts = widths.scanLeft(0)(_ + _).init
-    def blockVal(i: Int): Column =
-      shiftrightunsigned(col("fp"), shifts(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val blockVal = fpBlockVal(widths)
     val hotWidth = intConf(fp, "spark.graft.lsh.hotBucketWidth",
       HotBucketDefault)
     val saltBlocks = blockCountConf(fp, "spark.graft.lsh.saltBlocks",
