@@ -114,7 +114,9 @@ object Bench {
       // one-JVM sweep artifact production executors don't share, since
       // no production executor runs 195 unrelated pipelines back-to-back
       // on one heap.
-      System.gc()
+      // SPARK_GRAFT_KEYGC=0 disables the inter-key GC for A/B probes of
+      // the protocol itself (the call sits OUTSIDE the timer either way)
+      if (sys.env.get("SPARK_GRAFT_KEYGC").forall(_ != "0")) System.gc()
       // failed queries keep a visibly negative marker even at ms precision
       // (an instant analysis failure would otherwise print "-0.000")
       name -> (if (ok) sec else -math.max(sec, 0.001))
