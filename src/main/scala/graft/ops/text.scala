@@ -1784,15 +1784,36 @@ object Text {
     // distinct shingle sets, self-join on the shingle (posting-list
     // intersection), count per pair. Exact by construction; the scale
     // caveat is hub shingles — a posting list of length L contributes
-    // O(L²) pair rows, so at 100 TB one caps document frequency (lossy
-    // under-count) or moves to one-sided containment LSH; the exact form
-    // here is the oracle-checkable contract.
+    // O(L²) pair rows. The production out is the DF cap (r12,
+    // `spark.graft.containment.maxDf`, default 0 = off): postings of a
+    // shingle shared by more than maxDf docs are dropped from the PAIR
+    // join only — sizes still count every shingle, so the reported
+    // containment is a LOWER BOUND of the true value (never inflated),
+    // and a pair survives iff it shares ≥ 0.8·min(|A|,|B|) NON-HUB
+    // shingles. Boilerplate hubs are precisely the shingles that carry
+    // no near-dup signal (they co-occur everywhere), so true template
+    // clones — which share their distinctive grams too — survive any
+    // cap wide enough to clear the clone's own shingle count; the
+    // TextSpec law plants both. The hub list (shingles with DF > cap)
+    // grows with the corpus → shuffle-pinned anti-join, never a
+    // broadcast (the cliff rule). Default-off keeps the oracle contract
+    // EXACT; the capped form is the 100 TB operating point.
     "text_containment" -> ((s, d) => {
-      val sh = graft.InternalCaches.persistTracked(
+      val shAll = graft.InternalCaches.persistTracked(
         tokenizedDocs(s, d)
           .select(col("doc_id"), explode(shingleCol(col("t"))).as("sh")),
         eager = true)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val maxDf = intConf(shAll, "spark.graft.containment.maxDf", 0)
+      val sh =
+        if (maxDf <= 0) shAll
+        else shAll.join(
+          shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDf).select("sh")
+            .hint("shuffle_hash"),
+          Seq("sh"), "left_anti")
+      // sizes from the UNCAPPED relation: the denominator is the true
+      // |set|, so the capped estimate can only under-count
+      val sz = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // posting self-join + size join-backs: every side corpus-sized —
       // shuffle pin (see hammingBlockPairs on the broadcast cliff)
       val pi = sh.as("x").hint("shuffle_merge").join(sh.as("y"),

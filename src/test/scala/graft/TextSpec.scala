@@ -177,6 +177,49 @@ class TextSpec extends SparkSpec {
     } finally InternalCaches.unpersistAll()
   }
 
+  test("containment DF cap: hub boilerplate postings drop from the pair " +
+    "join, true clones survive, capped output is a subset of exact") {
+    import spark.implicits._
+    // 30 filler docs share a 16-token boilerplate suffix behind a
+    // 2-token unique prefix: 14 of each doc's 16 shingles are pure
+    // boilerplate (DF = 30), so exact containment between any two
+    // fillers is 14/16 = 0.875 ≥ 0.8 — 435 pairs of pure template
+    // noise. One true clone pair (docs 1/2, 20 distinctive tokens,
+    // every shingle DF = 2) models the near-dup the operator exists
+    // for. With maxDf = 10 the hub postings leave the PAIR join while
+    // sizes still count them: filler pairs lose all 14 shared shingles
+    // (estimate 0 < 0.8, dropped), the clone pair keeps containment
+    // 1.0 — and since the capped estimate only ever under-counts, the
+    // capped output must be a subset of the exact one.
+    val boiler = (1 to 16).map(i => s"boil$i").mkString(" ")
+    val cloneTxt = (1 to 20).map(i => s"clone$i").mkString(" ")
+    val docs = Seq((1L, cloneTxt), (2L, cloneTxt)) ++
+      (10L to 39L).map(i => (i, s"uniq${i}x uniq${i}y " + boiler))
+    val corpus = docs.map { case (id, t) =>
+      (id, t, "en", "plant", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = SparkSpec.scratchDir("graft_containment_cap")
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val exact = SparkEntry.queries("text_containment")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      InternalCaches.unpersistAll()
+      assert(exact.contains((1L, 2L)), "exact must pair the clones")
+      assert(exact.size == 1 + 30 * 29 / 2,
+        s"exact must pair every boilerplate pair too: ${exact.size}")
+      spark.conf.set("spark.graft.containment.maxDf", "10")
+      try {
+        val capped = SparkEntry.queries("text_containment")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(capped.map(p => (p._1, p._2)).toSet.subsetOf(exact),
+          "lower-bound law: capped pairs must be a subset of exact pairs")
+        assert(capped.toSeq == Seq((1L, 2L, 1.0)),
+          s"cap must drop hub-only pairs and keep the clone: " +
+            s"${capped.toSeq.take(5)}")
+      } finally spark.conf.unset("spark.graft.containment.maxDf")
+    } finally InternalCaches.unpersistAll()
+  }
+
   test("hot-bucket law: a planted mega-bucket of identical docs is fully paired") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
