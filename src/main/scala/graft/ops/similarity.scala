@@ -351,11 +351,30 @@ object Similarity {
       // probes and index are both the full vector corpus — pinned
       // shuffle_hash, build on the 1-row/vec index side (broadcast-cliff
       // hazard, see blockedPairs; sort-free, cell keys are coarse)
-      probes.join(index.hint("shuffle_hash"),
+      val cand = probes.join(index.hint("shuffle_hash"),
           col("pcell") === col("bcell")
           && col("vec_id") =!= col("nbr_id"))
         .select(col("vec_id"), col("nbr_id"),
           cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
+      // spark.graft.ivf.topkAgg=true swaps the rank window for the
+      // bounded top-k partial aggregation (graft.expr.TopKByScore):
+      // output-identical by the shared (cos desc, nbr_id) order —
+      // AccuracySpec's equality law — but the exchange carries ≤ 3 rows
+      // per query instead of the whole nprobe·√n-per-query candidate
+      // stream, and nothing sorts but 4-element buffers. Default stays
+      // the window form until a full oracle round blesses the flip;
+      // measured at sf10 in BASELINE.md's r12 section.
+      if (s.conf.getOption("spark.graft.ivf.topkAgg").contains("true")) {
+        val topk = udaf(graft.expr.TopKByScore(3),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Double, Long)]())
+        cand.groupBy(col("vec_id"))
+          .agg(topk(col("cos"), col("nbr_id")).as("tk"))
+          .select(col("vec_id"), posexplode(col("tk")))
+          .select(col("vec_id"), (col("pos") + 1).as("rn"),
+            col("col._2").as("nbr_id"), col("col._1").as("cos"))
+          .orderBy("vec_id", "rn")
+      } else cand
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("vec_id"), col("rn"), col("nbr_id"), col("cos"))

@@ -51,6 +51,32 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivf_trained topkAgg plan: output-identical to the rank " +
+    "window, row for row") {
+    // the bounded top-k aggregate (graft.expr.TopKByScore) must select
+    // EXACTLY the window's rows — same (cos desc, nbr_id) order, same
+    // rn assignment — on the real fixture, where cos ties across
+    // identical-embedding duplicates exercise the tie-break path.
+    val name = "sim_ann_ivf_trained"
+    val base = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    InternalCaches.unpersistAll()
+    spark.conf.set("spark.graft.ivf.topkAgg", "true")
+    try {
+      val agg = SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(agg.size == base.size,
+        s"row counts differ: ${agg.size} vs ${base.size}")
+      assert(agg == base, {
+        val diff = agg.zip(base).find { case (a, b) => a != b }
+        s"first divergence: $diff"
+      })
+    } finally {
+      spark.conf.unset("spark.graft.ivf.topkAgg")
+      InternalCaches.unpersistAll()
+    }
+  }
+
   test("dedup_near_embedding blocked default: planted boundary clones " +
     "never lost; output a subset of the exact sweep; high-cos recall 1") {
     import spark.implicits._
