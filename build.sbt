@@ -39,7 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // dial/probe passthrough for bench runs, e.g.
   // SPARK_GRAFT_EXTRA_OPTS="-Dspark.graft.simhash.maxDist=4" —
-  // SparkSession absorbs spark.* system properties into its conf
+  // SparkSession absorbs spark.* system properties into its conf.
+  // Whitespace-split: a conf VALUE containing a space cannot be passed
+  // through this hook (it would arrive as two malformed options) — every
+  // graft dial is numeric/boolean, so the limitation is deliberate
   // filter(_.nonEmpty): an empty or space-padded value would otherwise
   // emit an empty-string java option, which the launcher reads as the
   // main class — aborting every forked run

@@ -187,8 +187,13 @@ def main() -> None:
                     # exactly preserved) so no copy pair shares geometry
                     rng = random.Random(1000 + k)
                     signs = [rng.choice((1.0, -1.0)) for _ in range(64)]
+                    # element-level nulls survive the flip exactly as the
+                    # rotation path keeps them (a null element aborted the
+                    # >=64-copy path only, so a fixture that regenerated
+                    # fine at 10 copies failed at sf10 scale)
                     rot = [None if v is None else
-                           [x * s for x, s in zip(v, signs)] for v in rot]
+                           [None if x is None else x * s
+                            for x, s in zip(v, signs)] for v in rot]
                 parts.append(pa.table({
                     "vec_id": pc.add(ids, k * 10_000_000),
                     "embedding": pa.array(rot, type=t.schema.field(

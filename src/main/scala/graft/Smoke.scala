@@ -47,11 +47,11 @@ object Smoke {
     "text_contamination",
     // r12 capacity fixes: the second-sketch carry cascade (seeded
     // SignSketch64 codegen + carry columns through the salted postings)
-    // and the production-dial pair-block simhash index — both new join
-    // shapes must serialize across real JVM boundaries too. The `@4`
-    // suffix runs dedup_simhash under spark.graft.simhash.maxDist=4,
-    // the dial that routes to Text.pairBlockPairs.
-    "sim_ann_lsh", "dedup_simhash@4")
+    // and both simhash index paths. Since r13 the DEFAULT dial is 4
+    // (pair-block index), so the `@12` suffix drives the loose 5-block
+    // variant-enumeration path (Text.multiIndexCandidates at radius 2)
+    // that no default-dial key reaches any more.
+    "sim_ann_lsh", "dedup_simhash@12")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -60,10 +60,11 @@ object Smoke {
     // compared local[*] vs real multi-JVM workers)
     val keys =
       if (args.length > 1 && args(1) == "all")
-        // the @4 dial key rides along: "all" must still exercise the
-        // pair-block index path, which no default-dial key reaches
+        // the @12 dial key rides along: "all" must still exercise the
+        // loose 5-block variant-enumeration path, which no default-dial
+        // key reaches since the r13 default flip
         SparkEntry.queries.keys.toSeq.sorted ++
-          Seq("dedup_simhash@4", "flagship")
+          Seq("dedup_simhash@12", "flagship")
       else if (args.length > 1) args(1).split(",").map(_.trim).toSeq
       else DefaultKeys
     // no .master() here: spark-submit supplies it — standalone-vs-local
@@ -102,7 +103,12 @@ object Smoke {
             case _ => (k, None)
           }
           // restore (not unset) on exit: a spark-submit-supplied dial
-          // must survive for later keys in the list
+          // must survive for later keys in the list. Restoring right
+          // after DataFrame CONSTRUCTION is sound only because every
+          // graft conf is read at plan-build time (the queries() closures
+          // read confs eagerly while assembling the plan); a key that
+          // deferred a conf read to execution time would hash under the
+          // restored dial — keep that invariant if new dials are added
           val prior = dial.flatMap(_ =>
             spark.conf.getOption("spark.graft.simhash.maxDist"))
           dial.foreach(d =>

@@ -20,11 +20,27 @@ object Verify {
     // the driver leaves it unset and dumps everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // VACUITY GUARD (r13, the r12 verdict's item 8): a rows-only key
+    // (no oracle SQL — the driver records spark_rows alone) that emits
+    // ZERO rows has a gate that can no longer fail — r12's sim_ann_lsh
+    // regression sat green for a round this way. Count each rows-only
+    // key's written output (a parquet-footer metadata read, one file)
+    // and surface any zero loudly: a WARN here plus an explicit
+    // `vacuous` list in verify_meta.json the driver/judge can read.
+    var rowsOnlyCounts = List.empty[(String, Long)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (!SparkEntry.oracleSql.contains(name)) {
+          val n = spark.read.parquet(s"$outDir/$name").count()
+          rowsOnlyCounts ::= (name -> n)
+          if (n == 0) System.err.println(
+            s"[verify] WARN vacuous rows-only gate: $name wrote 0 rows")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -46,6 +62,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only key counts + the vacuous list (see the guard above) —
+    // a separate file so the driver's oracle_sql.json parse is untouched
+    val counts = rowsOnlyCounts.sortBy(_._1)
+    val meta = "{\"rows_only\": {" +
+      counts.map { case (k, n) => s"${q(k)}: $n" }.mkString(",") +
+      "}, \"vacuous\": [" +
+      counts.collect { case (k, 0L) => q(k) }.mkString(",") + "]}"
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

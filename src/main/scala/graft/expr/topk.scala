@@ -31,9 +31,14 @@ case class TopKByScore(k: Int)
   require(k >= 1 && k <= 16, s"bounded top-k is for small k, got $k")
 
   // the window's ordering: score desc, id asc — a TOTAL order on the
-  // pairs (ids are unique per group)
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // pairs (ids are unique per group). Double.compare, not raw >: Spark's
+  // sort ranks NaN as the largest double (first under desc), and a raw >
+  // would never rank a NaN score — the two row-for-row-identical plans
+  // would silently diverge on a NaN (e.g. a zero-norm cosine) input
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Seq[(Double, Long)],
       x: (Double, Long)): Seq[(Double, Long)] =

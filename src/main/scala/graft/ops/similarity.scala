@@ -356,15 +356,25 @@ object Similarity {
           && col("vec_id") =!= col("nbr_id"))
         .select(col("vec_id"), col("nbr_id"),
           cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
-      // spark.graft.ivf.topkAgg=true swaps the rank window for the
-      // bounded top-k partial aggregation (graft.expr.TopKByScore):
-      // output-identical by the shared (cos desc, nbr_id) order —
-      // AccuracySpec's equality law — but the exchange carries ≤ 3 rows
-      // per query instead of the whole nprobe·√n-per-query candidate
-      // stream, and nothing sorts but 4-element buffers. Default stays
-      // the window form until a full oracle round blesses the flip;
-      // measured at sf10 in BASELINE.md's r12 section.
-      if (s.conf.getOption("spark.graft.ivf.topkAgg").contains("true")) {
+      // The bounded top-k partial aggregation (graft.expr.TopKByScore)
+      // is the DEFAULT ranking plan since r13 (the r12 verdict's
+      // blessing item): output-identical to the rank window by the
+      // shared (cos desc, nbr_id) total order — AccuracySpec's equality
+      // law — but the exchange carries ≤ 3 rows per query instead of
+      // the whole nprobe·√n-per-query candidate stream (~1.8e8 rows at
+      // sf10, a ~300× exchange cut measured in BASELINE.md's r12
+      // section), and nothing sorts but 4-element buffers.
+      // spark.graft.ivf.topkAgg=false keeps the window form as the
+      // demonstrator. Strict parse, same rationale as refineCells: this
+      // conf flips the PLAN, so a typo must fail loudly.
+      val topkAgg = s.conf.getOption("spark.graft.ivf.topkAgg")
+        .forall {
+          case v if v.equalsIgnoreCase("true")  => true
+          case v if v.equalsIgnoreCase("false") => false
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.ivf.topkAgg must be true or false, got '$other'")
+        }
+      if (topkAgg) {
         val topk = udaf(graft.expr.TopKByScore(3),
           org.apache.spark.sql.catalyst.encoders
             .ExpressionEncoder[(Double, Long)]())
@@ -529,12 +539,49 @@ object Similarity {
     // exact/variant sides) — uncached, the two 64-hyperplane sketches
     // would re-run per branch. Rows-only driver check (hash hyperplanes
     // aren't expressible in the oracle); recall law in AccuracySpec.
+    //
+    // GATE OBSERVABILITY (r13, closing the r12 verdict's vacuity item):
+    // the r12 cascade passes only near-clone pairs (cos ≳ 0.93), and the
+    // driver fixtures plant none — so the rows-only gate read 0 and
+    // could no longer distinguish "working cascade" from "broken
+    // candidate join". The key therefore ingests a DERIVED CLONE PROBE
+    // VIEW alongside the corpus (the dedup_lsh_ingest pattern): every
+    // `spark.graft.annlsh.probeEvery`-th vector (default 13; 0 disables)
+    // re-enters at vec_id + 500000 with its first coordinate perturbed
+    // by +0.05. The size is chosen for DETERMINISTIC recall on any
+    // regenerated fixture: +0.05 is θ ≈ 3° on this embedding scale,
+    // ~1 flipped bit per 64-bit sketch in expectation (measured; the
+    // recall law's +0.2 measures ~4, and 3 of 39 sf0.01 pairs then
+    // landed past the ≤7-bit sketch-A pigeonhole bound), so P(a pair
+    // exceeds 7 flips) ≈ 1e-6 — every clone-source pair is caught by
+    // the band probe's hard guarantee, not by banding luck.
+    // Expected-rows derivation for the driver gate: at sf0.01 the
+    // embeddings table has 500 vectors → 39 clones (vec_id 0,13,…,494),
+    // each clone-source pair emits BOTH rank-1 orientations, and no
+    // organic pair clears the cascade on the driver fixtures, so
+    // spark_rows = 78 — a pinned positive number; AccuracySpec's
+    // non-vacuity law asserts the ≥ 2·⌈n/13⌉ bound plus the rank-1
+    // pairing on the test fixture.
     "sim_ann_lsh" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
+      val raw = vecs(s, d)
+      val probeEvery = Text.intConf(raw, "spark.graft.annlsh.probeEvery",
+        13)
+      val corpus =
+        if (probeEvery <= 0) raw.select(col("vec_id"), col("v"))
+        else raw.select(col("vec_id"), col("v")).unionByName(
+          raw.filter(col("vec_id") % probeEvery === 0)
+            .select((col("vec_id") + 500000).as("vec_id"),
+              transform(col("v"), (x, i) =>
+                when(i === 0, x + lit(0.05)).otherwise(x)).as("v")))
       // rebalance BEFORE the sketch: a one-split parquet input would pin
-      // the codegen'd sketch pass to a single task
+      // the codegen'd sketch pass to a single task. The norm is
+      // recomputed after the probe union so clone rows carry their own.
       val v = graft.InternalCaches.persistTracked(
-        vecs(s, d).repartition(p, col("vec_id")), eager = true)
+        corpus
+          .withColumn("nrm",
+            sqrt(graft.expr.VectorExprs.dot(col("v"), col("v"))))
+          .repartition(p, col("vec_id")), eager = true)
       // coalesce pins the sketch non-nullable: embedding is nullable in
       // the parquet schema, and a nullable band key would demote the
       // bucket join's HashedRelation probe to its slow path (PlanSpec)

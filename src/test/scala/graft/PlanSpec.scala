@@ -168,9 +168,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_simhash candidates come from the salted 3-key multi-index join") {
-    // the r10 plan: variant postings ⋈ exact postings on
-    // (band, key, salt) — the salt key is the structural skew guard (a
-    // hot block value fans across saltBlocks tasks instead of
+    // the default (r13) routes to the pair-block index, whose candidate
+    // join is the salted band self-join keyed (band, bhash, pi, pj); the
+    // loose dial's variant⋈exact postings join keys (band, key, salt).
+    // Either way ≥ 3 join keys — the salt keys are the structural skew
+    // guard (a hot block value fans across salt tasks instead of
     // serializing O(bucket²) in one), and no cartesian/BNLJ may appear
     // anywhere (the retired exact-band plan's quadratic candidate stream
     // must not come back as a nested-loop fallback)
