@@ -18,15 +18,19 @@ import graft.Tables._
   *     amortize a decoder/model handle across the batch — the JVM shape of
   *     a vectorized (pandas-style) UDF.
   *
-  * Decode is REAL for images (r10): `javax.imageio` ships in the JDK, so
-  * PNG/JPEG/GIF/BMP payloads decode natively with no external codec —
-  * width/height from the decoded raster, mean over every channel sample.
-  * Payloads that don't sniff as an image (audio/video stand-ins, this
-  * corpus's UTF-8 text blobs) take `decodeStub`, the clearly-marked
-  * deterministic fake, so the oracle-pinned outputs on the text corpus
-  * are unchanged while a planted-PNG fixture exercises the real path
-  * end-to-end (MultimodalSpec). Swapping the fake for ffmpeg-class
-  * audio/video decoders changes only that function body.
+  * Decode is REAL for images (r10) and WAV/PCM audio (r13): both
+  * codecs ship in the JDK (`javax.imageio`, `javax.sound.sampled`), so
+  * PNG/JPEG/GIF/BMP rasters and RIFF/WAVE PCM payloads decode natively
+  * with no external dependency — images emit width/height from the
+  * decoded raster and the mean over every channel sample; audio maps
+  * the same fixed feature schema as (frames, channels, mean sample on
+  * the 8-bit unsigned scale). Payloads that sniff as neither (video
+  * stand-ins, this corpus's UTF-8 text blobs) take `decodeStub`, the
+  * clearly-marked deterministic fake, so the oracle-pinned outputs on
+  * the text corpus are unchanged while planted PNG/WAV fixtures
+  * exercise the real paths end-to-end (MultimodalSpec pins pixel and
+  * sample values independently). Swapping the fake for an ffmpeg-class
+  * video decoder changes only that function body.
   *
   * The corpus has no binary table, so payloads are derived at scan time:
   * `documents.text` encoded as UTF-8 bytes stands in for an image blob.
@@ -128,10 +132,83 @@ object Multimodal {
     finally iis.close()
   }
 
+  /** RIFF/WAVE container sniff for the JDK's native WAV reader. Both
+    * magics are required ("RIFF" alone is also AVI/WebP); a false
+    * positive just falls through to the stub when the audio system
+    * can't parse the chunks.
+    */
+  def sniffWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+      p(3) == 'F'.toByte && p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+      p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+  /** Decoded-audio sample-frame cap — the audio twin of [[MaxPixels]]:
+    * the frame count is read from the HEADER before any sample data is
+    * materialized, so a corrupt length field can never allocate the
+    * task to death.
+    */
+  private val MaxFrames = 16L << 20
+
+  /** REAL audio decode — `javax.sound.sampled` is part of the JDK, so
+    * RIFF/WAVE PCM needs no external codec. Feature mapping onto the
+    * fixed [[MediaFeatures]] schema: width = sample frames, height =
+    * channels, mean_byte = mean over every channel sample rescaled to
+    * the 8-bit unsigned scale (8-bit unsigned PCM samples are already
+    * 0–255; 16-bit signed little-endian — the overwhelmingly common WAV
+    * shape — maps via (s + 32768)/256, so digital silence reads 128.0
+    * on either depth). Anything else (float PCM, big-endian, 24-bit,
+    * ADPCM) returns None and the caller falls back to the deterministic
+    * fake — the same weak-evidence discipline as [[decodeImage]].
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val frames = ais.getFrameLength
+        import javax.sound.sampled.AudioFormat.Encoding
+        val supported =
+          (enc == Encoding.PCM_SIGNED && bits == 16 && !fmt.isBigEndian) ||
+            (enc == Encoding.PCM_UNSIGNED && bits == 8)
+        if (!supported || ch <= 0 || frames <= 0 || frames > MaxFrames)
+          None
+        else {
+          val data = ais.readAllBytes()
+          var sum = 0.0
+          var n = 0L
+          if (bits == 8) {
+            var i = 0
+            while (i < data.length) { sum += (data(i) & 0xff); i += 1 }
+            n = data.length.toLong
+          } else {
+            // 16-bit little-endian signed: lo byte then hi byte; floor
+            // to complete samples in case the stream under-delivers
+            var i = 0
+            val end = data.length - (data.length % 2)
+            while (i < end) {
+              val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+              sum += (s + 32768) / 256.0
+              i += 2
+            }
+            n = (end / 2).toLong
+          }
+          if (n == 0) None
+          else Some((frames.toInt, ch, sum / n))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode dispatch: the real ImageIO path for payloads that sniff as
-    * an image, the deterministic fake for everything else. A sniffed
-    * payload that FAILS to decode also takes the fake — deliberately,
-    * not as an oversight: magic bytes are weak evidence (a text document
+    * an image, the real WAV/PCM path for RIFF/WAVE payloads, the
+    * deterministic fake for everything else. A sniffed payload that
+    * FAILS to decode also takes the fake — deliberately, not as an
+    * oversight: magic bytes are weak evidence (a text document
     * beginning "GIF87a …" or "BM…" sniffs as an image), so a hard
     * undecodable sentinel would reclassify ordinary text rows and break
     * the oracle's all-rows stub replay on a text corpus. A real media
@@ -142,6 +219,8 @@ object Multimodal {
   def decode(payload: Array[Byte]): (Int, Int, Double) =
     if (sniffImage(payload))
       decodeImage(payload).getOrElse(decodeStub(payload))
+    else if (sniffWav(payload))
+      decodeAudio(payload).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
   /** Partition-batched feature extraction: one decoder "handle" per
@@ -221,11 +300,13 @@ object Multimodal {
           sha2(col("payload"), 256).as("digest"))
         .orderBy("doc_id")),
 
-    // Partition-batched decode + feature extraction. Dispatch (r10):
-    // payloads that sniff as an image decode for REAL through the JDK's
-    // ImageIO (MultimodalSpec plants a PNG and pins width/height/mean
-    // against independently computed pixel values); everything else —
-    // including this corpus's UTF-8 text blobs — takes the deterministic
+    // Partition-batched decode + feature extraction. Dispatch (r10
+    // images, r13 audio): payloads that sniff as an image decode for
+    // REAL through the JDK's ImageIO, RIFF/WAVE PCM payloads through
+    // javax.sound.sampled (MultimodalSpec plants a PNG and a WAV and
+    // pins width/height/mean against independently computed pixel and
+    // sample values); everything else — including this corpus's UTF-8
+    // text blobs — takes the deterministic
     // stub, so the key stays oracle-gated: the stub's byte math is
     // deterministic, and on this ASCII corpus byte values ≡ codepoints,
     // so DuckDB replays it exactly (a non-ASCII row would hash-mismatch

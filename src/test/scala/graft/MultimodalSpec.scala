@@ -83,6 +83,66 @@ class MultimodalSpec extends SparkSpec {
       "false-positive sniff must take the deterministic fake")
   }
 
+  test("real WAV payloads decode through the JDK codec (planted PCM, " +
+    "sample-exact)") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // plant 4 stereo frames of 16-bit signed little-endian PCM with
+    // known sample values, containerized by the INDEPENDENT JDK writer;
+    // PCM is lossless, so the decode under test must reproduce the
+    // planted samples exactly and the expected mean is computable
+    // without it: mean over (s + 32768)/256 — the 8-bit unsigned scale
+    val samples = Seq[Short](-32768, 0, 32767, 1000, -1000, 256, -256,
+      12345)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.length / 2),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(Multimodal.sniffWav(wav), "RIFF/WAVE magic must sniff as wav")
+    val want = samples.map(s => (s + 32768) / 256.0).sum / samples.length
+    val textPayload = "not audio either".getBytes("UTF-8")
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(1L, wav), Multimodal.MediaRow(2L, textPayload))
+        .toDS()).collect().sortBy(_.doc_id)
+    assert(feats(0).width == 4 && feats(0).height == 2,
+      s"decoded frames/channels: ${feats(0)}")
+    assert(math.abs(feats(0).mean_byte - want) < 1e-9,
+      s"decoded mean ${feats(0).mean_byte} != planted $want")
+    val (fw, fh, fm) = Multimodal.decodeStub(textPayload)
+    assert(feats(1).width == fw && feats(1).height == fh &&
+      feats(1).mean_byte == fm)
+
+    // 8-bit unsigned PCM, the other supported depth: samples are
+    // already on the byte scale, mono, 3 frames
+    val pcm8 = Array[Byte](0, 127.toByte, 255.toByte)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm8),
+        new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1,
+          1, 8000f, false), 3),
+      AudioFileFormat.Type.WAVE, bos8)
+    val wav8 = bos8.toByteArray
+    assert(Multimodal.sniffWav(wav8))
+    assert(Multimodal.decode(wav8) == ((3, 1, (0 + 127 + 255) / 3.0)),
+      s"8-bit decode: ${Multimodal.decode(wav8)}")
+
+    // false-positive sniff: a RIFF/WAVE prefix on garbage chunks must
+    // refuse at the parser and take the deterministic fake, not throw
+    val fake = ("RIFF0000WAVEthis is not actually a wave file at all")
+      .getBytes("UTF-8")
+    assert(Multimodal.sniffWav(fake), "the weak container magic matches")
+    assert(Multimodal.decode(fake) == Multimodal.decodeStub(fake),
+      "false-positive sniff must take the deterministic fake")
+  }
+
   test("decode runs per partition, touching every row exactly once") {
     import spark.implicits._
     val n = Tables.documents(spark, sfDir).count()
