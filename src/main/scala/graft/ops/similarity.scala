@@ -526,8 +526,16 @@ object Similarity {
     // join-backs, the window — is output-sized at any corpus size. What
     // remains quadratic is only the in-stage bit_count stream itself
     // (68·n²/2¹⁶ register ops, no shuffle, no memory): ~4e7 at 200 k
-    // vectors, compute-bound at ~10⁹/s/core — the next wall is 3
-    // decades out and it is CPU, not shuffle.
+    // vectors, compute-bound. The r13 sf30 probe measured where that
+    // term actually arrives: 14.1 s at sf10 → 48.0 s at sf30 (exponent
+    // 1.11 on the half-decade — the candidate stream grew 9× on 3×
+    // data, ~4.8e7 → 4.3e8 rows), so the wall is ~0.5 decades past
+    // sf10, not the 3 r12 estimated. It stays in-stage CPU: on a
+    // many-executor cluster it parallelizes with the scan, and the
+    // knob is band geometry (wider bands cut the 1/2¹⁶ vocabulary
+    // factor at a recall trade — the 4×16 radius-1 structure is what
+    // makes the d_A ≤ 7 pigeonhole exact for the measured 4–7-flip
+    // clones, so the default keeps recall and pays CPU).
     //
     // Moderate-cos neighbors (θ ≈ 60°) are NOT this operator's
     // contract — that regime belongs to `sim_ann_ivf`, which partitions
