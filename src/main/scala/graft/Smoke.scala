@@ -51,7 +51,11 @@ object Smoke {
     // (pair-block index), so the `@12` suffix drives the loose 5-block
     // variant-enumeration path (Text.multiIndexCandidates at radius 2)
     // that no default-dial key reaches any more.
-    "sim_ann_lsh", "dedup_simhash@12")
+    "sim_ann_lsh", "dedup_simhash@12",
+    // r13: the per-frame video decode's 1→N flatMap closure (typed
+    // Dataset path) serializes to real executors like every other
+    // media-stub key — prove it multi-JVM once per round
+    "mm_video_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

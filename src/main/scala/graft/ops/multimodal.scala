@@ -204,6 +204,79 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Per-frame cap for [[decodeVideoFrames]]: a multi-frame container
+    * with a corrupt or adversarial frame count stops emitting (not
+    * decoding) at this many frames — the frame-count twin of
+    * [[MaxPixels]], which still bounds each individual raster.
+    */
+  private val MaxVideoFrames = 64
+
+  /** REAL video decode — animated GIF is a genuine multi-frame video
+    * container (frames + per-frame delays) whose codec ships in the JDK:
+    * `ImageIO`'s GIF reader exposes every frame through
+    * `getNumImages(true)` / `read(i)`, so per-frame feature extraction
+    * needs no external dependency, exactly like images (r10) and WAV
+    * audio (r13). Emits (frame_idx, width, height, mean over the 8-bit
+    * sRGB channels) per stored frame — the width/height are the STORED
+    * raster's (GIF frames may be sub-rects under disposal-method
+    * composition; feature extraction reads what the container stores,
+    * it does not replay the compositor). None when the reader rejects
+    * the bytes (a text doc starting "GIF8…"), a frame's dims breach
+    * [[MaxPixels]], or there are zero frames; the caller falls back to
+    * the deterministic stub — the weak-evidence discipline shared by
+    * all three real decoders.
+    */
+  def decodeVideoFrames(payload: Array[Byte])
+      : Option[Seq[(Int, Int, Int, Double)]] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          // seekForwardOnly=false: getNumImages(true) must scan the
+          // whole sequence to count frames
+          reader.setInput(iis, false, true)
+          val n = math.min(reader.getNumImages(true), MaxVideoFrames)
+          if (n <= 0) None
+          else {
+            val out = Seq.newBuilder[(Int, Int, Int, Double)]
+            var i = 0
+            var ok = true
+            while (ok && i < n) {
+              val w = reader.getWidth(i)
+              val h = reader.getHeight(i)
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) ok = false
+              else {
+                val img = reader.read(i)
+                val buf = new Array[Int](w)
+                var sum = 0.0
+                var y = 0
+                while (y < h) {
+                  img.getRGB(0, y, w, 1, buf, 0, w)
+                  var x = 0
+                  while (x < w) {
+                    val v = buf(x)
+                    sum += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) +
+                      (v & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                out += ((i, w, h, sum / (w.toLong * h * 3)))
+              }
+              i += 1
+            }
+            if (ok) Some(out.result()) else None
+          }
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
   /** Decode dispatch: the real ImageIO path for payloads that sniff as
     * an image, the real WAV/PCM path for RIFF/WAVE payloads, the
     * deterministic fake for everything else. A sniffed payload that
@@ -235,6 +308,44 @@ object Multimodal {
       rows.map { r =>
         val (w, h, mean) = decode(r.payload)
         MediaFeatures(r.doc_id, w, h, mean)
+      }
+    }
+  }
+
+  /** GIF container sniff (87a/89a share the "GIF8" prefix) — gates the
+    * multi-frame video decoder the way [[sniffImage]]/[[sniffWav]] gate
+    * theirs.
+    */
+  def sniffGif(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == '8'.toByte
+
+  /** Partition-batched PER-FRAME feature extraction — the video twin of
+    * [[extractFeatures]]'s per-payload shape: a 1→N generator from one
+    * payload row to one feature row per frame. Payloads that sniff as
+    * GIF take the REAL multi-frame decode ([[decodeVideoFrames]]:
+    * frame_idx = the container's frame index); everything else —
+    * including this corpus's UTF-8 text blobs — emits the deterministic
+    * stub's features over the byte-frame sampler (every 4th 64-byte
+    * frame, [[frameSample]]'s contract), so the key stays fully
+    * oracle-replayable on a text corpus while planted animated GIFs
+    * exercise the real path end-to-end (MultimodalSpec).
+    */
+  def extractFrameFeatures(media: Dataset[MediaRow])
+      : Dataset[(Long, Int, Int, Int, Double)] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val real =
+        if (sniffGif(r.payload)) decodeVideoFrames(r.payload) else None
+      real match {
+        case Some(frames) =>
+          frames.map { case (i, w, h, m) => (r.doc_id, i, w, h, m) }
+        case None =>
+          r.payload.grouped(64).zipWithIndex.collect {
+            case (frame, idx) if idx % 4 == 0 =>
+              val (w, h, m) = decodeStub(frame)
+              (r.doc_id, idx, w, h, m)
+          }.toSeq
       }
     }
   }
@@ -434,6 +545,26 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).as("n_bytes"))
         .orderBy("doc_id", "frame_idx"))
+        ,
+
+    // Per-FRAME decode + feature extraction (r13) — mm_decode_features'
+    // video twin: one feature row per frame instead of per payload.
+    // GIF payloads decode for REAL (animated GIF is a genuine
+    // multi-frame container and its codec ships in the JDK); this
+    // corpus's text blobs take the stub over the byte-frame sampler, so
+    // the whole key is oracle-replayed exactly (substring byte math, the
+    // ASCII guard shared with mm_decode_features). Same e4 scaling as
+    // mm_decode_features: floor(x·1e4 + 0.5) is the identical IEEE
+    // expression in both engines, round(x, 4) is the banned
+    // half-boundary class.
+    "mm_video_features" -> ((s, d) =>
+      extractFrameFeatures(mediaTable(s, d))
+        .toDF("doc_id", "frame_idx", "width", "height", "mean_byte")
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"),
+          floor(col("mean_byte") * 1e4 + 0.5).cast("long")
+            .as("mean_byte_e4"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -519,6 +650,26 @@ object Multimodal {
         |FROM (SELECT doc_id, len,
         |        unnest([i for i in range(0, (len + 63) // 64, 4)]) AS i
         |      FROM d)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Exact replay of the stub path: every 4th 64-byte frame's
+    // decodeStub features. substring is char-addressed — byte ≡ char on
+    // the ASCII corpus (the shared mm_decode_features guard: a
+    // non-ASCII row would hash-mismatch the gate).
+    "mm_video_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, i, substring(text, i * 64 + 1, 64) AS fr
+        |  FROM (SELECT doc_id, text, len,
+        |          unnest([i for i in range(0, (len + 63) // 64, 4)]) AS i
+        |        FROM d))
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(greatest(1, length(fr) % 640) AS INTEGER) AS width,
+        |  CAST(greatest(1, (length(fr) // 7) % 480) AS INTEGER) AS height,
+        |  CAST(floor(
+        |    list_sum([unicode(c)::DOUBLE for c in string_split(fr, '')])
+        |      / length(fr) * 1e4 + 0.5) AS BIGINT) AS mean_byte_e4
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -143,6 +143,77 @@ class MultimodalSpec extends SparkSpec {
       "false-positive sniff must take the deterministic fake")
   }
 
+  test("real video payloads decode per frame through the JDK codec " +
+    "(planted animated GIF)") {
+    import spark.implicits._
+    // plant a 3-frame 4×2 animated GIF of solid colors through the
+    // INDEPENDENT JDK sequence writer; a solid frame's single color
+    // lands EXACTLY in the GIF palette (no quantization error is
+    // possible for a one-color image), so each decoded frame's channel
+    // mean is computable without the decode under test
+    val colors = Seq(0x102030, 0xff8000, 0x000000)
+    val frames = colors.map { c =>
+      val img = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, c)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+    assert(Multimodal.sniffGif(gif), "GIF magic must sniff as video")
+    val means = colors.map(c =>
+      (((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)) / 3.0)
+    val textPayload = ("not a video: a document long enough to span " +
+      "several sixty-four byte frames of the byte-frame sampler, so " +
+      "the stub branch emits more than one sampled frame here " +
+      "........................................................" +
+      "........................................................" +
+      "........................................................" +
+      "........................................................")
+      .getBytes("UTF-8")
+    val rows = Multimodal.extractFrameFeatures(
+      Seq(Multimodal.MediaRow(1L, gif),
+        Multimodal.MediaRow(2L, textPayload))
+        .toDS()).collect().sortBy(r => (r._1, r._2)).toSeq
+    val real = rows.filter(_._1 == 1L)
+    assert(real.map(_._2) == Seq(0, 1, 2),
+      s"expected the container's 3 frame indices, got $real")
+    real.zip(means).foreach { case ((_, i, w, h, m), want) =>
+      assert(w == 4 && h == 2, s"frame $i dims ($w,$h) != planted 4×2")
+      assert(math.abs(m - want) < 1e-9,
+        s"frame $i mean $m != planted $want")
+    }
+    // non-GIF payloads take the byte-frame sampler + stub — the branch
+    // the DuckDB oracle replays on the text corpus (every 4th 64-byte
+    // frame; this payload is long enough for two sampled frames)
+    val stub = rows.filter(_._1 == 2L)
+    val wantStub = textPayload.grouped(64).zipWithIndex.collect {
+      case (f, i) if i % 4 == 0 =>
+        val (w, h, m) = Multimodal.decodeStub(f)
+        (2L, i, w, h, m)
+    }.toSeq
+    assert(stub.size >= 2 && stub == wantStub,
+      s"stub branch mismatch: $stub vs $wantStub")
+    // false-positive sniff: text starting "GIF8" claims the reader,
+    // which must refuse the garbage body — stub fallback, never a throw
+    val fake = "GIF87a is an image format from 1987".getBytes("UTF-8")
+    assert(Multimodal.sniffGif(fake), "the weak container magic matches")
+    val fakeRows = Multimodal.extractFrameFeatures(
+      Seq(Multimodal.MediaRow(3L, fake)).toDS()).collect().toSeq
+    val (fw, fh, fm) = Multimodal.decodeStub(fake)
+    assert(fakeRows == Seq((3L, 0, fw, fh, fm)),
+      s"false-positive sniff must take the deterministic fake: $fakeRows")
+  }
+
   test("decode runs per partition, touching every row exactly once") {
     import spark.implicits._
     val n = Tables.documents(spark, sfDir).count()
