@@ -24,9 +24,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples partition count from task
+    // slots for scale probes. Default stays = cpus (the driver's
+    // protocol), but local mode needs the knob above ~sf10: with
+    // partitions == slots, EVERY partition of a shuffle-hash build side
+    // is memory-resident at once (one JVM pool), so a corpus-growing
+    // build side costs Θ(n) resident — on a real cluster each executor
+    // holds only its share, and the remedy is the same one production
+    // owns: more/smaller shuffle partitions (only ⌈slots⌉ of them build
+    // concurrently). Measured: dedup_clusters at sf30 dies at 32
+    // partitions ("Can't acquire … to build hash relation") and passes
+    // at 128 — see BASELINE.md round 13.
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -828,11 +828,25 @@ object Text {
             lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
         .filter(col("est") >= threshold - margin)
         .select(col("a"), col("b"))
-    estOk
-      .join(aSig.select(col("doc_id").as("a"), col("s").as("sa"))
-        .hint("shuffle_hash"), "a")
-      .join(bSig.select(col("doc_id").as("b"), col("s").as("sb"))
-        .hint("shuffle_hash"), "b")
+    // exact-verify join-backs: the BUILD side flips to the est-survivor
+    // stream (r13). Building on the (doc_id, s) set relation — the r12
+    // shape — is a measured capacity wall: shingle sets are ~KBs/row, so
+    // a per-partition HashedRelation build costs (n/P)·KB with NO spill
+    // path, and P here is pinned by the upstream repartition(doc_id)
+    // cache layout (the co-partitioned join reuses it, so shuffle-
+    // partition sizing can't shrink the build). dedup_clusters at sf30
+    // died exactly there: 1.5 M docs / 32 partitions × ~4 KB ≈ 190 MB
+    // builds × 32 concurrent tasks, "Can't acquire … to build hash
+    // relation". The survivors are OUTPUT-SIZED by the prefilter's own
+    // design (that is what the estimate stage is FOR), so they are the
+    // side a bounded build wants; the wide set arrays stream through the
+    // probe untouched. Under the lossless dial (margin ≥ 1.0) the build
+    // is the raw candidate stream — data-dependent, but 16 B/row narrow
+    // vs KBs/row sets, so it remains the smaller build at any corpus.
+    estOk.hint("shuffle_hash")
+      .join(aSig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .hint("shuffle_hash")
+      .join(bSig.select(col("doc_id").as("b"), col("s").as("sb")), "b")
       .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac",
         round(col("ni").cast("double")
