@@ -813,15 +813,22 @@ object Text {
         // 1-row/doc 128-long signatures), so the join must stay a
         // SHUFFLE — but a SORT-merge would sort the huge candidate
         // stream (measured 8× on sim_ann_lsh sf1), so the pin is
-        // shuffle_HASH with the build on the 1-row/doc signature side:
-        // scale-safe (per-partition build, no driver broadcast) and
-        // sort-free. The hint rides on the signature side so EACH
-        // join-back is pinned, not only the first (a hint inside a
-        // join's subtree does not mark the enclosing join).
-        .join(aSig.select(col("doc_id").as("a"), col("sig").as("ga"))
-          .hint("shuffle_hash"), "a")
-        .join(bSig.select(col("doc_id").as("b"), col("sig").as("gb"))
-          .hint("shuffle_hash"), "b")
+        // shuffle_HASH. The BUILD side is the candidate stream (r13,
+        // same reasoning as the verify stage below): 16 B/row narrow,
+        // so it is bytes-smaller than the ~1 KB/row signature relation
+        // in every measured regime (sf0.1 29 k cands × 16 B vs 5 k sigs
+        // × 1 KB; sf30 ~10⁷ × 16 B vs 1.5 M × 1 KB), and the signature
+        // relation — whose per-partition build width is pinned by the
+        // upstream repartition(doc_id) cache layout — never has to fit
+        // a no-spill HashedRelation again. Per-doc candidate counts are
+        // bounded by the hot-bucket salting upstream, so the build side
+        // cannot be skew-concentrated. The hint rides the stream side
+        // of EACH join-back (a hint inside a join's subtree does not
+        // mark the enclosing join).
+        .hint("shuffle_hash")
+        .join(aSig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
+        .hint("shuffle_hash")
+        .join(bSig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
         .withColumn("est",
           aggregate(zip_with(col("ga"), col("gb"),
               (x, y) => when(x === y, 1).otherwise(0)),
