@@ -608,15 +608,53 @@ object Text {
   }
 
   private[graft] def pairBlockPairs(fp: DataFrame, maxDist: Int)
-      : DataFrame = {
-    require(maxDist <= 4, "pair-block keys are recall-complete only " +
-      s"up to hamming 4 (6 blocks, ≥2 clean), got $maxDist")
-    val widths = Seq(11, 11, 11, 11, 10, 10)
+      : DataFrame =
+    comboBlockPairs(fp, maxDist,
+      nBlocks = intConf(fp, "spark.graft.simhash.comboBlocks", 6),
+      clean = intConf(fp, "spark.graft.simhash.comboClean", 2))
+
+  /** The combo-block generalization behind [[pairBlockPairs]] (r13
+    * session 2): split the 64-bit fingerprint into `nBlocks` blocks and
+    * key the index on every `clean`-subset's concatenated block values —
+    * C(nBlocks, clean) tables, posted EXACTLY on both sides. Counting
+    * pigeonhole: d ≤ nBlocks − clean errors dirty at most nBlocks −
+    * clean blocks, leaving ≥ `clean` clean ones, so some clean-subset
+    * key matches exactly — recall-complete for any
+    * `maxDist ≤ nBlocks − clean` (the require; d = nBlocks − clean + 1
+    * can dirty that many blocks leaving only clean−1 — the bound is
+    * tight). (6, 2) reproduces the r12 pair-block layout (11/11/11/11/
+    * 10/10, band ids and key bits identical); the dial exists because
+    * the sf100 probe measured where (6, 2) leaves the linear class:
+    * collision mass 15·n²/2²¹ ≈ 1.8e8 candidates at 5 M docs — sf30→
+    * sf100 exponent 1.33 (14.3 → 71.3 s solo, this box). (8, 4) keys on
+    * 32 bits: mass 70·n²/2³² ≈ 4e5 at the same n (~440× cut) for 70
+    * postings/doc vs 15 (a 4.7× LINEAR posting cost) — the classic
+    * recall-free trade, bought only when n is big enough that the
+    * quadratic term dominates the posting constant. Geometry is
+    * conf-dialed, not hardcoded, so the operating point is a measured
+    * decision per corpus scale; the SaltLawSpec brute-force equality
+    * law sweeps (6,2)/(7,3)/(8,4) so every dial carries the same
+    * recall guarantee.
+    */
+  private[graft] def comboBlockPairs(fp: DataFrame, maxDist: Int,
+      nBlocks: Int, clean: Int): DataFrame = {
+    require(clean >= 1 && clean < nBlocks && nBlocks <= 16,
+      s"combo geometry out of range: blocks=$nBlocks clean=$clean")
+    require(maxDist <= nBlocks - clean,
+      s"$nBlocks-block/$clean-clean combo keys are recall-complete " +
+        s"only up to hamming ${nBlocks - clean}, got $maxDist")
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
     val blockVal = fpBlockVal(widths)
-    val pairs = for { i <- 0 until 6; j <- i + 1 until 6 } yield (i, j)
+    val combos = (0 until nBlocks).combinations(clean).toSeq
+    require(combos.forall(_.map(widths).sum <= 63),
+      "combo key must fit a signed long")
     val bands = fp.select(col("doc_id"), col("fp"),
-        posexplode(array(pairs.map { case (i, j) =>
-          shiftleft(blockVal(i), widths(j)).bitwiseOR(blockVal(j))
+        posexplode(array(combos.map { idxs =>
+          idxs.tail.foldLeft(blockVal(idxs.head)) { (acc, i) =>
+            shiftleft(acc, widths(i)).bitwiseOR(blockVal(i))
+          }
         }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bhash")
@@ -1494,8 +1532,8 @@ object Text {
     // left-to-right non-overlap semantics as the training fold, and the
     // exact form the oracle replays). The 8 rules are driver literals
     // (one scalar collect each during training, pagerank-class); the
-    // encode itself is a MAP-ONLY codegen'd string pipeline over the
-    // corpus — at 100 TB this is the embarrassingly-parallel pass.
+    // encode runs once per DISTINCT word and joins back by occurrence
+    // count — see the dictionary-encode note below.
     "text_bpe_encode" -> ((s, d) => {
       val sep = ""
       val rules = bpeTrain(s, d)
@@ -1512,18 +1550,49 @@ object Text {
       }
       // merging never changes the letter count, only the separator
       // count: len(encoded) = letters + 2·symbols ⇒ symbols =
-      // (len(encoded) − len(w)) / 2 — ONE encode pass per word
-      tokenizedDocs(s, d)
+      // (len(encoded) − len(w)) / 2.
+      //
+      // DICTIONARY ENCODE (r13 session 2): the 8-regex fold runs once
+      // per DISTINCT word, not once per word occurrence — the corpus
+      // reduces to a (doc_id, word, count) relation with map-side
+      // partial combine, the fold runs on the vocabulary-sized distinct-
+      // word relation, and a join-back re-weights by occurrence count.
+      // Word frequencies are Zipf: occurrences/vocabulary is ~150× on
+      // the bench fixture (sf10: 75 M occurrences / 3 k words — the
+      // per-occurrence form measured 183 s solo, regex-bound) and
+      // grows with corpus under Heaps' law, so at 100 TB this is the
+      // difference between 8 regex passes over the corpus and 8 regex
+      // passes over the dictionary. The vocabulary relation is
+      // corpus-derived (it GROWS, however slowly), so the join-back is
+      // pinned shuffle_hash with the 1-row/word encode side as build —
+      // never a driver broadcast (the repo's broadcast-cliff rule).
+      // explode_outer keeps zero-word docs (empty or null text) as a
+      // null-word row so their (0, 0, 0) output rows survive; the null
+      // word never matches the dictionary and the null-guarded sums
+      // keep those docs at zero. Output row-for-row identical to the
+      // per-occurrence form (TextSpec pins both against each other).
+      val occ = tokenizedDocs(s, d)
         .select(col("doc_id"),
-          filter(col("t"), w => length(w) > 0).as("ws"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_words"),
-          aggregate(transform(col("ws"), w => length(w).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("n_sym_before"),
-          aggregate(
-            transform(col("ws"), w =>
-              ((length(encodeOne(w)) - length(w)) / 2).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("n_sym_after"))
+          explode_outer(filter(col("t"), w => length(w) > 0)).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val dict = occ.filter(col("w").isNotNull)
+        .select(col("w")).distinct()
+        .select(col("w").as("dw"),
+          ((length(encodeOne(col("w"))) - length(col("w"))) / 2)
+            .cast("long").as("sym_after"))
+      occ.join(dict.hint("shuffle_hash"),
+          occ("w") === dict("dw"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("w").isNull, 0L).otherwise(col("c")))
+            .cast("long").as("n_words"),
+          sum(when(col("w").isNull, 0L)
+            .otherwise(col("c") * length(col("w")).cast("long")))
+            .cast("long").as("n_sym_before"),
+          sum(when(col("w").isNull, 0L)
+            .otherwise(col("c") * col("sym_after")))
+            .cast("long").as("n_sym_after"))
         .orderBy("doc_id")
     }),
 

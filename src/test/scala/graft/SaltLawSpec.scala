@@ -108,12 +108,21 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
   // 12/14 → ≤2-bit
   private val genDist = Gen.oneOf(0, 3, 7, 12, 14)
 
+  // combo geometry sweep for the maxDist ≤ 4 route: (6,2) is the
+  // shipped pair-block layout, (7,3)/(8,4) the conf-dialed scale rungs
+  // (wider keys for bigger corpora — text.scala comboBlockPairs). The
+  // dist > 4 route ignores the confs, so pairing the geometry with any
+  // genDist draw is safe and exercises both paths under the same law.
+  private val genGeom = Gen.oneOf((6, 2), (7, 3), (8, 4))
+
   property("hammingBlockPairs == brute-force sweep, any fps, any dials") =
-    Prop.forAll(genFpRows, genSalt, genHotW, genDist) {
-      (rows, saltW, hotW, maxDist) =>
+    Prop.forAll(genFpRows, genSalt, genHotW, genDist, genGeom) {
+      (rows, saltW, hotW, maxDist, geom) =>
         val fp = rows.toDF("doc_id", "fp")
         spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
         spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+        spark.conf.set("spark.graft.simhash.comboBlocks", geom._1.toString)
+        spark.conf.set("spark.graft.simhash.comboClean", geom._2.toString)
         try {
           val got = ops.Text.hammingBlockPairs(fp, maxDist)
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -122,11 +131,13 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
             if d1 < d2 && java.lang.Long.bitCount(f1 ^ f2) <= maxDist
           } yield (d1, d2)).toSet
           Prop(got == naive) :|
-            s"salt=$saltW hot=$hotW dist=$maxDist " +
+            s"salt=$saltW hot=$hotW dist=$maxDist geom=$geom " +
               s"missing=${naive -- got} extra=${got -- naive}"
         } finally {
           spark.conf.unset("spark.graft.lsh.saltBlocks")
           spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+          spark.conf.unset("spark.graft.simhash.comboBlocks")
+          spark.conf.unset("spark.graft.simhash.comboClean")
         }
     }
 

@@ -633,6 +633,53 @@ class TextSpec extends SparkSpec {
     assert(head._3 < head._1, "head language must actually be downsampled")
   }
 
+  test("text_bpe_encode: dictionary join-back == per-occurrence " +
+    "reference; zero-word docs survive at (0,0,0)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // words repeat ACROSS docs (the whole point of the dictionary
+    // form), plus the two zero-word shapes the explode_outer guard
+    // exists for: empty text and null text
+    val corpus = Seq(
+      (1L, "aa bb aa aa cc", "en"),
+      (2L, "bb bb aa dd ee aa", "en"),
+      (3L, "", "en"),
+      (4L, null.asInstanceOf[String], "en"),
+      (5L, "aa aa aa aa xyzzy", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("plant"))
+      .withColumn("n_chars", coalesce(length($"text").cast("long"), lit(0L)))
+    val dir = SparkSpec.scratchDir("graft_bpe_dict_law")
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.ops.Text.clearBpeMemo()
+    try {
+      val sep = ""
+      val rules = SparkEntry.queries("text_bpe_merges")(spark, dir)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      def symAfter(w: String): Long = {
+        val wrapped = sep + w.map(c => s"$c").mkString(sep + sep) + sep
+        val enc = rules.foldLeft(wrapped) { case (acc, (a, b)) =>
+          acc.replace(sep + a + sep + sep + b + sep, sep + a + b + sep)
+        }
+        (enc.length - w.length).toLong / 2
+      }
+      val expected = Seq(1L -> "aa bb aa aa cc", 2L -> "bb bb aa dd ee aa",
+        3L -> "", 4L -> null, 5L -> "aa aa aa aa xyzzy").map {
+        case (id, t) =>
+          val ws = Option(t).map(_.split(" ").filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+          (id, ws.size.toLong, ws.map(_.length.toLong).sum,
+            ws.map(symAfter).sum)
+      }.toSet
+      val got = SparkEntry.queries("text_bpe_encode")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"dictionary encode diverged: only-got=${got -- expected} " +
+          s"only-expected=${expected -- got}")
+    } finally graft.ops.Text.clearBpeMemo()
+  }
+
   test("text_bpe_encode: compression laws") {
     import spark.implicits._
     val rows = SparkEntry.queries("text_bpe_encode")(spark, sfDir)
