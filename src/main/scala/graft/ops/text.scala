@@ -626,15 +626,23 @@ object Text {
     * 10/10, band ids and key bits identical); the dial exists because
     * the sf100 probe measured where (6, 2) leaves the linear class:
     * collision mass 15·n²/2²¹ ≈ 1.8e8 candidates at 5 M docs — sf30→
-    * sf100 exponent 1.33 (14.3 → 71.3 s solo, this box). (8, 4) keys on
-    * 32 bits: mass 70·n²/2³² ≈ 4e5 at the same n (~440× cut) for 70
-    * postings/doc vs 15 (a 4.7× LINEAR posting cost) — the classic
-    * recall-free trade, bought only when n is big enough that the
-    * quadratic term dominates the posting constant. Geometry is
-    * conf-dialed, not hardcoded, so the operating point is a measured
-    * decision per corpus scale; the SaltLawSpec brute-force equality
-    * law sweeps (6,2)/(7,3)/(8,4) so every dial carries the same
-    * recall guarantee.
+    * sf100 exponent 1.33 (14.3 → 71.3 s solo, this box).
+    *
+    * MEASURED VERDICT on the wider rungs (sf100, 5 M docs, solo,
+    * same box/protocol): (6,2) 71.3 s / (7,3) 188.5 s / (8,4) 453.4 s.
+    * The wider keys do exactly what the mass model predicts to the
+    * CANDIDATE stream ((7,3): 35·n²/2²⁷ ≈ 6.5e6, a 28× cut) — and it
+    * doesn't matter, because the candidate excess they remove is ~24 s
+    * while the posting machinery they inflate (explode + hot-key agg +
+    * salted self-join sort at 35 or 70 postings/doc vs 15) scales with
+    * combo count and dominates total cost. Extrapolating the two
+    * curves (quadratic excess 24·(n/5M)² vs posting extra 117·(n/5M))
+    * puts the (7,3) crossover at n ≈ 25 M docs — NO MEASURED REGIME
+    * favors the wider rungs, so (6,2) is the unconditional default and
+    * the confs exist as the documented, law-covered way to test the
+    * wider geometries, not as a recommended dial. The SaltLawSpec
+    * brute-force equality law sweeps (6,2)/(7,3)/(8,4) so every
+    * setting carries the same recall guarantee.
     */
   private[graft] def comboBlockPairs(fp: DataFrame, maxDist: Int,
       nBlocks: Int, clean: Int): DataFrame = {
