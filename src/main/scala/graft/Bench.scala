@@ -66,7 +66,12 @@ object Bench {
       materialize("dedup_near_minhash")
     }
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    InternalCaches.unpersistAll()
+    // blocking: the warmup's dedup_near_minhash materialization leaves
+    // corpus-scale disk-persisted cache blocks (tens of GB at the sf100
+    // probe), and a non-blocking unpersist lets them linger under the
+    // measured pass — two r13 sf100 probes died "No space left on
+    // device" from exactly that overlap
+    InternalCaches.unpersistAll(blocking = true)
     // best-of-2 of a fixed, warmed probe: min() strips one-off stalls,
     // so start-vs-end movement reads as sustained external load. A
     // failing probe reports NEGATIVE time-to-exception (the file's
@@ -116,8 +121,11 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // operators that persist an internal relation (LSH set/signature,
       // simhash fingerprints) leave their cache entry behind — drop it
-      // OUTSIDE the timer so queries stay independent and memory bounded
-      InternalCaches.unpersistAll()
+      // OUTSIDE the timer so queries stay independent and memory
+      // bounded. Blocking (r13): at probe scale the disk-persisted
+      // blocks are tens of GB per heavy key, and letting deletes lag
+      // under the next key's run is the "No space left on device" class
+      InternalCaches.unpersistAll(blocking = true)
       // ... and collect the tenured garbage a heavy key leaves in the
       // shared heap, also OUTSIDE the timer. Measured at sf10: map-only
       // keys running alphabetically after the dedup family read 5-8x

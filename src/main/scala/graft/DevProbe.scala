@@ -22,6 +22,17 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXPLAIN=1: print the key's formatted physical plan
+    // (with whole-stage-codegen ids — the ids OOM stack traces name)
+    // and exit without executing. Forensics for scale-probe failures:
+    // maps "GeneratedIteratorForCodegenStage<k>" to an operator.
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      val df = SparkEntry.queries(key)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      spark.stop()
+      return
+    }
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(key)(spark, sfDir)

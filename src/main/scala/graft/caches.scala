@@ -67,4 +67,41 @@ object InternalCaches {
 
   /** Number of live tracked entries (diagnostics / tests). */
   def trackedCount: Int = synchronized(entries.size)
+
+  /** Data-adaptive partition count for a corpus-sized cached relation,
+    * derived from its SOURCE parquet bytes (an O(1) filesystem listing —
+    * no job, no sampling): max(defaultParallelism,
+    * ⌈sourceBytes / bytesPerPart⌉).
+    *
+    * Why this exists (r13, the fourth capacity wall): a corpus-sized
+    * cache laid out at `defaultParallelism` partitions makes BOTH of the
+    * engine's per-partition resident costs Θ(n/32) — the columnar unroll
+    * chunk a cache write holds in storage memory (UNEVICTABLE while
+    * unrolling: 32 concurrent ~300 MB unrolls zero out the execution
+    * pool, and any same-stage aggregate's first page ask dies — the
+    * measured "Unable to acquire 262144 bytes, got 0" signature), and
+    * the state of every partial aggregate / hash build co-partitioned
+    * with the cache (which shuffle-partition sizing can never reach —
+    * measured byte-identical failures at 32 and 256 shuffle
+    * partitions). Scaling the CACHE layout with the data bounds both at
+    * the source: per-partition chunks stay ~bytesPerPart of input
+    * whatever the corpus, exactly the "size partitions to the data"
+    * contract a production cluster runs under. Below the threshold the
+    * count stays defaultParallelism, so toy-scale plans (and every
+    * committed sf≤10 bench map) are bit-identical.
+    *
+    * `bytesPerPart` is per-call-site: it encodes that site's
+    * input→cached expansion (a KB-per-row shingle+signature relation
+    * inflates its parquet ~20×; a narrow edge projection deflates its
+    * fact table). Callers pass the calibrated constant and cite the
+    * measurement.
+    */
+  private[graft] def adaptiveParts(s: org.apache.spark.sql.SparkSession,
+                                   path: String, bytesPerPart: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    math.max(s.sparkContext.defaultParallelism,
+      math.ceil(bytes.toDouble / bytesPerPart).toInt)
+  }
 }

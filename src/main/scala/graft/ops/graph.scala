@@ -61,14 +61,36 @@ object Graph {
         .as("e"))
       .select(col("e.src"), col("e.dst"))
 
+  /** Adaptive partition count for the edge caches, from the source fact
+    * bytes ([[InternalCaches.adaptiveParts]] doctrine): 64 MB of
+    * lineitem parquet per partition. At sf100 (10.8 GB source, ~1.6e8
+    * cached edge rows) that is ~170 partitions of ~15 MB columnar
+    * chunks, so cache writes and everything co-partitioned with them
+    * (degree aggregation, rank joins, wedge sorts) stay pool-breathable
+    * — the 32-partition layout put a ~75 MB final-distinct hash map AND
+    * an ~80–130 MB unevictable cache unroll in each of 32 concurrent
+    * tasks at sf100 and zeroed the execution pool (graph_pagerank's
+    * fourth-wall failure, BASELINE.md r13). At sf ≤ 10 the count floors
+    * at defaultParallelism: every committed layout and bench map is
+    * unchanged.
+    */
+  private def edgeParts(s: SparkSession, d: String): Int =
+    InternalCaches.adaptiveParts(s, s"$d/lineitem.parquet", 64L << 20)
+
   /** Canonical (u < v) co-purchase edges: parts appearing together in an
     * order, over the qty>25 slice — the filter keeps per-order item sets
     * small so edge count stays linear in fact rows (and makes the filter
     * pushdown visible in the scan).
     */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    // adaptive pre-partition on the join key: the self-join's two
+    // ensure-requirements exchanges land at this width instead of the
+    // 32-partition conf, so the merge sorters AND the pair stream's
+    // partial-distinct map scale as n/edgeParts (the ~200 MB/task
+    // 32-partition form was the fourth-wall class at sf100)
     val li = lineitem(s, d).filter(col("l_quantity") > 25)
       .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(edgeParts(s, d), col("l_orderkey"))
     // fact-table self-join: both sides corpus-sized — shuffle pin
     // (broadcast-cliff hazard, see ops/text.scala hammingBlockPairs)
     li.as("a").hint("shuffle_merge").join(li.as("b"),
@@ -87,11 +109,18 @@ object Graph {
     * (two wedge sides + the closing semi-join) → persisted eagerly, like
     * dedup_clusters' multi-branch cache (caches.scala).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame, parts: Int = -1): DataFrame = {
+    val p = if (parts > 0) parts
+      else edges.sparkSession.sparkContext.defaultParallelism
     // The edge relation is read from three branches below (degree count +
     // two degree-attach joins); un-persisted, each branch would recompute
     // the caller's whole edge derivation (caches.scala doctrine).
-    val e = InternalCaches.persistTracked(edges, eager = true)
+    // repartition(p, u): puts the cache write in its OWN stage at the
+    // adaptive width (never fused with the upstream distinct's final
+    // aggregate — the same-stage unroll+agg pile-up is the fourth-wall
+    // signature) and co-partitions the u-side degree-attach join.
+    val e = InternalCaches.persistTracked(
+      edges.repartition(p, col("u")), eager = true)
     // explode(array(u,v)) counts both endpoints in ONE pass over the
     // cache — unionAll would scan it twice. Persisted: BOTH degree-attach
     // joins read it (un-cached, the full aggregation over the edge cache
@@ -119,7 +148,7 @@ object Graph {
         when(ku < kv, col("u")).otherwise(col("v")).as("src"),
         when(ku < kv, col("v")).otherwise(col("u")).as("dst"),
         when(ku < kv, kv).otherwise(ku).as("kdst"))
-        .repartition(col("src")),
+        .repartition(p, col("src")),
       eager = true)
     // shuffle pins on both wedge joins: the edge relation is
     // corpus-sized, and the co-partitioned-cache-no-exchange contract
@@ -153,7 +182,9 @@ object Graph {
     * body). The edge relation itself never crosses the wire after the
     * cache materializes; only rank-sized relations move.
     */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, parts: Int = -1): DataFrame = {
+    val p = if (parts > 0) parts
+      else edges.sparkSession.sparkContext.defaultParallelism
     // Persisted: the deg materialization and the ce degree-attach join
     // both read this relation (the r0 seed reads the separately-persisted
     // deg) — un-cached each reader would recompute the caller's edge
@@ -169,11 +200,19 @@ object Graph {
     // partitioning (no re-shuffle, no sort of the edge stream), only
     // rank-sized relations move — the same plan a 1000-executor cluster
     // needs, now also the plan the bench measures.
-    val e = InternalCaches.persistTracked(edges, eager = true)
+    // repartition(p, src): the cache write gets its own stage at the
+    // adaptive width (the 32-partition form fused the edge-distinct's
+    // final aggregate with the cache unroll — the fourth-wall pile-up,
+    // BASELINE.md r13), the degree aggregation below then runs
+    // exchange-free on the cached hash(src) layout, and the per-
+    // iteration contribution join keeps its zero-edge-movement contract
+    // at the same width.
+    val e = InternalCaches.persistTracked(
+      edges.repartition(p, col("src")), eager = true)
     val deg = InternalCaches.persistTracked(
       e.groupBy("src").agg(count(lit(1)).as("d")), eager = true)
     val ce = InternalCaches.persistTracked(
-      e.join(deg, "src").repartition(col("src")), eager = true)
+      e.join(deg, "src").repartition(p, col("src")), eager = true)
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
       val contribs = ce.join(ranks.hint("shuffle_hash"),
@@ -219,9 +258,11 @@ object Graph {
     * EDGE-sized repartitioned relation.
     */
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
-                    maxHops: Int): DataFrame = {
+                    maxHops: Int, parts: Int = -1): DataFrame = {
+    val p = if (parts > 0) parts
+      else edges.sparkSession.sparkContext.defaultParallelism
     val e = InternalCaches.persistTracked(
-      edges.repartition(col("src")), eager = true)
+      edges.repartition(p, col("src")), eager = true)
     // distinct(): duplicate seed rows would flow into `visited` and the
     // result as duplicate (node, 0) rows (review finding r10 — the doc
     // invites arbitrary callers' seed relations)
@@ -270,13 +311,14 @@ object Graph {
     // Exact triangle count of the co-purchase graph. The count is the
     // whole answer (one row), so the oracle's naive 3-way self-join and
     // the oriented plan must agree bit-for-bit — integers, no rounding.
-    "graph_triangles" -> ((s, d) => triangleCount(coPurchaseEdges(s, d))),
+    "graph_triangles" -> ((s, d) =>
+      triangleCount(coPurchaseEdges(s, d), edgeParts(s, d))),
 
     // 3 PageRank iterations over the undirected (both-directions)
     // part↔supplier link graph. round(,4): double sums are order-
     // sensitive at ~1e-13; rank magnitudes are O(10).
     "graph_pagerank" -> ((s, d) => {
-      pagerank(partSupplierEdges(s, d), 3)
+      pagerank(partSupplierEdges(s, d), 3, edgeParts(s, d))
         .select(col("node"), round(col("pr"), 4).as("pr"))
         .orderBy("node")
     }),
@@ -289,7 +331,7 @@ object Graph {
     "graph_shortest_path" -> ((s, d) => {
       import s.implicits._
       val seeds = Seq(1L, 2L, 3L).toDF("node")
-      shortestPaths(partSupplierEdges(s, d), seeds, 3)
+      shortestPaths(partSupplierEdges(s, d), seeds, 3, edgeParts(s, d))
         .orderBy("node")
     }))
 

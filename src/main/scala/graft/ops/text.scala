@@ -440,16 +440,61 @@ object Text {
     */
   /** Posting keys wider than `hotWidth` → a broadcastable
     * (keys..., is_hot = true) list. ONE definition of "hot" for every
-    * salted decomposition (triangular self-join and asymmetric
-    * multi-index probe) — the hot-width semantics and the tiny-list/
-    * broadcast invariant must not drift between them.
+    * salted decomposition (triangular self-join, asymmetric multi-index
+    * probe, combo-block index) — the hot-width semantics and the
+    * tiny-list/broadcast invariant must not drift between them.
+    *
+    * Detection SAMPLES the posting stream (r13, the fourth capacity
+    * wall). An exact width count keys its map-side partial aggregation
+    * by the whole posting relation — and on a natural corpus nearly
+    * every (band, key) is unique, so the partial hash map holds
+    * ~|postings|/P entries where P is PINNED by the upstream cached
+    * relation's layout (a partial aggregate runs on its input's
+    * partitioning; shuffle-partition sizing never reaches it — measured:
+    * the sf100 failure is byte-identical at 32 and 256 shuffle
+    * partitions). At sf100 (5 M docs, 16 g one-JVM protocol) that map is
+    * ~2.5 M keys × ~48 B per task × 32 co-resident tasks against a
+    * cache-squeezed execution pool — the whole MinHash family died
+    * there (AGGREGATE_OUT_OF_MEMORY in the hot-width aggregate;
+    * BASELINE.md round 13, fourth wall). The detector now counts only
+    * postings of docs with xxhash64(doc_id) ≡ 0 (mod 2^s) — a
+    * CONTENT-KEYED gate, so the sample is deterministic under any
+    * partitioning or layout — and flags a key when its sampled width
+    * exceeds hotWidth >> s: the decision boundary stays at hotWidth in
+    * expectation while the aggregate's state and input both shrink
+    * 2^s ×. Detection is a BALANCE decision, not a correctness one —
+    * salting is recall-invariant for ANY hot list (SaltLawSpec's
+    * equality law, which sweeps this dial too) — so sampling noise near
+    * the boundary costs only routing: a missed barely-hot bucket keeps
+    * ~hotWidth² pairs in one join task, a false-positive cold bucket
+    * pays bounded replication, and true mega-buckets (width ≫
+    * hotWidth) are flagged with exponentially small failure odds
+    * (width W samples Binomial(W, 2^-s)). The shift self-clamps to
+    * keep the sampled threshold ≥ 2 — at the clamp the flagged set is
+    * still "strictly over-width keys", so the broadcast list cannot
+    * degrade into a corpus-sized relation when a test dials hotWidth
+    * tiny. `spark.graft.lsh.hotSampleShift` = 0 restores the exact
+    * count (the dial the planted-skew law uses to pin deterministic
+    * engagement at its 64-doc width).
     */
   private def hotKeys(postings: DataFrame, keys: Seq[String],
-                      hotWidth: Int): DataFrame =
-    postings.groupBy(keys.map(col): _*)
+                      hotWidth: Int): DataFrame = {
+    val shift = intConf(postings, "spark.graft.lsh.hotSampleShift", 4)
+    require(shift >= 0 && shift <= 16,
+      s"spark.graft.lsh.hotSampleShift must be in [0, 16], got $shift")
+    // clamp so hotWidth >> s stays ≥ 2: s ≤ log2(hotWidth) − 1
+    val s = math.min(shift,
+      math.max(0, 31 - Integer.numberOfLeadingZeros(math.max(hotWidth, 1))
+        - 1))
+    val sampled =
+      if (s == 0) postings
+      else postings.filter(
+        xxhash64(col("doc_id")).bitwiseAND(lit((1L << s) - 1)) === 0L)
+    sampled.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bw"))
-      .filter(col("bw") > hotWidth)
+      .filter(col("bw") > (hotWidth >> s))
       .select(keys.map(col) :+ lit(true).as("is_hot"): _*)
+  }
 
   private[graft] def saltedBandPairs(bands: DataFrame,
                                    carry: Seq[String] = Nil,
@@ -856,25 +901,32 @@ object Text {
       if (margin >= 1.0) cand
       else cand
         // signature join-backs: both sides corpus-sized (candidates ×
-        // 1-row/doc 128-long signatures), so the join must stay a
-        // SHUFFLE — but a SORT-merge would sort the huge candidate
+        // 1-row/doc 128-long signatures), so the joins must stay
+        // SHUFFLEs — but a SORT-merge would sort the huge candidate
         // stream (measured 8× on sim_ann_lsh sf1), so the pin is
-        // shuffle_HASH. The BUILD side is the candidate stream (r13,
-        // same reasoning as the verify stage below): 16 B/row narrow,
-        // so it is bytes-smaller than the ~1 KB/row signature relation
-        // in every measured regime (sf0.1 29 k cands × 16 B vs 5 k sigs
-        // × 1 KB; sf30 ~10⁷ × 16 B vs 1.5 M × 1 KB), and the signature
-        // relation — whose per-partition build width is pinned by the
-        // upstream repartition(doc_id) cache layout — never has to fit
-        // a no-spill HashedRelation again. Per-doc candidate counts are
-        // bounded by the hot-bucket salting upstream, so the build side
-        // cannot be skew-concentrated. The hint rides the stream side
-        // of EACH join-back (a hint inside a join's subtree does not
-        // mark the enclosing join).
-        .hint("shuffle_hash")
-        .join(aSig.select(col("doc_id").as("a"), col("sig").as("ga")), "a")
-        .hint("shuffle_hash")
-        .join(bSig.select(col("doc_id").as("b"), col("sig").as("gb")), "b")
+        // shuffle_HASH, and BOTH join-backs build the SIGNATURE side
+        // (the hint rides the side the join must BUILD; a hint inside a
+        // join's subtree does not mark the enclosing join). The sig
+        // side, laid out at the ADAPTIVE docParts width, is a bounded
+        // ~35 MB/partition at 5 M docs and reuses the cache's
+        // hash(doc_id) partitioning with no extra exchange — while a
+        // HashedRelation build has NO spill path, so NOTHING that
+        // scales with the CANDIDATE stream may ever be a build side.
+        // The r13 first cut hinted the candidate side of both
+        // join-backs on a "16 B/row narrow" argument; the sf100 probe
+        // killed it twice over: the second join's left is (a, b, ga) —
+        // the candidate stream with a 1 KB signature attached ("Can't
+        // acquire 134217728 bytes to build hash relation"), and even
+        // the first join's bare pairs are candidate-mass-sized, which
+        // for char-gram banding is ~7.5e8 rows at 5 M docs (within-copy
+        // 4-gram Jaccards run ~0.5, and 16×8 bands pass 16·J⁸ ≈ 6 % of
+        // such pairs — a heap-OOM'd LongToUnsafeRowMap at 16 g). The
+        // estimate FILTER is where that mass is allowed to die; builds
+        // must stay corpus-bounded.
+        .join(aSig.select(col("doc_id").as("a"), col("sig").as("ga"))
+          .hint("shuffle_hash"), "a")
+        .join(bSig.select(col("doc_id").as("b"), col("sig").as("gb"))
+          .hint("shuffle_hash"), "b")
         .withColumn("est",
           aggregate(zip_with(col("ga"), col("gb"),
               (x, y) => when(x === y, 1).otherwise(0)),
@@ -892,10 +944,15 @@ object Text {
     // builds × 32 concurrent tasks, "Can't acquire … to build hash
     // relation". The survivors are OUTPUT-SIZED by the prefilter's own
     // design (that is what the estimate stage is FOR), so they are the
-    // side a bounded build wants; the wide set arrays stream through the
-    // probe untouched. Under the lossless dial (margin ≥ 1.0) the build
-    // is the raw candidate stream — data-dependent, but 16 B/row narrow
-    // vs KBs/row sets, so it remains the smaller build at any corpus.
+    // side a bounded build wants — including the SECOND join-back, whose
+    // build carries sa (survivors × KB-row sets ≈ output × KB, still
+    // orders under the corpus-sized set relation at any dedup
+    // threshold). Under the lossless dial (margin ≥ 1.0) the first
+    // build is the raw candidate stream (16 B/row narrow) and the
+    // second carries sa at candidate cardinality — the one shape that
+    // can grow past a bounded build, accepted as the conf'd
+    // strict-recall demonstrator's price and the reason the margin
+    // prefilter is the default.
     estOk.hint("shuffle_hash")
       .join(aSig.select(col("doc_id").as("a"), col("s").as("sa")), "a")
       .hint("shuffle_hash")
@@ -915,9 +972,21 @@ object Text {
     */
   private def bandKeys(sig: DataFrame, bands: Int = Bands,
                        rows: Int = Rows): DataFrame =
+    // band hash = xxhash64 over the band's `rows` signature positions,
+    // read via `get` (0-based, dynamic index) rather than slice(): the
+    // Slice expression inside this generator evaluates INTERPRETED and
+    // materializes a boxed Vector per (doc, band) — ~6.4e8 boxed longs
+    // of pure allocation per pass at the sf100 probe (5 M docs × 16
+    // bands × 8), enough garbage velocity at 32 threads to contribute
+    // to the one-JVM heap envelope (BASELINE.md r13). Per-position
+    // `get` stays primitive end-to-end. Bucket SEMANTICS are unchanged
+    // — two docs share a band hash iff their `rows` positions agree —
+    // but the hash VALUES differ from the slice() form (different arg
+    // shape), which is invisible outside this relation.
     sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          j => xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows))))))
+          j => xxhash64(
+            (j +: (0 until rows).map(k => get(col("sig"), j * rows + k))): _*))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bhash")
 
@@ -976,10 +1045,10 @@ object Text {
       HotBucketDefault)
     val blocks = blockCountConf(ib, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
-    val hot = ib.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("bw"))
-      .filter(col("bw") > hotWidth)
-      .select(col("band"), col("bhash"), lit(true).as("is_hot"))
+    // shared sampled detector: the probe's standing-index side is
+    // corpus-sized too, so it hits the same partial-agg wall (doc_id
+    // here is the index-side id the sample gate hashes)
+    val hot = hotKeys(ib, Seq("band", "bhash"), hotWidth)
     val iTagged = ib.join(broadcast(hot), Seq("band", "bhash"), "left")
       .select(col("doc_id").as("b"), col("band"), col("bhash"),
         when(col("is_hot").isNotNull,
@@ -1002,13 +1071,29 @@ object Text {
     * order-free.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val p = s.sparkContext.defaultParallelism
+    val p = docParts(s, d)
     val sh = tokenizedDocs(s, d)
       .repartition(p, col("doc_id"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingleCol(col("t")).as("s"))
     lshJaccardPairs(sh, 0.5)
   }
+
+  /** Cache partition count for the KB-per-row LSH relations (shingle /
+    * char-gram sets + 128-long signatures): ~4 MB of source
+    * documents.parquet per partition. The cached columnar form inflates
+    * the parquet ~15–20× (observed ≥ 260 MB unroll chunks per partition
+    * at sf100's 592 MB source over 32 partitions), so 4 MB of source ≈
+    * 60–90 MB chunks — the size at which 32 concurrent cache writers
+    * leave the execution pool breathable instead of zeroing it (the
+    * fourth wall, BASELINE.md r13: unroll memory is unevictable while a
+    * chunk is being built, and 32 × ~300 MB chunks starved every
+    * same-stage execution ask at 5 M docs / 16 g). Under ~128 MB of
+    * source the count floors at defaultParallelism — every committed
+    * sf ≤ 10 layout, plan, and bench map is unchanged.
+    */
+  private def docParts(s: SparkSession, d: String): Int =
+    graft.InternalCaches.adaptiveParts(s, s"$d/documents.parquet", 4L << 20)
 
   /** English stopword probe set for the language-ID heuristic. */
   private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
@@ -1126,7 +1211,7 @@ object Text {
     // 0.93 with 16×8 bands is 1 - 2.5e-6). Oracle = brute-force char-gram
     // Jaccard.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val p = s.sparkContext.defaultParallelism
+      val p = docParts(s, d) // char-gram sets: same KB/row cache class
       val g = documents(s, d)
         .repartition(p, col("doc_id"))
         .filter(length(col("text")) >= 4) // cheap proxy: ≥4 chars ⟺ ≥1 gram
@@ -2203,7 +2288,7 @@ object Text {
     // disjoint shingle set (novel — must not match). Oracle: brute-force
     // batch × index Jaccard over the same derived batch.
     "dedup_lsh_ingest" -> ((s, d) => {
-      val p = s.sparkContext.defaultParallelism
+      val p = docParts(s, d) // two set+sig caches: the KB/row class ×2
       val base = tokenizedDocs(s, d)
         .repartition(p, col("doc_id"))
         .filter(size(col("t")) >= 3)

@@ -39,12 +39,19 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
   // any hot threshold (0 = everything salted)
   private val genSalt = Gen.oneOf(1, 2, 4, 8, 16)
   private val genHotW = Gen.oneOf(0, 1, 32)
+  // the r13 sampled hot detector: 0 = exact count, >0 = doc-hash-gated
+  // sample. The laws are EQUALITY laws, so they prove the route choice
+  // (and therefore the sampling noise) can never change the output —
+  // exactly the property that makes sampled detection admissible
+  private val genShift = Gen.oneOf(0, 1, 4)
 
   property("salted == naive self-join pairs, any skew, any dials") =
-    Prop.forAll(genBands, genSalt, genHotW) { (rows, saltW, hotW) =>
+    Prop.forAll(genBands, genSalt, genHotW, genShift) {
+        (rows, saltW, hotW, shift) =>
       val bands = rows.toDF("doc_id", "band", "bhash")
       spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
       spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+      spark.conf.set("spark.graft.lsh.hotSampleShift", shift.toString)
       try {
         val got = ops.Text.saltedBandPairs(bands)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -57,6 +64,7 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
       } finally {
         spark.conf.unset("spark.graft.lsh.saltBlocks")
         spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+        spark.conf.unset("spark.graft.lsh.hotSampleShift")
       }
     }
 
@@ -66,12 +74,13 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
   // cross-collision pairs — no triangle here, but the one-block-meets-
   // all-blocks argument is just as easy to get subtly wrong
   property("salted probe == naive cross-collision pairs, any skew, any dials") =
-    Prop.forAll(genBands, genBands, genSalt, genHotW) {
-      (iRows, bRows, saltW, hotW) =>
+    Prop.forAll(genBands, genBands, genSalt, genHotW, genShift) {
+      (iRows, bRows, saltW, hotW, shift) =>
         val ib = iRows.toDF("doc_id", "band", "bhash")
         val bb = bRows.toDF("doc_id", "band", "bhash")
         spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
         spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+        spark.conf.set("spark.graft.lsh.hotSampleShift", shift.toString)
         try {
           val got = ops.Text.saltedProbePairs(ib, bb)
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -84,6 +93,7 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
         } finally {
           spark.conf.unset("spark.graft.lsh.saltBlocks")
           spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+          spark.conf.unset("spark.graft.lsh.hotSampleShift")
         }
     }
 
@@ -121,6 +131,8 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
         val fp = rows.toDF("doc_id", "fp")
         spark.conf.set("spark.graft.lsh.saltBlocks", saltW.toString)
         spark.conf.set("spark.graft.lsh.hotBucketWidth", hotW.toString)
+        spark.conf.set("spark.graft.lsh.hotSampleShift",
+          (maxDist % 3).toString) // piggyback a 0/1/2 shift sweep
         spark.conf.set("spark.graft.simhash.comboBlocks", geom._1.toString)
         spark.conf.set("spark.graft.simhash.comboClean", geom._2.toString)
         try {
@@ -136,6 +148,7 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
         } finally {
           spark.conf.unset("spark.graft.lsh.saltBlocks")
           spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+          spark.conf.unset("spark.graft.lsh.hotSampleShift")
           spark.conf.unset("spark.graft.simhash.comboBlocks")
           spark.conf.unset("spark.graft.simhash.comboClean")
         }

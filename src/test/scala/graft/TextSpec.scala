@@ -272,8 +272,16 @@ class TextSpec extends SparkSpec {
     val dir = SparkSpec.scratchDir("graft_lsh_skew")
     base.unionByName(planted).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    val df = SparkEntry.queries("dedup_near_minhash")(spark, dir)
-    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact hot detection: at the default sampled shift a width-64
+    // bucket is flagged only with high probability, and this test's
+    // INTENT is to deterministically route through the salted join
+    // (the sampled detector's own noise is covered by SaltLawSpec's
+    // dial sweep, where the law holds whichever way a flag falls)
+    spark.conf.set("spark.graft.lsh.hotSampleShift", "0")
+    val got =
+      try SparkEntry.queries("dedup_near_minhash")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.lsh.hotSampleShift")
     val ids = (0 until n).map(_ + 90000L)
     val wanted = (for {
       a <- ids; b <- ids if a < b
