@@ -280,22 +280,80 @@ object Similarity {
     // persisted EAGERLY: both sides of the candidate self-join read the
     // scored relation inside one action — unpopulated, the K-centroid
     // scoring projection (and the cached k-means lineage above it)
-    // would run once per side
+    // would run once per side. Cache only the top-nprobe SLICE of the
+    // score array (r13 fourth-wall follow-on): centroidScores ranks all
+    // k ∝ √n centroids, ~10 KB/row at the sf100 probe's k = 500 — a
+    // ~20 GB cache whose unroll chunks heap-OOM'd sim_ann_ivf at 16 g —
+    // while every consumer reads sc[0] and slice(sc, 1, nprobe), so the
+    // slice IS the downstream contract (~k/nprobe× smaller rows)
     val scored = graft.InternalCaches.persistTracked(
-      scoredVecs(v, cents), eager = true)
+      scoredVecs(v, cents)
+        .withColumn("sc", slice(col("sc"), 1, math.max(nprobe, 1))),
+      eager = true)
     val probes = scored
       .select(col("vec_id"), col("v"), col("nrm"),
         probeCellCol(nprobe).as("pcell"))
-    val x = probes.repartition(p, col("pcell"))
+    // HOT-CELL SALTING (r13, measured at the sf100 probe): within-cell
+    // pair work is width², and k-means cells are NOT uniform — one
+    // skewed probed cell concentrated its whole width² in a single
+    // join task (jstack: one RUNNABLE worker, 26 min of CPU, 31 idle
+    // threads; the key read 1538 s end-to-end). The cure is the
+    // engine's triangular block-pair scheme (ops/text.scala
+    // saltedBandPairs — same tag algebra, same recall argument): rows
+    // of a hot cell get a deterministic block id, the x side replicates
+    // to tags (blk, j ≥ blk), the y side to (i ≤ blk, blk), so every
+    // unordered pair meets in exactly one (cell, pi, pj) bucket and the
+    // widest cell's work spreads over blocks·(blocks+1)/2 tasks. Two
+    // simplifications vs the band form: the cell vocabulary is BOUNDED
+    // (≤ k·nprobe ≤ ~10³), so hot detection is a tiny exact aggregate
+    // (no sampling needed), and cosine is SYMMETRIC, so id
+    // normalization needs no carry swap — least/greatest on the ids,
+    // the cosine is identical in either orientation, and the existing
+    // distinct collapses the same-block double meeting. Defaults keep
+    // every committed plan: sf ≤ 1 cell widths sit far under 4096, so
+    // the tag columns are constant 0 and the join is the old join.
+    val hotW = Text.intConf(v, "spark.graft.ivf.hotCellWidth", 4096)
+    val blocks = Text.blockCountConf(v, "spark.graft.ivf.cellSaltBlocks", 8)
+    val hot = probes.groupBy(col("pcell"))
+      .agg(count(lit(1)).as("cw"))
+      .filter(col("cw") > hotW)
+      .select(col("pcell"), lit(true).as("is_hot"))
+    val tagged = probes.join(broadcast(hot), Seq("pcell"), "left")
+      .withColumn("blk",
+        when(col("is_hot").isNotNull,
+          xxhash64(col("vec_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
+          .otherwise(lit(0)))
+    val x = tagged
       .select(col("pcell"), col("vec_id").as("a_id"), col("v").as("av"),
-        col("nrm").as("an"))
-    val y = probes.select(col("pcell").as("ycell"),
-      col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+        col("nrm").as("an"), col("is_hot").isNotNull.as("xh"),
+        col("blk").as("pi"),
+        explode(
+          when(col("is_hot").isNotNull,
+            sequence(col("blk"), lit(blocks - 1)))
+            .otherwise(array(lit(0)))).as("pj"))
+    val y = tagged.select(col("pcell").as("ycell"),
+      col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"),
+      explode(
+        when(col("is_hot").isNotNull, sequence(lit(0), col("blk")))
+          .otherwise(array(lit(0)))).as("ypi"),
+      col("blk").as("ypj"))
     // corpus-sized vector relations on both sides — shuffle pin
     // (broadcast-cliff hazard, see blockedPairs)
+    // Cold cells keep the old one-orientation a < b predicate (each
+    // pair enumerated once); hot cells must use ≠ — the triangle
+    // pairs an (a, b) in whichever orientation matches the block
+    // order, which is independent of id order (the documented
+    // first-draft bug class of this scheme) — and the least/greatest
+    // normalization + the existing distinct restore unordered-pair
+    // semantics (cosine is symmetric, so the value is orientation-
+    // independent).
     x.hint("shuffle_merge")
-      .join(y, col("pcell") === col("ycell") && col("a_id") < col("b_id"))
-      .select(col("a_id").as("a"), col("b_id").as("b"),
+      .join(y, col("pcell") === col("ycell")
+        && col("pi") === col("ypi") && col("pj") === col("ypj")
+        && when(col("xh"), col("a_id") =!= col("b_id"))
+          .otherwise(col("a_id") < col("b_id")))
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"),
         cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
@@ -335,10 +393,15 @@ object Similarity {
       // index cell, the front slice is the probe set (nearest first,
       // ties broken by cid — deterministic). Persisted because the index
       // and probe branches both read it; uncached, the k-means rounds'
-      // cached lineage would still re-score per branch.
+      // cached lineage would still re-score per branch. Top-nprobe
+      // slice only (see nearDupBlocked — the full k ∝ √n array is a
+      // measured cache bomb at sf100 and nothing downstream reads past
+      // the slice).
       val scored = graft.InternalCaches.persistTracked(
         scoredVecs(vecs(s, d).select(col("vec_id"), col("v"), col("nrm")),
-          ivfCentroids(s, d)), eager = true)
+          ivfCentroids(s, d))
+          .withColumn("sc", slice(col("sc"), 1, math.max(nprobe, 1))),
+        eager = true)
       val probes = scored
         .select(col("vec_id"), col("v"), col("nrm"),
           probeCellCol(nprobe).as("pcell"))
@@ -689,7 +752,34 @@ object Similarity {
         } else
           refinedIvfPairs(s, d,
             Text.intConf(embeddings(s, d), "spark.graft.ivf.nprobe", 2))
-      pairs
+      // Ranking: the bounded TopKByScore aggregation, same default and
+      // same dial as sim_ann_ivf_trained (spark.graft.ivf.topkAgg;
+      // output-identical to the window by the shared (cos desc, nbr_id)
+      // total order — AccuracySpec's equality law). The window form
+      // SORTS the whole candidate stream: at the sf100 probe that is
+      // ~1.6e9 rows (2 M vectors × ~800-wide refined cells) and the
+      // rank sort's spill alone exceeded the probe box's disk
+      // (SPILL_OUT_OF_MEMORY: No space left on device) — the exact
+      // failure mode TopKByScore exists to delete. label rides the
+      // grouping key (functionally dependent on vec_id).
+      val topkAgg = s.conf.getOption("spark.graft.ivf.topkAgg")
+        .forall {
+          case v if v.equalsIgnoreCase("true")  => true
+          case v if v.equalsIgnoreCase("false") => false
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.ivf.topkAgg must be true or false, got '$other'")
+        }
+      if (topkAgg) {
+        val topk = udaf(graft.expr.TopKByScore(3),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Double, Long)]())
+        pairs.groupBy(col("vec_id"), col("label"))
+          .agg(topk(col("cos"), col("nbr_id")).as("tk"))
+          .select(col("vec_id"), col("label"), posexplode(col("tk")))
+          .select(col("vec_id"), col("label"), (col("pos") + 1).as("rn"),
+            col("col._2").as("nbr_id"), col("col._1").as("cos"))
+          .orderBy("vec_id", "rn")
+      } else pairs
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("vec_id"), col("label"), col("rn"), col("nbr_id"),
@@ -768,8 +858,11 @@ object Similarity {
   private[graft] def refinedIvfPairs(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
     val p = s.sparkContext.defaultParallelism
+    // top-nprobe slice only (see nearDupBlocked's persist note)
     val scored = graft.InternalCaches.persistTracked(
-      scoredVecs(vecs(s, d), ivfCentroids(s, d)), eager = true)
+      scoredVecs(vecs(s, d), ivfCentroids(s, d))
+        .withColumn("sc", slice(col("sc"), 1, math.max(nprobe, 1))),
+      eager = true)
     val a = scored
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
         probeCellCol(nprobe).as("pcell"))

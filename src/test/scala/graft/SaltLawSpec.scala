@@ -208,4 +208,50 @@ object SaltLawSpec extends Properties("saltedBandPairs") {
       (Prop(payloadOk) :| "payload misassociated") &&
         (Prop(got == want) :| s"missing=${want -- got} extra=${got -- want}")
     }
+
+  // the IVF hot-CELL triangular salting (similarity.scala
+  // nearDupBlocked, r13 — the measured sf100 single-task straggler):
+  // with ONE trained centroid every vector probes the same mega-cell,
+  // so the salted within-cell sweep must equal the brute-force
+  // all-pairs cosine filter EXACTLY — for any block count and any hot
+  // threshold (0 = the whole corpus salted, 2^20 = the unsalted old
+  // join; the brute side mirrors the operator's floor(x·1e4+0.5)/1e4
+  // cosine rounding on the same left-fold dot order, so the comparison
+  // is bit-deterministic)
+  private val genVecList = Gen.chooseNum(2, 50).flatMap(n =>
+    Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-5, 5))))
+  property("nearDupBlocked mega-cell == brute-force cosine pairs, any salt dials") =
+    Prop.forAll(genVecList, genSalt, Gen.oneOf(0, 4, 1 << 20)) {
+      (vsRaw, saltW, hotW) =>
+        val rows = vsRaw.zipWithIndex.collect {
+          case (xs, i) if xs.exists(_ != 0) =>
+            val arr = xs.map(_.toDouble).toArray
+            (i.toLong, arr, math.sqrt(arr.map(x => x * x).sum))
+        }
+        if (rows.size < 2) Prop.passed
+        else {
+          val v = rows.toDF("vec_id", "v", "nrm")
+          val cents = Seq((0, Array(0.1, 0.1, 0.1, 0.1))).toDF("cid", "c")
+          spark.conf.set("spark.graft.ivf.cellSaltBlocks", saltW.toString)
+          spark.conf.set("spark.graft.ivf.hotCellWidth", hotW.toString)
+          try {
+            val got = ops.Similarity.nearDupBlocked(v, cents, 1, 0.3)
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            val naive = (for {
+              (a, av, an) <- rows; (b, bv, bn) <- rows if a < b
+              cos = math.floor(
+                av.zip(bv).map { case (p, q) => p * q }.sum
+                  / (an * bn) * 1e4 + 0.5) / 1e4
+              if cos >= 0.3
+            } yield (a, b)).toSet
+            Prop(got == naive) :|
+              s"salt=$saltW hotCell=$hotW missing=${naive -- got} " +
+                s"extra=${got -- naive}"
+          } finally {
+            spark.conf.unset("spark.graft.ivf.cellSaltBlocks")
+            spark.conf.unset("spark.graft.ivf.hotCellWidth")
+            InternalCaches.unpersistAll()
+          }
+        }
+    }
 }
