@@ -39,6 +39,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
+      // 128-group default silently converts TopKByScore into an input-
+      // stream external sort (expr/topk.scala scaladoc — the r13 sf100
+      // disk-death)
+      .config(graft.expr.TopKByScore.AggFallbackKey,
+        graft.expr.TopKByScore.AggFallbackValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -77,6 +77,9 @@ object Smoke {
       .appName("graft-smoke")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      // see expr/topk.scala — the 128-group ObjectHashAggregate default
+      .config(graft.expr.TopKByScore.AggFallbackKey,
+        graft.expr.TopKByScore.AggFallbackValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

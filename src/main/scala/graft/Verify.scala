@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // see expr/topk.scala — the 128-group ObjectHashAggregate default
+      .config(graft.expr.TopKByScore.AggFallbackKey,
+        graft.expr.TopKByScore.AggFallbackValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -144,6 +144,9 @@ object ClientCli {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // see expr/topk.scala — the 128-group ObjectHashAggregate default
+      .config(graft.expr.TopKByScore.AggFallbackKey,
+        graft.expr.TopKByScore.AggFallbackValue)
       .config("spark.ui.enabled", "false")
       .appName("graft-client").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,22 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * The buffer is a sorted Seq capped at k (k ≤ 16 guarded: this is a
   * top-FEW operator; a large k wants a heap, not an insertion sort).
+  *
+  * SESSION PREREQUISITE ([[TopKByScore.AggFallbackKey]]): a typed
+  * Aggregator plans as ObjectHashAggregateExec, and Spark's default
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` = 128
+  * falls back to SORT-BASED aggregation after observing just 128
+  * distinct groups in a task — which silently converts this operator's
+  * whole design (stream → k-element buffers) into an external sort of
+  * the INPUT stream. Measured at the r13 sf100 probe: the
+  * sim_ann_ivf_trained candidate stream is ~1.6e10 rows, the fallback
+  * sort's spill filled the probe box's disk, and the key died
+  * SPILL_OUT_OF_MEMORY — the exact failure the aggregation exists to
+  * delete. Every engine session builder therefore raises the threshold
+  * to [[TopKByScore.AggFallbackValue]]: per-task group counts here are
+  * ~n/P (62 k at 2 M queries / 32 tasks) with ≤ (k+1)-element buffers
+  * (~200 B), so the honest map cost is MBs — while the raised ceiling
+  * still bounds a pathological UDAF at ~4 M groups.
   */
 case class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)],
@@ -56,4 +72,14 @@ case class TopKByScore(k: Int)
     ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder()
+}
+
+object TopKByScore {
+  /** The ObjectHashAggregate fallback dial every engine session must
+    * raise — see the class scaladoc for the measured sf100 failure the
+    * 128-group default causes. One definition so the builders
+    * (Bench/Verify/Smoke/DevProbe/CLI) can never drift.
+    */
+  val AggFallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  val AggFallbackValue = "4194304"
 }

@@ -878,9 +878,18 @@ object Similarity {
         && col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("label"), col("nbr_id"),
         cosine(col("v"), col("bv"), col("nrm"), col("bn")).as("cos"))
-      // a neighbor can match through several probed cells — collapse
-      // before ranking so row_number never sees a duplicate pair
-      .distinct()
+      // NO distinct, by proof (r13): a (vec_id, nbr_id) pair can meet
+      // AT MOST ONCE here — the index side posts exactly ONE row per
+      // neighbor (its argmin cell, sc[0]), and the probe side's cells
+      // are distinct cids (a slice of the sorted centroid ranking), so
+      // the equi-join key (label, pcell = bcell) matches a pair only at
+      // the neighbor's single cell. The r11 draft carried a "collapse
+      // multi-cell matches" distinct against a hazard this construction
+      // cannot produce — and at the sf100 probe that no-op was a FULL
+      // 1.6e9-row aggregate whose sort-fallback spill heap-OOM'd the
+      // key. (nearDupBlocked's distinct is NOT this case: both of its
+      // sides explode probe cells, so pairs there genuinely duplicate —
+      // but only ≥-threshold survivors reach it.)
   }
 
   /** Shared harness of the recall@5 gates: per bounded probe

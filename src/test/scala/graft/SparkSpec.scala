@@ -43,6 +43,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // see expr/topk.scala — the 128-group ObjectHashAggregate default
+      .config(graft.expr.TopKByScore.AggFallbackKey,
+        graft.expr.TopKByScore.AggFallbackValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
