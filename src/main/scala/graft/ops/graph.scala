@@ -160,9 +160,22 @@ object Graph {
       .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
     // Left-semi keeps every wedge ROW with a closing edge (no dedup of the
     // left side): distinct wedges (a,b,c) map 1:1 to counted triangles.
-    val closed = wedges.join(
+    //
+    // shuffle_hash with the build on the ORIENTED side, not shuffle_merge:
+    // the probe stream is the Θ(m^1.5) wedge relation, and a merge join
+    // must SORT it — at sf100 that sort's ~48 GB spill outran the probe
+    // box's disk (BASELINE.md r13 ladder: ✗ disk) while the sorters were
+    // behaving correctly. The build side is the m-sized 16 B/row closing
+    // relation, explicitly laid out at the adaptive edge width on both
+    // sides (matched HashPartitioning — the join inserts no further
+    // exchange), so per-task builds stay ~tens of MB at sf100 (the
+    // build-side rule from the sf30/sf100 walls: bounded per partition,
+    // never candidate-stream-sized). The wedge stream now pays only its
+    // hash exchange — no sort, no buffering (semi-probe streams).
+    val closed = wedges.repartition(p, col("wu"), col("wv")).join(
       oriented.select(col("src").as("wu"), col("dst").as("wv"))
-        .hint("shuffle_merge"),
+        .repartition(p, col("wu"), col("wv"))
+        .hint("shuffle_hash"),
       Seq("wu", "wv"), "left_semi")
     closed.agg(count(lit(1)).as("n_triangles"))
   }

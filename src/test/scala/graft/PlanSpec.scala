@@ -667,6 +667,19 @@ class PlanSpec extends SparkSpec {
       assert(imts.size >= 3,
         s"expected >=3 InMemoryTableScans (oriented read 3x from cache), " +
           s"got ${imts.size}:\n$plan")
+      // The closing semi-join must be a HASH join building the m-sized
+      // oriented side — a merge join here SORTS the Θ(m^1.5) wedge
+      // stream (~48 GB of sorter spill at sf100, the r13 ladder's one ✗;
+      // BASELINE.md), and a broadcast build is the r12 cliff. Pinned so
+      // planner/AQE drift can't silently re-sort the wedge stream.
+      import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      val closing = collectAll(plan) {
+        case j: ShuffledHashJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(closing.nonEmpty,
+        s"closing semi-join must be ShuffledHashJoin (wedge stream never " +
+          s"sorted):\n$plan")
     } finally InternalCaches.unpersistAll()
   }
 
