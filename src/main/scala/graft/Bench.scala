@@ -44,6 +44,10 @@ object Bench {
       // disk-death)
       .config(graft.expr.TopKByScore.AggFallbackKey,
         graft.expr.TopKByScore.AggFallbackValue)
+      // see InternalCaches.ShuffleBypassKey — keep adaptive-width exchanges
+      // on the zero-execution-memory bypass writer
+      .config(graft.InternalCaches.ShuffleBypassKey,
+        graft.InternalCaches.ShuffleBypassValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -68,6 +68,27 @@ object InternalCaches {
   /** Number of live tracked entries (diagnostics / tests). */
   def trackedCount: Int = synchronized(entries.size)
 
+  /** Session dial — every engine session builder sets it, like
+    * [[graft.expr.TopKByScore.AggFallbackKey]]: keep hash-partitioned
+    * shuffle WRITES on the BypassMergeSortShuffleWriter up to the widest
+    * adaptive exchange the engine derives. Spark's default threshold is
+    * 200 partitions; one partition past it the writer silently switches
+    * to UnsafeShuffleWriter, and every map task starts paging EXECUTION
+    * memory for its record sorter. Measured (r13 sf100,
+    * graph_triangles): the survivor exchange at the adaptive closing
+    * width (~570 partitions) put 32 concurrent record sorters against
+    * the same stage's cache-read unroll traffic and died
+    * UNABLE_TO_ACQUIRE_MEMORY (a 32 KB first page, got 0) — while the
+    * bypass writer needs ZERO execution memory for the same write
+    * (per-reducer streamed files), at the price of ~32 KB of file
+    * buffer per reducer per task. 2048 covers every width
+    * [[adaptiveParts]] derives below ~10 TB of source at ≤ 64 MB of
+    * buffers per task; a genuinely wider exchange falls back to the
+    * paging writer, which is the right trade again at that width.
+    */
+  val ShuffleBypassKey = "spark.shuffle.sort.bypassMergeThreshold"
+  val ShuffleBypassValue = "2048"
+
   /** Data-adaptive partition count for a corpus-sized cached relation,
     * derived from its SOURCE parquet bytes (an O(1) filesystem listing —
     * no job, no sampling): max(defaultParallelism,

@@ -147,6 +147,10 @@ object ClientCli {
       // see expr/topk.scala — the 128-group ObjectHashAggregate default
       .config(graft.expr.TopKByScore.AggFallbackKey,
         graft.expr.TopKByScore.AggFallbackValue)
+      // see InternalCaches.ShuffleBypassKey — keep adaptive-width exchanges
+      // on the zero-execution-memory bypass writer
+      .config(graft.InternalCaches.ShuffleBypassKey,
+        graft.InternalCaches.ShuffleBypassValue)
       .config("spark.ui.enabled", "false")
       .appName("graft-client").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -44,6 +44,20 @@ object Graph {
     */
   private[ops] val SuppOffset = 1000000000L
 
+  /** Bloom dials for the triangle closing-edge prefilter (rationale at
+    * the use site in [[triangleCount]]): auto-engage threshold — below
+    * ~4M edges the wedge exchange is MBs and the filter is pure
+    * overhead; every sf ≤ 1 fixture stays under it, so committed
+    * toy-scale plans are bit-identical — and the width cap bounding the
+    * broadcast blob at ~268 MB however large the graph grows.
+    */
+  private[ops] val BloomAutoMinEdges = 1L << 22
+  // Near the Int ceiling, 64-aligned (the array is indexed in words; a
+  // row carrying the blob is ~268 MB — far under row/broadcast limits).
+  // At the cap the fpp for n edges is (1−e^(−3n/M))³: ~5 % at n = 3·10⁸
+  // (the measured sf100 co-purchase graph), degrading gracefully past it.
+  private[ops] val BloomMaxBits = (1L << 31) - 64
+
   /** Undirected (both-directions) part↔supplier link edges, shared by
     * `graph_pagerank` and `sql_recursive` so the node-id scheme and the
     * derivation can never diverge between the two queries' oracles. Both
@@ -143,13 +157,33 @@ object Graph {
     val kv = struct(col("dv").as("kd"), col("v").as("kid"))
     // Pre-partitioned by src: the wedge self-join then reads a
     // co-partitioned cache on both sides — no exchange, just the sort.
-    val oriented = InternalCaches.persistTracked(
+    // persistTrackedCounted: the materializing count doubles as the edge
+    // count the bloom sizing below needs (eager + a separate count was
+    // two jobs for one number — the BFS/CC pattern).
+    // sortWithinPartitions(src): InMemoryTableScan forwards the cached
+    // plan's outputOrdering, so the wedge self-join's TWO merge-join
+    // sorts become no-ops — the m-sized relation is sorted ONCE at cache
+    // build instead of once per reader (at sf100 that was 2× ~10 GB of
+    // sorter spill inside the wedge stage, a third of the probe box's
+    // whole disk budget).
+    val (oriented, nEdges) = InternalCaches.persistTrackedCounted(
       withDeg.select(
         when(ku < kv, col("u")).otherwise(col("v")).as("src"),
         when(ku < kv, col("v")).otherwise(col("u")).as("dst"),
         when(ku < kv, kv).otherwise(ku).as("kdst"))
-        .repartition(p, col("src")),
-      eager = true)
+        .repartition(p, col("src"))
+        .sortWithinPartitions("src"))
+    // Cache rotation (the dedup_clusters per-round pattern): every reader
+    // of `e` and `deg` is consumed by the oriented materialization above
+    // — from here the whole computation reads `oriented` only. Dropping
+    // them NOW frees ~m-sized columnar storage (disk-spilled at scale:
+    // ~15 GB of the sf100 probe box's budget) before the wedge stage
+    // needs the room; blocking, so the space exists BEFORE the wedge
+    // stage asks (async deletes lagged tens of GB under the r13 sf100
+    // probes — the BASELINE.md "No space left" protocol note). Their
+    // registry entries' later unpersist is a no-op.
+    e.unpersist(blocking = true)
+    deg.unpersist(blocking = true)
     // shuffle pins on both wedge joins: the edge relation is
     // corpus-sized, and the co-partitioned-cache-no-exchange contract
     // above only holds if AQE never swaps in a broadcast build
@@ -158,6 +192,56 @@ object Graph {
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
+    // Bloom semi-join reduction on the wedge stream, applied IN-STAGE
+    // (inside the wedge join's own codegen, before any exchange). The
+    // closing join is exact either way, so the filter only has to be
+    // conservative — a false positive costs one extra shuffled row, a
+    // false negative is impossible by the ExprSpec lockstep law. Why it
+    // exists: the wedge stream is Θ(m^1.5) and even WITHOUT a sort its
+    // closing exchange alone outran the sf100 probe box's disk (measured
+    // r13: ~93 GB written, "No space left on device" — after the
+    // shuffle_hash flip had already deleted the 48 GB sorter spill).
+    // Survivors are (triangles + fpp·wedges): at the 8-bits/edge sizing
+    // fpp ≈ 3 %, so the exchange shrinks ~30× toward output-sized.
+    // Broadcast discipline: the blob is ONE row of ≤ 2^30 bits (128 MB,
+    // the BloomMaxBits cap) built by a distributed OR-aggregate — never
+    // a driver-built HashedRelation, and bounded however large the graph
+    // grows (the r12 cliff rule wants corpus-growing RELATIONS off
+    // broadcast; a capped scalar blob qualifies as bounded). Past the
+    // cap (≳10^8.5 edges) fpp degrades toward 1 and the filter goes
+    // gracefully neutral — never wrong — which is the honest contract:
+    // at that scale the Θ(m^1.5) exchange is the operator's documented
+    // cost and a cluster's aggregate disk absorbs it.
+    // coalesce(2): each map-side partial holds the FULL array PLUS its
+    // in-flight UnsafeRow serialization (ScalaAggregator.serialize →
+    // BufferHolder.grow — ~3× the blob in UNTRACKED JVM allocations that
+    // cannot evict the storage pool; 8 concurrent partials heap-OOM'd a
+    // 16 g probe at the capped width, measured r13). Two partials bound
+    // the untracked spike at ~1.6 GB and cost ~15 s of single-pass
+    // hashing at 3·10⁸ edges — noise against the exchange they delete.
+    // spark.graft.triangles.bloom = auto|on|off (build-time read,
+    // the graft conf convention): auto engages at ≥ 2^22 edges, so every
+    // sf ≤ 1 plan (and the committed bench maps) is bit-identical.
+    val bloomMode =
+      edges.sparkSession.conf.get("spark.graft.triangles.bloom", "auto")
+    val useBloom = bloomMode match {
+      case "on" => true
+      case "off" => false
+      case _ => nEdges >= Graph.BloomAutoMinEdges
+    }
+    val candidates = if (!useBloom) wedges else {
+      val bits = (8L * nEdges).max(1L << 16).min(Graph.BloomMaxBits)
+      val numBits = (((bits + 63) / 64) * 64).toInt
+      val bagg = udaf(new graft.expr.BloomFilter.SizedAgg(numBits))
+      val bloom = oriented
+        .select(xxhash64(col("src"), col("dst")).as("ek"))
+        .coalesce(2)
+        .agg(bagg(col("ek")).as("bf"))
+      wedges.crossJoin(broadcast(bloom))
+        .filter(graft.expr.BloomFilter.mightContain(col("bf"),
+          xxhash64(col("wu"), col("wv")), numBits))
+        .drop("bf")
+    }
     // Left-semi keeps every wedge ROW with a closing edge (no dedup of the
     // left side): distinct wedges (a,b,c) map 1:1 to counted triangles.
     //
@@ -172,9 +256,20 @@ object Graph {
     // build-side rule from the sf30/sf100 walls: bounded per partition,
     // never candidate-stream-sized). The wedge stream now pays only its
     // hash exchange — no sort, no buffering (semi-probe streams).
-    val closed = wedges.repartition(p, col("wu"), col("wv")).join(
+    // Closing width from the MEASURED edge count, not the cache width:
+    // a hash build has no spill path, so its per-partition footprint
+    // (~16 B rows + ~100 B/row of UnsafeHashedRelation map overhead)
+    // must stay under a task's worst-case execution grant (pool/2N).
+    // At the edge-cache width the sf100 build was ~120 MB × 32
+    // concurrent tasks and died "not enough memory to build hash map"
+    // (measured r13); 64 MB of build per partition keeps 32 concurrent
+    // builds ~2 GB against the ~4.7 GB guaranteed execution floor.
+    // Floors at p, so every sf ≤ 10 plan keeps its committed width.
+    val pClose = math.max(p,
+      math.ceil(nEdges * 128.0 / (64L << 20)).toInt)
+    val closed = candidates.repartition(pClose, col("wu"), col("wv")).join(
       oriented.select(col("src").as("wu"), col("dst").as("wv"))
-        .repartition(p, col("wu"), col("wv"))
+        .repartition(pClose, col("wu"), col("wv"))
         .hint("shuffle_hash"),
       Seq("wu", "wv"), "left_semi")
     closed.agg(count(lit(1)).as("n_triangles"))

@@ -329,6 +329,19 @@ class ExprSpec extends SparkSpec {
     assert(survivors >= exact, "bloom dropped a true match")
     assert(survivors < factN / 2,
       s"prefilter kept $survivors of $factN rows — not pruning")
+    // Sized variant (the triangle closing-edge filter's path): the same
+    // lockstep law must hold at a NON-default width, where every modulus
+    // in the position contract differs from the 65536-bit constants — a
+    // build/probe width mismatch would fail as false negatives here.
+    val sizedBits = 1 << 20
+    val sizedAgg = udaf(new BloomFilter.SizedAgg(sizedBits))
+    val sized = keys.agg(sizedAgg(col("s_suppkey")).as("bf"))
+    val sizedMisses = keys.crossJoin(broadcast(sized))
+      .filter(!BloomFilter.mightContain(col("bf"), col("s_suppkey"),
+        sizedBits))
+      .count()
+    assert(sizedMisses == 0,
+      s"$sizedMisses inserted keys failed the sized probe")
   }
 
   test("FuseDotProduct rewrites the HOF idiom into the fused expression") {

@@ -35,6 +35,36 @@ class GraphSpec extends SparkSpec {
     InternalCaches.unpersistAll()
   }
 
+  test("triangleCount: forced bloom prefilter is count-identical (fp-only law)") {
+    // The auto dial never engages at test scale (BloomAutoMinEdges), so
+    // this law FORCES the bloom path and pins it against the unfiltered
+    // count on a seeded pseudo-random graph — the filter may only pass
+    // extra candidates into the exact closing join (false positives,
+    // absorbed), never drop one (a false negative would undercount).
+    // 60 nodes, ~xxhash-selected 20% of canonical pairs: dense enough
+    // for hundreds of triangles, distinct counts per graph.
+    val rnd = for {
+      u <- 1L to 60L; v <- (u + 1) to 60L
+      if java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(u * 61 + v, 7L), 5L) == 0L
+    } yield (u, v)
+    val g = edges(rnd: _*)
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    def count(df: DataFrame, mode: String): Long = {
+      spark.conf.set("spark.graft.triangles.bloom", mode)
+      try ops.Graph.triangleCount(df).as[Long].head()
+      finally {
+        spark.conf.unset("spark.graft.triangles.bloom")
+        InternalCaches.unpersistAll()
+      }
+    }
+    val off = count(g, "off")
+    assert(off > 0L, "fixture must actually contain triangles")
+    assert(count(g, "on") === off)
+    assert(count(k4, "on") === 4L)
+  }
+
   test("pagerank: 2-cycle fixed point stays at 1.0; mass is preserved") {
     val cyc = directed((1L, 2L), (2L, 1L))
     val pr = ops.Graph.pagerank(cyc, 5).as[(Long, Double)].collect().toMap

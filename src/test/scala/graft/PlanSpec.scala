@@ -654,9 +654,25 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     try {
       val plan = finalPlan("graph_triangles")
+      // A BNLJ is allowed ONLY as the bloom-blob attach: a broadcast of a
+      // single no-grouping aggregate row (the sized closing-edge filter,
+      // ops/graph.scala). Any other BNLJ — and any cartesian — is the
+      // all-pairs wedge product this pin exists to forbid. QueryStageExec
+      // is a leaf to TreeNode traversal, so the single-row check recurses
+      // into materialized stages by hand.
+      def hasGlobalAgg(sp: SparkPlan): Boolean = {
+        import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        import org.apache.spark.sql.execution.adaptive.QueryStageExec
+        sp.collectFirst {
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        }.isDefined ||
+          sp.collect { case q: QueryStageExec => q }
+            .exists(q => hasGlobalAgg(q.plan))
+      }
       val bad = collectAll(plan) {
         case c: CartesianProductExec => c: SparkPlan
-        case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+        case b: BroadcastNestedLoopJoinExec
+            if !b.children.exists(hasGlobalAgg) => b: SparkPlan
       }
       assert(bad.isEmpty,
         s"wedge enumeration must stay an equi-join, never a product:\n$plan")
