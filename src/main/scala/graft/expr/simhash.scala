@@ -2,10 +2,42 @@ package graft.expr
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-feature 64-bit hash for [[SimHash64]]: the big-endian first 8
+  * bytes of the feature's MD5 digest — i.e. the value of the digest's
+  * first 16 hex characters. The basis is md5 (not xxhash64) so the
+  * WHOLE fingerprint pipeline is oracle-replayable: DuckDB computes the
+  * identical word with `CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)`
+  * (verified bit-for-bit in ExprSpec), the same engine-boundary trick
+  * the samplers' md5u32 gate uses (ops/text.scala) and the same hash
+  * family the reference's own shuffle key rides
+  * (Worker/worker.py:213-214, md5 mod W). xxhash64 had no DuckDB
+  * equivalent, which kept `dedup_simhash` rows-only for six rounds —
+  * the r13 verdict's item 3. Cost: MD5 is a bounded constant per
+  * feature (~5× xxh64 on short shingles), thread-local digest reuse
+  * keeps it allocation-flat; the sketch stays a single codegen'd pass.
+  */
+object Md5U64 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = s.getBytes
+    val out = d.digest(b)
+    ((out(0) & 0xFFL) << 56) | ((out(1) & 0xFFL) << 48) |
+    ((out(2) & 0xFFL) << 40) | ((out(3) & 0xFFL) << 32) |
+    ((out(4) & 0xFFL) << 24) | ((out(5) & 0xFFL) << 16) |
+    ((out(6) & 0xFFL) << 8)  |  (out(7) & 0xFFL)
+  }
+}
 
 /** 64-bit SimHash over a feature (shingle/token) set: per bit, sum +1/-1
   * votes from every feature's hash, emit the sign vector packed into one
@@ -15,8 +47,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * equi-join (no all-pairs), the same candidate-generation shape as
   * MinHash-LSH but with a 1-word signature.
   *
-  * Codegen'd single pass (like [[MinHashSignature]]): one byte-hash per
-  * feature, 64 counter updates, packed sign at the end.
+  * Codegen'd single pass (like [[MinHashSignature]]): one [[Md5U64]]
+  * hash per feature (md5-basis so the fingerprint — and therefore the
+  * whole dedup_simhash pipeline — replays in the DuckDB oracle), 64
+  * counter updates, packed sign at the end.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -38,9 +72,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       // feature contributes nothing; guards user SQL like
       // simhash64(array('a', NULL)) against an opaque NPE)
       if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        val h = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = Md5U64.hash(arr.getUTF8String(j))
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -57,12 +89,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val xxh = classOf[XXH64].getName
       val votes = ctx.freshName("votes")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
       val h = ctx.freshName("h")
       val sig = ctx.freshName("sig")
       s"""
@@ -70,9 +100,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |for (int $j = 0; $j < $n; $j++) {
          |  if ($a.isNullAt($j)) continue;  // null feature: no vote
-         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
-         |  long $h = $xxh.hashUnsafeBytes(
-         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  long $h = graft.expr.Md5U64.hash($a.getUTF8String($j));
          |  for (int $i = 0; $i < 64; $i++) {
          |    if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
          |  }

@@ -1233,10 +1233,13 @@ object Text {
     // determinism laws carry over unchanged.
     // The (doc_id, fp) relation is persisted (16 bytes/doc) so the
     // shingle+fingerprint pass runs once, not once per posting branch.
-    // Rows-only driver check (the fingerprint hash isn't expressible in
-    // the oracle); TextSpec asserts it finds exactly the planted
-    // near-dup pairs within the default radius, and equals brute force
-    // at both dials.
+    // FULL oracle gate since r14: the per-shingle hash is the md5-u64
+    // prefix (expr/Md5U64 — DuckDB computes the identical word from
+    // substr(md5(s),1,16)), so the oracle replays the whole pipeline
+    // — shingles, votes, packed sign, brute-force hamming ≤ maxDist —
+    // and the key graduates from six rounds of rows-only to
+    // rows+schema+hash. TextSpec additionally asserts it equals brute
+    // force at both dials and SaltLawSpec sweeps the index geometry.
     "dedup_simhash" -> ((s, d) => {
       val p = s.sparkContext.defaultParallelism
       // same shingle-less exclusion as dedup_near_minhash (cheap
@@ -2720,6 +2723,38 @@ object Text {
         |          / len(list_distinct(a.s || b.s)), 4) AS jac
         |  FROM gn a JOIN gn b ON a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM pairs WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
+    // Full SimHash replay (r14): per-shingle h = first 16 md5 hex chars
+    // as u64 (bit-identical to expr/Md5U64 — the engine-boundary pin in
+    // ExprSpec), 64 per-bit votes, sign-packed fingerprint via bit_or,
+    // then the brute-force hamming cut the engine's pair-block index is
+    // pigeonhole-complete for (TextSpec's set-equality law). The oracle
+    // affords the quadratic pair sweep at sf; the engine never forms it.
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |            for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) AS h
+        |  FROM sh),
+        |votes AS (
+        |  SELECT doc_id, r.i,
+        |    sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(64) r(i) GROUP BY doc_id, r.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN v > 0 THEN 1::UBIGINT << i
+        |                ELSE 0::UBIGINT END) AS fp
+        |  FROM votes GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.fp, y.fp)) <= 4 ORDER BY a, b""".stripMargin,
     "text_tokens_topn" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

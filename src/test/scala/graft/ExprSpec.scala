@@ -188,6 +188,28 @@ class ExprSpec extends SparkSpec {
     assert(r.getLong(2) == r.getLong(3))
   }
 
+  test("Md5U64 matches DuckDB's CAST('0x'||substr(md5(s),1,16) AS UBIGINT)") {
+    // the engine-boundary pin that makes dedup_simhash oracle-replayable:
+    // the per-shingle hash must equal — bit for bit — the u64 DuckDB
+    // parses from the digest's first 16 hex chars. Pinned against
+    // constants computed IN DuckDB 1.0 (md5('abc') =
+    // 900150983cd24fb0..., u64 10376663631224000432 ≡ signed
+    // -8070080442485551184), plus a self-consistency check against
+    // Spark's own md5() hex output for arbitrary shingle-like strings.
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.expr.Md5U64.hash(UTF8String.fromString("abc")) ==
+      -8070080442485551184L)
+    val samples = Seq("", "a", "the quick brown", "tok1 tok2 tok3",
+      "éü unicode", "x" * 100)
+    samples.foreach { s =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        s.getBytes("UTF-8")).substring(0, 16)
+      assert(graft.expr.Md5U64.hash(UTF8String.fromString(s)) ==
+        java.lang.Long.parseUnsignedLong(hex, 16),
+        s"Md5U64 disagrees with the md5 hex prefix for '$s'")
+    }
+  }
+
   test("char_gram_counts is SQL-callable like its siblings") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT char_gram_counts('abab', 2) AS g")
