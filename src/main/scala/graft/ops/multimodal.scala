@@ -161,7 +161,31 @@ object Multimodal {
     * ADPCM) returns None and the caller falls back to the deterministic
     * fake — the same weak-evidence discipline as [[decodeImage]].
     */
-  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    audioPcm(payload).map { a =>
+      var sum = 0.0
+      var k = 0
+      while (k < a.n) { sum += a.sample(k); k += 1 }
+      (a.frames, a.channels, sum / a.n)
+    }
+
+  /** Decoded PCM with random sample access on the shared 8-bit unsigned
+    * scale — n is the total CHANNEL-SAMPLE count (frames × channels,
+    * floored to complete samples if the stream under-delivers).
+    */
+  private[graft] case class AudioPcm(frames: Int, channels: Int, n: Int,
+                                     sample: Int => Double)
+
+  /** The decode gate + sample accessor both audio consumers share —
+    * [[decodeAudio]] (whole-payload mean) and [[extractAudioWindows]]
+    * (per-window features) must agree on the supported-format set and
+    * the sample scale, so there is exactly ONE definition of each. The
+    * accessor is a closure over the raw PCM bytes rather than a
+    * materialized Array[Double]: the windowed consumer touches samples
+    * window-by-window, and at the 16 M-frame cap a double array would
+    * 4× the decoded payload's footprint for no reuse.
+    */
+  private[graft] def audioPcm(payload: Array[Byte]): Option[AudioPcm] = {
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -179,29 +203,65 @@ object Multimodal {
           None
         else {
           val data = ais.readAllBytes()
-          var sum = 0.0
-          var n = 0L
           if (bits == 8) {
-            var i = 0
-            while (i < data.length) { sum += (data(i) & 0xff); i += 1 }
-            n = data.length.toLong
+            if (data.length == 0) None
+            else Some(AudioPcm(frames.toInt, ch, data.length,
+              k => (data(k) & 0xff).toDouble))
           } else {
             // 16-bit little-endian signed: lo byte then hi byte; floor
             // to complete samples in case the stream under-delivers
-            var i = 0
-            val end = data.length - (data.length % 2)
-            while (i < end) {
-              val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
-              sum += (s + 32768) / 256.0
-              i += 2
-            }
-            n = (end / 2).toLong
+            val n = data.length / 2
+            if (n == 0) None
+            else Some(AudioPcm(frames.toInt, ch, n, k => {
+              val s = ((data(2 * k) & 0xff) | (data(2 * k + 1) << 8)).toShort
+              (s + 32768) / 256.0
+            }))
           }
-          if (n == 0) None
-          else Some((frames.toInt, ch, sum / n))
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-WINDOW audio features (r14) — the audio twin of
+    * [[extractFrameFeatures]]'s frame sampling: a 1→N generator from one
+    * payload row to one row per (width, stride) sample window. Window i
+    * covers channel-samples [i·stride, i·stride + width) clipped at the
+    * stream end — every window holds ≥ 1 sample, tails may be short,
+    * stride < width overlaps (the spectrogram/VAD framing convention).
+    * RIFF/WAVE payloads take the REAL decode ([[audioPcm]] — the same
+    * gate and 8-bit sample scale as [[decodeAudio]], MultimodalSpec
+    * plants both depths and checks windows sample-exactly); everything
+    * else — this corpus's UTF-8 text blobs — windows the payload BYTES
+    * on the same scale, so the key is fully oracle-replayable on a text
+    * corpus (byte ≡ codepoint on ASCII, the mm_decode_features guard).
+    * Features: sample count, mean, RMS — mean and RMS accumulate
+    * left-to-right over ≤ width doubles, the same order DuckDB's
+    * list_sum replays (the established mm_decode_features contract).
+    */
+  def extractAudioWindows(media: Dataset[MediaRow], width: Int, stride: Int)
+      : Dataset[(Long, Int, Int, Double, Double)] = {
+    require(width > 0 && stride > 0, s"bad framing: $width/$stride")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val pcm = if (sniffWav(r.payload)) audioPcm(r.payload) else None
+      val (n, sample) = pcm match {
+        case Some(a) => (a.n, a.sample)
+        case None =>
+          (r.payload.length, (k: Int) => (r.payload(k) & 0xff).toDouble)
+      }
+      val nWin = if (n == 0) 0 else (n + stride - 1) / stride
+      (0 until nWin).map { i =>
+        val start = i * stride
+        val len = math.min(width, n - start)
+        var sum = 0.0
+        var sq = 0.0
+        var k = start
+        while (k < start + len) {
+          val v = sample(k); sum += v; sq += v * v; k += 1
+        }
+        (r.doc_id, i, len, sum / len, math.sqrt(sq / len))
+      }
+    }
   }
 
   /** Per-frame cap for [[decodeVideoFrames]]: a multi-frame container
@@ -564,7 +624,23 @@ object Multimodal {
           col("height"),
           floor(col("mean_byte") * 1e4 + 0.5).cast("long")
             .as("mean_byte_e4"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Per-WINDOW audio features (r14) — mm_video_features' audio twin:
+    // one row per (width=256, stride=192) sample window instead of per
+    // payload; overlapping stride exercises the framing convention a
+    // spectrogram/VAD stage uses. WAV payloads decode for REAL through
+    // the shared audioPcm gate; this corpus's text blobs window the raw
+    // bytes, so the key is oracle-replayed exactly (substring byte math
+    // + list_sum, the ASCII guard shared with mm_decode_features). Same
+    // e4 scaling discipline: floor(x·1e4 + 0.5), never round(x, 4).
+    "mm_audio_features" -> ((s, d) =>
+      extractAudioWindows(mediaTable(s, d), width = 256, stride = 192)
+        .toDF("doc_id", "win_idx", "n_samples", "mean", "rms")
+        .select(col("doc_id"), col("win_idx"), col("n_samples"),
+          floor(col("mean") * 1e4 + 0.5).cast("long").as("mean_e4"),
+          floor(col("rms") * 1e4 + 0.5).cast("long").as("rms_e4"))
+        .orderBy("doc_id", "win_idx"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -670,6 +746,30 @@ object Multimodal {
         |  CAST(floor(
         |    list_sum([unicode(c)::DOUBLE for c in string_split(fr, '')])
         |      / length(fr) * 1e4 + 0.5) AS BIGINT) AS mean_byte_e4
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Exact replay of the stub windowing: window i = 256 chars starting
+    // at i·192 (1-based substring), ceil(len/192) windows so every
+    // window holds ≥ 1 sample. Same byte ≡ codepoint ASCII guard and
+    // list_sum accumulation-order contract as mm_decode_features; RMS's
+    // sqrt is correctly rounded IEEE in both engines.
+    "mm_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |w AS (
+        |  SELECT doc_id, i, substring(text, i * 192 + 1, 256) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest([i for i in range(0, (len + 191) // 192)]) AS i
+        |        FROM d)),
+        |s AS (
+        |  SELECT doc_id, i, length(win) AS n,
+        |    [unicode(c)::DOUBLE for c in string_split(win, '')] AS xs
+        |  FROM w)
+        |SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
+        |  CAST(n AS INTEGER) AS n_samples,
+        |  CAST(floor(list_sum(xs) / n * 1e4 + 0.5) AS BIGINT) AS mean_e4,
+        |  CAST(floor(sqrt(list_sum([x * x for x in xs]) / n) * 1e4 + 0.5)
+        |    AS BIGINT) AS rms_e4
+        |FROM s ORDER BY doc_id, win_idx""".stripMargin
   )
 }

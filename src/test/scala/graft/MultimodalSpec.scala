@@ -143,6 +143,67 @@ class MultimodalSpec extends SparkSpec {
       "false-positive sniff must take the deterministic fake")
   }
 
+  test("audio windows are sample-exact on the real WAV path and " +
+    "byte-exact on the stub path") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // same planted 16-bit stereo PCM as the decode law: 8 channel-samples
+    // with known values, containerized by the independent JDK writer —
+    // every window's (count, mean, rms) is computable without the code
+    // under test
+    val samples = Seq[Short](-32768, 0, 32767, 1000, -1000, 256, -256,
+      12345)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.length / 2),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val textPayload = "quantify the relevance".getBytes("UTF-8")
+    // width 3 / stride 2: overlapping windows AND a short tail in 8
+    // samples — windows [0,3) [2,5) [4,7) [6,8)
+    val got = Multimodal.extractAudioWindows(
+        Seq(Multimodal.MediaRow(1L, wav),
+          Multimodal.MediaRow(2L, textPayload)).toDS(),
+        width = 3, stride = 2)
+      .collect().sortBy(r => (r._1, r._2))
+    def expect(xs: Seq[Double], width: Int, stride: Int)
+        : Seq[(Int, Int, Double, Double)] =
+      (0 until (xs.length + stride - 1) / stride).map { i =>
+        val w = xs.slice(i * stride, i * stride + width)
+        (i, w.length, w.sum / w.length,
+          math.sqrt(w.map(x => x * x).sum / w.length))
+      }
+    val scale = samples.map(s => (s + 32768) / 256.0)
+    val wantWav = expect(scale, 3, 2)
+    val gotWav = got.filter(_._1 == 1L)
+    assert(gotWav.length == wantWav.length, s"window count: ${gotWav.length}")
+    gotWav.zip(wantWav).foreach { case ((_, i, n, m, r), (wi, wn, wm, wr)) =>
+      assert(i == wi && n == wn, s"window $i framing: ($n) vs ($wn)")
+      assert(math.abs(m - wm) < 1e-9 && math.abs(r - wr) < 1e-9,
+        s"window $i features: ($m, $r) vs ($wm, $wr)")
+    }
+    // stub path: the text payload's windows are its raw bytes
+    val bytesScale = textPayload.map(b => (b & 0xff).toDouble).toSeq
+    val wantTxt = expect(bytesScale, 3, 2)
+    val gotTxt = got.filter(_._1 == 2L)
+    assert(gotTxt.map(t => (t._2, t._3)).toSeq ==
+      wantTxt.map(t => (t._1, t._2)))
+    gotTxt.zip(wantTxt).foreach { case ((_, _, _, m, r), (_, _, wm, wr)) =>
+      assert(math.abs(m - wm) < 1e-9 && math.abs(r - wr) < 1e-9)
+    }
+    // empty payload emits no windows (the flatMap's n == 0 guard)
+    assert(Multimodal.extractAudioWindows(
+      Seq(Multimodal.MediaRow(3L, Array.empty[Byte])).toDS(), 3, 2)
+      .count() == 0)
+  }
+
   test("real video payloads decode per frame through the JDK codec " +
     "(planted animated GIF)") {
     import spark.implicits._
