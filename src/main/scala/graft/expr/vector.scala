@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
@@ -84,10 +84,53 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** JVM-lifetime memo of the random-hyperplane sign words: entry i of
+  * `get(seed, n)` is the md5-u64 prefix of `"hp:<seed>:<i>"`
+  * ([[Md5U64]] — the engine-boundary basis shared with SimHash64), so
+  * bit j of entry i is plane j's ±1 component at dimension i. The md5
+  * basis (r14, replacing per-row `xxhash64(i, seed)`) is what makes
+  * `sim_ann_lsh` oracle-replayable: DuckDB computes the identical word
+  * from `CAST('0x' || substr(md5('hp:' || seed || ':' || i), 1, 16) AS
+  * UBIGINT)`. The table is a pure function of (seed, i) — memoizing it
+  * is semantics-free — and sized by the widest vector seen: one CHM
+  * read per ROW replaces 64 hash calls per row, so the rebase is also
+  * a (small) win on the sketch pass itself. Grown geometrically under
+  * a lock; entries never change, so a stale narrower array read race
+  * is benign (the widest request re-resolves under the lock).
+  */
+object HyperplanePlanes {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+  def get(seed: Long, n: Int): Array[Long] = {
+    val cur = cache.get(seed)
+    if (cur != null && cur.length >= n) cur
+    else cache.synchronized {
+      val c2 = cache.get(seed)
+      if (c2 != null && c2.length >= n) c2
+      else {
+        val m = math.max(n,
+          math.max(64, if (c2 == null) 0 else c2.length * 2))
+        val arr = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          arr(i) = Md5U64.hash(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(s"hp:$seed:$i"))
+          i += 1
+        }
+        cache.put(seed, arr)
+        arr
+      }
+    }
+  }
+}
+
 /** 64-bit random-hyperplane sign sketch over an array<double> vector
   * (SimHash for the continuous case): plane j's component at dimension i
-  * is ±1 drawn from bit j of `xxhash64(i)` — deterministic, shared by
-  * every row, never materialized — and bit j of the sketch is the sign of
+  * is ±1 drawn from bit j of the md5-u64 of `"hp:<seed>:<i>"`
+  * ([[HyperplanePlanes]] — deterministic, shared by every row,
+  * memoized once per JVM, DuckDB-expressible) — and bit j of the
+  * sketch is the sign of
   * `Σ_i v(i) · plane_j(i)`. Vectors at angle θ collide per bit with
   * probability 1 − θ/π (Goemans–Williamson), so fixed-width bands of the
   * sketch give an equi-joinable LSH bucket key for approximate
@@ -122,11 +165,12 @@ case class SignSketch64(child: Expression, seed: Long = 42L)
     val arr = input.asInstanceOf[ArrayData]
     val acc = new Array[Double](64)
     val n = arr.numElements()
+    val planes = HyperplanePlanes.get(seed, n)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = arr.getDouble(i)
-        val h = XXH64.hashLong(i.toLong, seed)
+        val h = planes(i)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) acc(j) += x else acc(j) -= x
@@ -143,21 +187,22 @@ case class SignSketch64(child: Expression, seed: Long = 42L)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val xxh = classOf[XXH64].getName
       val acc = ctx.freshName("acc")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val x = ctx.freshName("x")
       val h = ctx.freshName("h")
+      val pl = ctx.freshName("planes")
       val sig = ctx.freshName("sig")
       s"""
          |double[] $acc = new double[64];
          |int $n = $a.numElements();
+         |long[] $pl = graft.expr.HyperplanePlanes.get(${seed}L, $n);
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) continue;  // null dim: no vote
          |  double $x = $a.getDouble($i);
-         |  long $h = $xxh.hashLong((long) $i, ${seed}L);
+         |  long $h = $pl[$i];
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $acc[$j] += $x; else $acc[$j] -= $x;
          |  }

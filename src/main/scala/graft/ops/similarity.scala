@@ -608,8 +608,14 @@ object Similarity {
     // 24-byte/row (vec_id, skA, skB) sketch relation feeds the THREE
     // branches of the salted multi-index join (hot-key agg +
     // exact/variant sides) — uncached, the two 64-hyperplane sketches
-    // would re-run per branch. Rows-only driver check (hash hyperplanes
-    // aren't expressible in the oracle); recall law in AccuracySpec.
+    // would re-run per branch. FULL oracle gate since r14: the
+    // hyperplane signs are md5-basis (expr/HyperplanePlanes — bit j of
+    // md5-u64("hp:<seed>:<i>")), so DuckDB replays the whole pipeline —
+    // both sketches in dimension order, the exact band-collision
+    // predicate (∃ 16-bit band within 1 flip: precisely the radius-1
+    // multi-probe's collision set), the 128-bit cut, cosine, top-3 —
+    // and the key graduates from rows-only to rows+schema+hash. The
+    // recall law stays in AccuracySpec.
     //
     // GATE OBSERVABILITY (r13, closing the r12 verdict's vacuity item):
     // the r12 cascade passes only near-clone pairs (cos ≳ 0.93), and the
@@ -1026,6 +1032,78 @@ object Similarity {
         |  round(coalesce(1.0 / (60 + vr), 0)
         |    + coalesce(1.0 / (60 + kr), 0), 6) AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // Full LSH replay (r14): hyperplane words from md5 (the
+    // HyperplanePlanes basis — ExprSpec pins the engine-boundary
+    // constant), sketch bits from ordered ±v folds (list comprehensions
+    // preserve dimension order, the list_sum accumulation contract),
+    // candidates = the EXACT multi-probe collision set (a radius-1
+    // probe on 4×16-bit bands collides iff some band slice is within 1
+    // flip) under the 128-bit cascade cut, then both orientations,
+    // cosine, top-3. The clone probe view (every 13th vector at +0.05
+    // on dim 1) replays the operator's default dial, like
+    // text_containment's cap. range(0, 64) is the fixture's embedding
+    // width (the oracle runs on the fixture; the operator reads any
+    // width).
+    "sim_ann_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 500000 AS vec_id,
+        |    [CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END
+        |     for i in range(1, len(v) + 1)] AS v
+        |  FROM base WHERE vec_id % 13 = 0),
+        |vn AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+        |  FROM corpus),
+        |pl AS (
+        |  SELECT s.seed, d.i,
+        |    CAST('0x' || substr(md5('hp:' || s.seed || ':' || d.i), 1, 16)
+        |      AS UBIGINT) AS h
+        |  FROM (VALUES (42), (-7046029254386353131)) s(seed)
+        |  CROSS JOIN range(0, 64) d(i)),
+        |pls AS (SELECT seed, list(h ORDER BY i) AS hs FROM pl GROUP BY seed),
+        |bits AS (
+        |  SELECT vn.vec_id, pls.seed, r.j,
+        |    CASE WHEN list_sum([CASE WHEN (pls.hs[i] >> r.j) & 1 = 1
+        |                             THEN vn.v[i] ELSE -vn.v[i] END
+        |                        for i in range(1, len(vn.v) + 1)]) > 0
+        |         THEN 1::UBIGINT << r.j ELSE 0::UBIGINT END AS bit
+        |  FROM vn CROSS JOIN pls CROSS JOIN range(64) r(j)),
+        |sks AS (SELECT vec_id, seed, bit_or(bit) AS sk
+        |        FROM bits GROUP BY vec_id, seed),
+        |skw AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN seed = 42 THEN sk END) AS ska,
+        |    max(CASE WHEN seed = -7046029254386353131 THEN sk END) AS skb
+        |  FROM sks GROUP BY vec_id),
+        |cand AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM skw x JOIN skw y ON x.vec_id < y.vec_id
+        |  WHERE (bit_count(xor(x.ska, y.ska) & 65535::UBIGINT) <= 1
+        |      OR bit_count((xor(x.ska, y.ska) >> 16) & 65535::UBIGINT) <= 1
+        |      OR bit_count((xor(x.ska, y.ska) >> 32) & 65535::UBIGINT) <= 1
+        |      OR bit_count((xor(x.ska, y.ska) >> 48) & 65535::UBIGINT) <= 1)
+        |    AND bit_count(xor(x.ska, y.ska))
+        |      + bit_count(xor(x.skb, y.skb)) <= 24),
+        |ori AS (
+        |  SELECT a AS vec_id, b AS nbr_id FROM cand
+        |  UNION ALL SELECT b AS vec_id, a AS nbr_id FROM cand),
+        |sc AS (
+        |  SELECT o.vec_id, o.nbr_id,
+        |    floor(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)])
+        |      / (x.nrm * y.nrm) * 1e4 + 0.5) / 1e4 AS cos
+        |  FROM ori o JOIN vn x ON o.vec_id = x.vec_id
+        |             JOIN vn y ON o.nbr_id = y.vec_id),
+        |rk AS (
+        |  SELECT vec_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, nbr_id) AS rn
+        |  FROM sc)
+        |SELECT vec_id, CAST(rn AS INTEGER) AS rn, nbr_id, cos
+        |FROM rk WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
     "sim_topk_cosine" ->
       s"""WITH e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
