@@ -55,8 +55,13 @@ object Graph {
   // Near the Int ceiling, 64-aligned (the array is indexed in words; a
   // row carrying the blob is ~268 MB — far under row/broadcast limits).
   // At the cap the fpp for n edges is (1−e^(−3n/M))³: ~5 % at n = 3·10⁸
-  // (the measured sf100 co-purchase graph), degrading gracefully past it.
+  // (the measured sf100 co-purchase graph) — past which the filter now
+  // SHARDS (r14): up to BloomMaxShards independent blobs routed by
+  // pmod(xxhash64(src), k) hold the 8-bits/edge sizing (fpp ≈ 3 %)
+  // through ~2·10⁹ edges for a ≤ ~2.1 GB total broadcast, degrading
+  // gracefully past the sharded ceiling exactly as the single blob did.
   private[ops] val BloomMaxBits = (1L << 31) - 64
+  private[ops] val BloomMaxShards = 8
 
   /** Undirected (both-directions) part↔supplier link edges, shared by
     * `graph_pagerank` and `sql_recursive` so the node-id scheme and the
@@ -203,15 +208,32 @@ object Graph {
     // shuffle_hash flip had already deleted the 48 GB sorter spill).
     // Survivors are (triangles + fpp·wedges): at the 8-bits/edge sizing
     // fpp ≈ 3 %, so the exchange shrinks ~30× toward output-sized.
-    // Broadcast discipline: the blob is ONE row of ≤ 2^30 bits (128 MB,
-    // the BloomMaxBits cap) built by a distributed OR-aggregate — never
-    // a driver-built HashedRelation, and bounded however large the graph
-    // grows (the r12 cliff rule wants corpus-growing RELATIONS off
-    // broadcast; a capped scalar blob qualifies as bounded). Past the
-    // cap (≳10^8.5 edges) fpp degrades toward 1 and the filter goes
-    // gracefully neutral — never wrong — which is the honest contract:
-    // at that scale the Θ(m^1.5) exchange is the operator's documented
-    // cost and a cluster's aggregate disk absorbs it.
+    // Broadcast discipline: each blob is one row of ≤ 2^31−64 bits
+    // (~268 MB, the BloomMaxBits cap) built by a distributed
+    // OR-aggregate — never a driver-built HashedRelation, and bounded
+    // however large the graph grows (the r12 cliff rule wants
+    // corpus-growing RELATIONS off broadcast; a capped scalar blob
+    // qualifies as bounded).
+    // SHARDING past the single-blob cap (r14, the r13 verdict's item 4):
+    // one Int-indexed array tops out at 2^31 bits, and past ~2.7e8 edges
+    // its fpp was degrading toward neutral — the Θ(m^1.5) exchange crept
+    // back exactly at the scale that needs the cut most. The filter now
+    // splits into k = ceil(8·edges / BloomMaxBits) ≤ BloomMaxShards
+    // INDEPENDENT blobs routed by pmod(xxhash64(src), k): a closing edge
+    // lands in exactly one shard and a wedge (wu, wv) probes exactly the
+    // shard pmod(xxhash64(wu), k) — the same per-blob position contract,
+    // k× the effective width (fpp holds ≈ 3 % through ~2·10⁹ edges at
+    // the 8-shard ceiling), still a bounded broadcast (≤ k·268 MB, the
+    // k-row relation below). Shard builds run as k SEQUENTIAL
+    // control-plane jobs (the BPE-argmax/k-means-round pattern): each
+    // build bounds its partial-aggregation footprint at ONE shard blob —
+    // concurrent per-shard aggregates would co-schedule k·2 capped
+    // partials and recreate the exact 16 g heap-OOM the coalesce(2)
+    // below was measured to fix. Past the sharded ceiling
+    // (≳2·10⁹ edges) per-shard fpp degrades toward 1 and the filter
+    // goes gracefully neutral — never wrong — which is the honest
+    // contract: at that scale the Θ(m^1.5) exchange is the operator's
+    // documented cost and a cluster's aggregate disk absorbs it.
     // coalesce(2): each map-side partial holds the FULL array PLUS its
     // in-flight UnsafeRow serialization (ScalaAggregator.serialize →
     // BufferHolder.grow — ~3× the blob in UNTRACKED JVM allocations that
@@ -220,8 +242,11 @@ object Graph {
     // the untracked spike at ~1.6 GB and cost ~15 s of single-pass
     // hashing at 3·10⁸ edges — noise against the exchange they delete.
     // spark.graft.triangles.bloom = auto|on|off (build-time read,
-    // the graft conf convention): auto engages at ≥ 2^22 edges, so every
-    // sf ≤ 1 plan (and the committed bench maps) is bit-identical.
+    // the graft conf convention): auto engages at ≥ 2^22 edges, so the
+    // bloom branch is absent from every sf ≤ 1 plan.
+    // spark.graft.triangles.bloomShards = auto|<k> forces the shard
+    // count (the GraphSpec count-identity law drives the sharded path
+    // on toy graphs, where the byte-derived k is always 1).
     val bloomMode =
       edges.sparkSession.conf.get("spark.graft.triangles.bloom", "auto")
     val useBloom = bloomMode match {
@@ -230,17 +255,65 @@ object Graph {
       case _ => nEdges >= Graph.BloomAutoMinEdges
     }
     val candidates = if (!useBloom) wedges else {
-      val bits = (8L * nEdges).max(1L << 16).min(Graph.BloomMaxBits)
+      val idealBits = (8L * nEdges).max(1L << 16)
+      val shardConf = edges.sparkSession.conf
+        .get("spark.graft.triangles.bloomShards", "auto")
+      val k = shardConf match {
+        case "auto" =>
+          (((idealBits + Graph.BloomMaxBits - 1) / Graph.BloomMaxBits)
+            .toInt).max(1).min(Graph.BloomMaxShards)
+        case s =>
+          val v = s.toInt
+          require(v >= 1 && v <= 64,
+            s"spark.graft.triangles.bloomShards must be auto or 1..64, got $s")
+          v
+      }
+      val bits = ((idealBits + k - 1) / k).min(Graph.BloomMaxBits)
       val numBits = (((bits + 63) / 64) * 64).toInt
       val bagg = udaf(new graft.expr.BloomFilter.SizedAgg(numBits))
-      val bloom = oriented
-        .select(xxhash64(col("src"), col("dst")).as("ek"))
-        .coalesce(2)
-        .agg(bagg(col("ek")).as("bf"))
-      wedges.crossJoin(broadcast(bloom))
-        .filter(graft.expr.BloomFilter.mightContain(col("bf"),
-          xxhash64(col("wu"), col("wv")), numBits))
-        .drop("bf")
+      val probeKey = graft.expr.BloomFilter.mightContain(col("bf"),
+        xxhash64(col("wu"), col("wv")), numBits)
+      if (k == 1) {
+        // single-blob path: the exact pre-r14 plan (crossJoin of the
+        // 1-row aggregate), so every previously-measured map is
+        // unchanged wherever one blob suffices
+        val bloom = oriented
+          .select(xxhash64(col("src"), col("dst")).as("ek"))
+          .coalesce(2)
+          .agg(bagg(col("ek")).as("bf"))
+        wedges.crossJoin(broadcast(bloom))
+          .filter(probeKey)
+          .drop("bf")
+      } else {
+        // k sequential 1-row jobs (see the sharding note above), then
+        // ONE broadcast hash join on the shard route — each wedge row
+        // probes exactly its shard's blob
+        val spark = edges.sparkSession
+        val shardRows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList()
+        (0 until k).foreach { s =>
+          val bf = oriented
+            .filter(pmod(xxhash64(col("src")), lit(k.toLong)) === s)
+            .select(xxhash64(col("src"), col("dst")).as("ek"))
+            .coalesce(2)
+            .agg(bagg(col("ek")).as("bf"))
+            .head().getAs[scala.collection.Seq[Long]]("bf")
+          shardRows.add(org.apache.spark.sql.Row(s.toLong, bf))
+        }
+        val blooms = spark.createDataFrame(shardRows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("shard",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("bf",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType, containsNull = false),
+              nullable = false))))
+        wedges
+          .withColumn("shard", pmod(xxhash64(col("wu")), lit(k.toLong)))
+          .join(broadcast(blooms), "shard")
+          .filter(probeKey)
+          .drop("bf", "shard")
+      }
     }
     // Left-semi keeps every wedge ROW with a closing edge (no dedup of the
     // left side): distinct wedges (a,b,c) map 1:1 to counted triangles.

@@ -51,11 +51,14 @@ class GraphSpec extends SparkSpec {
     } yield (u, v)
     val g = edges(rnd: _*)
     val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
-    def count(df: DataFrame, mode: String): Long = {
+    def count(df: DataFrame, mode: String, shards: Int = 0): Long = {
       spark.conf.set("spark.graft.triangles.bloom", mode)
+      if (shards > 0)
+        spark.conf.set("spark.graft.triangles.bloomShards", shards.toString)
       try ops.Graph.triangleCount(df).as[Long].head()
       finally {
         spark.conf.unset("spark.graft.triangles.bloom")
+        spark.conf.unset("spark.graft.triangles.bloomShards")
         InternalCaches.unpersistAll()
       }
     }
@@ -63,6 +66,15 @@ class GraphSpec extends SparkSpec {
     assert(off > 0L, "fixture must actually contain triangles")
     assert(count(g, "on") === off)
     assert(count(k4, "on") === 4L)
+    // the r14 sharded path (byte-derived k is 1 at toy scale, so the
+    // law FORCES k): shard routing must partition the closing-edge set —
+    // a mis-routed edge would surface as a dropped triangle here, since
+    // per-shard fpp can only ADD candidates to the exact closing join
+    for (k <- Seq(2, 4, 7)) {
+      assert(count(g, "on", shards = k) === off,
+        s"sharded bloom (k=$k) must be count-identical")
+      assert(count(k4, "on", shards = k) === 4L)
+    }
   }
 
   test("pagerank: 2-cycle fixed point stays at 1.0; mass is preserved") {
