@@ -37,8 +37,38 @@ generation is current:
   orders' o_custkey is NOT offset, so per-customer fan-out grows 10x -
   the realistic "same customers, more history" shape).
 
-Usage: make_sf1.py [src_dir] [dst_dir] [copies]
-       (defaults sf0.1 -> /tmp/graft_sf1, 10 copies)
+Usage: make_sf1.py [src_dir] [dst_dir] [copies] [docmode]
+       (defaults sf0.1 -> /tmp/graft_sf1, 10 copies, docmode=copy)
+
+docmode=organic (r14, the r13 verdict's item 1) replaces the documents
+table's per-copy character bijection with a SYNTHESIS: docs are drawn
+from an empirical unigram model of the source corpus (vocabulary,
+token frequencies, doc lengths, lang/source mixes and the null-text
+rate all sampled from the real table, seeded per copy), so no copy
+shares a sentence with any other and cross-doc char-gram Jaccard sits
+at the ORGANIC background (~0.1-0.2 from shared vocabulary) instead of
+the letter-permuted-copy fixture's same-copy J ~ 0.5 bulk. That bulk
+is exactly the banding-noise suspect behind the sf100 exponents the
+r13 verdict marked weak (dedup_lsh_ingest 1.69 / dedup_ngram_jaccard
+1.51): 32*J^4 resp. 16*J^8 of the same-copy pair mass passes the band
+join and dies in the estimate filter, and no organic crawl exhibits
+J ~ 0.5 at that density. Re-laddering those keys on an organic fixture
+separates contract cost from fixture artifact. Every 97th doc also
+re-emits as a perturbed twin (5% of token positions resampled, id
+offset +5_000_000 inside the copy block) so the near-dup keys keep a
+small planted-positive mass and their gates stay non-vacuous. All
+Embeddings in organic mode are likewise synthesized (sim_ann_lsh is
+the third weak-exponent key): per copy, each vector draws a source
+LABEL and is sampled from that label's empirical gaussian (per-dim
+mean/std measured from the source table), so the label-cluster
+geometry the IVF family indexes is preserved in distribution while no
+vector is an isometry image of any other - cross-copy cosine
+similarity sits at the organic background instead of the rotation
+fixture's structured decorrelation. The operator's own clone probe
+view (annlsh.probeEvery) supplies the planted-positive mass, so no
+twins are planted here. All OTHER tables keep the copy construction
+byte-for-byte - organic mode is a documents/embeddings-family probe,
+and the TPC-H/events keys keep their committed fixtures.
 
 copies > 25 (r11 ran 30 copies for the sf3 probe; r12 runs 100 for the
 sf10 decade probe) switch the per-copy text bijection from a rotation
@@ -79,7 +109,9 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+DOCMODE = sys.argv[4] if len(sys.argv) > 4 else "copy"
 assert COPIES <= 1000, "keep the fixture in the probe regime"
+assert DOCMODE in ("copy", "organic"), f"bad docmode {DOCMODE}"
 
 ROT_TABLES = {"documents"}
 
@@ -116,6 +148,131 @@ def rotate_text(col: pa.ChunkedArray, k: int) -> pa.Array:
                     type=pa.string())
 
 
+def build_doc_model(t: pa.Table):
+    """Empirical corpus model for docmode=organic: unigram token
+    frequencies, the doc token-length distribution, per-doc (lang,
+    source) pair mix, and the null-text rate - everything the synthetic
+    draw samples, all measured from the real table so the synthetic
+    corpus keeps the source's vocabulary Zipf profile (hot tokens drive
+    posting-bucket widths), length mix and column statistics while
+    sharing no SENTENCE with any copy."""
+    import numpy as np
+    from collections import Counter
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    srcs = t.column("source").to_pylist()
+    cnt = Counter()
+    lens = []
+    metas = []
+    nulls = 0
+    for tx, lg, sc in zip(texts, langs, srcs):
+        metas.append((lg, sc))
+        if tx is None:
+            nulls += 1
+            continue
+        toks = tx.split(" ")
+        lens.append(len(toks))
+        cnt.update(toks)
+    vocab = np.array(list(cnt.keys()), dtype=object)
+    freq = np.array([cnt[w] for w in cnt], dtype=np.float64)
+    return {
+        "vocab": vocab,
+        "p": freq / freq.sum(),
+        "lens": np.array(lens, dtype=np.int64),
+        "metas": metas,
+        "null_rate": nulls / max(1, len(texts)),
+        "n_docs": len(texts),
+    }
+
+
+def organic_doc_copy(model, k: int) -> pa.Table:
+    """One synthetic copy (seed = copy index, deterministic): n_docs
+    unigram draws + every 97th doc's perturbed twin (5% of token
+    positions resampled, id +5_000_000 inside the copy block) so the
+    near-dup keys keep a small planted-positive mass."""
+    import numpy as np
+    rng = np.random.default_rng(k)
+    n = model["n_docs"]
+    vocab, p = model["vocab"], model["p"]
+    lens = rng.choice(model["lens"], size=n)
+    nulls = rng.random(n) < model["null_rate"]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    draws = rng.choice(len(vocab), size=int(offs[-1]), p=p)
+    toks = vocab[draws]
+    doc_ids, txts, langs, sources = [], [], [], []
+    metas = model["metas"]
+    base = k * 10_000_000
+    for i in range(n):
+        lg, sc = metas[rng.integers(len(metas))]
+        doc_ids.append(base + i)
+        langs.append(lg)
+        sources.append(sc)
+        txts.append(None if nulls[i]
+                    else " ".join(toks[offs[i]:offs[i + 1]]))
+    for i in range(0, n, 97):
+        if txts[i] is None:
+            continue
+        tw = txts[i].split(" ")
+        for j in range(len(tw)):
+            if rng.random() < 0.05:
+                tw[j] = vocab[rng.choice(len(vocab), p=p)]
+        doc_ids.append(base + 5_000_000 + i)
+        langs.append(langs[i])
+        sources.append(sources[i])
+        txts.append(" ".join(tw))
+    text_arr = pa.array(txts, type=pa.string())
+    return pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "text": text_arr,
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(sources, type=pa.string()),
+        "n_chars": pc.utf8_length(text_arr).cast(pa.int64()),
+    })
+
+
+def build_emb_model(t: pa.Table):
+    """Per-label gaussian for docmode=organic embeddings: per-dim mean
+    and std measured from the source table per label, plus the label
+    mix - the cluster geometry the IVF family indexes, in distribution,
+    with no isometry-copied vectors."""
+    import numpy as np
+    vecs = t.column("embedding").to_pylist()
+    labels = t.column("label").to_pylist()
+    by_label = {}
+    for v, lg in zip(vecs, labels):
+        if v is None or any(x is None for x in v):
+            continue
+        by_label.setdefault(lg, []).append(v)
+    stats = {lg: (np.mean(np.array(vs), axis=0),
+                  np.std(np.array(vs), axis=0) + 1e-9)
+             for lg, vs in by_label.items()}
+    return {
+        "labels": labels,
+        "stats": stats,
+        "n": len(vecs),
+        "dim": len(next(v for v in vecs if v is not None)),
+    }
+
+
+def organic_emb_copy(model, etype, k: int) -> pa.Table:
+    import numpy as np
+    rng = np.random.default_rng(10_000 + k)
+    n = model["n"]
+    labels = [model["labels"][rng.integers(len(model["labels"]))]
+              for _ in range(n)]
+    rows = []
+    for lg in labels:
+        mu, sd = model["stats"][lg]
+        rows.append((rng.standard_normal(model["dim"]) * sd + mu)
+                    .astype(np.float32).tolist())
+    return pa.table({
+        "vec_id": pa.array([k * 10_000_000 + i for i in range(n)],
+                           type=pa.int64()),
+        "embedding": pa.array(rows, type=etype),
+        "label": pa.array(labels),
+    })
+
+
 def write_copies(dst_path: str, make_copy) -> None:
     """Stream COPIES row groups through one ParquetWriter instead of
     concat_tables-then-write: at the sf100 probe scale (1000 copies) the
@@ -143,7 +300,11 @@ def main() -> None:
         dst_path = f"{DST}/{name}.parquet"
         if os.path.lexists(dst_path):
             os.remove(dst_path)
-        if name == "documents":
+        if name == "documents" and DOCMODE == "organic":
+            t = pq.read_table(src_path)
+            model = build_doc_model(t)
+            write_copies(dst_path, lambda k: organic_doc_copy(model, k))
+        elif name == "documents":
             t = pq.read_table(src_path)
 
             def doc_copy(k: int) -> pa.Table:
@@ -190,6 +351,11 @@ def main() -> None:
                               if f.name in off else t.column(f.name))
                      for f in t.schema})
             write_copies(dst_path, tpc_copy)
+        elif name == "embeddings" and DOCMODE == "organic":
+            t = pq.read_table(src_path)
+            emodel = build_emb_model(t)
+            et = t.schema.field("embedding").type
+            write_copies(dst_path, lambda k: organic_emb_copy(emodel, et, k))
         elif name == "embeddings":
             t = pq.read_table(src_path)
             vecs = t.column("embedding").to_pylist()
