@@ -85,6 +85,14 @@ object InternalCaches {
     * [[adaptiveParts]] derives below ~10 TB of source at ≤ 64 MB of
     * buffers per task; a genuinely wider exchange falls back to the
     * paging writer, which is the right trade again at that width.
+    * FILE-DESCRIPTOR footprint (advice r13): the bypass writer opens
+    * one DiskBlockObjectWriter per REDUCER per in-flight map task, so a
+    * ~2000-partition exchange under 32 concurrent tasks holds ~64 K
+    * open spill files — fine on this probe box (ulimit -n 1 M) but past
+    * a stock 1024/4096 ulimit. A deployment adopting this dial needs
+    * `ulimit -n` ≥ concurrent-tasks × bypassThreshold (≥ 65 k here), or
+    * to lower the dial to its box's budget; "Too many open files" in a
+    * shuffle write stage is this dial, not a leak.
     */
   val ShuffleBypassKey = "spark.shuffle.sort.bypassMergeThreshold"
   val ShuffleBypassValue = "2048"

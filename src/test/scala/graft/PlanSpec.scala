@@ -669,10 +669,19 @@ class PlanSpec extends SparkSpec {
           sp.collect { case q: QueryStageExec => q }
             .exists(q => hasGlobalAgg(q.plan))
       }
+      // The carve-out inspects only the BROADCAST child (r14, advice):
+      // exempting "any child with a global agg" would also exempt a bad
+      // broadcast whose STREAMED side merely contains one upstream —
+      // the blob attach is specifically a broadcast of the 1-row
+      // aggregate, so that is the side that must prove it.
       val bad = collectAll(plan) {
         case c: CartesianProductExec => c: SparkPlan
         case b: BroadcastNestedLoopJoinExec
-            if !b.children.exists(hasGlobalAgg) => b: SparkPlan
+            if !hasGlobalAgg(b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                b.left
+              case _ => b.right
+            }) => b: SparkPlan
       }
       assert(bad.isEmpty,
         s"wedge enumeration must stay an equi-join, never a product:\n$plan")
