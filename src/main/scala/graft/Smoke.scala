@@ -55,7 +55,12 @@ object Smoke {
     // r13: the per-frame video decode's 1→N flatMap closure (typed
     // Dataset path) serializes to real executors like every other
     // media-stub key — prove it multi-JVM once per round
-    "mm_video_features")
+    "mm_video_features",
+    // r14: the windowed-audio 1→N flatMap (shared audioPcm gate) and —
+    // via the dedup_simhash/sim_ann_lsh keys above — the md5-basis
+    // Md5U64/HyperplanePlanes statics, whose ThreadLocal digest and
+    // CHM plane memo now run on real executor JVMs here
+    "mm_audio_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
