@@ -295,6 +295,13 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
+    # GRAFT_ONLY_TABLES=documents,embeddings limits generation to a
+    # subset (others skipped entirely) — the organic sf100 LADDER only
+    # reads the documents/embeddings families, and a full lineitem copy
+    # at 1000x is 11 GB of disk the probe box needs for shuffle scratch.
+    only = os.environ.get("GRAFT_ONLY_TABLES")
+    if only:
+        tables = [t for t in tables if t in only.split(",")]
     for name in tables:
         src_path = f"{SRC}/{name}.parquet"
         dst_path = f"{DST}/{name}.parquet"
