@@ -101,9 +101,89 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Count of equal BYTES between two packed byte arrays stored as
+  * array<long> — the comparator of the r14 packed coarse-estimate
+  * prune: 64 byte-quantized minhash positions travel as 8 longs
+  * through the band join's carry columns, and this expression scores a
+  * candidate pair IN-STAGE (inside the join's output codegen, before
+  * any exchange) so banding noise dies before the distinct shuffle and
+  * the 1 KB-signature estimate join-backs ever see it. Byte b of word
+  * w is position w·8+b's minhash minimum truncated to 8 bits, so
+  * matches/positions estimates Jaccard with a +(1−J)/256 truncation
+  * inflation (recall-helping only). Per word one SWAR zero-byte count
+  * over the XOR — no loops over bytes, no allocation; mismatched
+  * lengths score the common prefix (the callers always build equal
+  * widths).
+  */
+case class PackedEqBytes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"packed_eq_bytes requires two array<long>, got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "packed_eq_bytes"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      eq += PackedEqBytes.eqBytes(a.getLong(i), b.getLong(i))
+      i += 1
+    }
+    eq
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = PackedEqBytes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $eq += $cls.eqBytes($a.getLong($i), $b.getLong($i));
+         |}
+         |${ev.value} = $eq;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PackedEqBytes {
+  /** Equal-byte count of two longs: SWAR zero-byte detect on the XOR —
+    * a zero byte in x yields exactly one set bit (its 0x80 position)
+    * in ~((x & 0x7f…) + 0x7f… | x | 0x7f…).
+    */
+  def eqBytes(la: Long, lb: Long): Int = {
+    val x = la ^ lb
+    val m = 0x7f7f7f7f7f7f7f7fL
+    java.lang.Long.bitCount(~(((x & m) + m) | x | m))
+  }
+}
+
 object MinHashExprs {
   /** k-element MinHash signature of an array<string> shingle set. */
   def minhashSignature(shingles: Column, k: Int): Column =
     GraftSqlBridge.column(
       MinHashSignature(GraftSqlBridge.expression(shingles), k))
+
+  /** In-stage packed-pair score — see [[PackedEqBytes]]. */
+  def packedEqBytes(a: Column, b: Column): Column =
+    GraftSqlBridge.column(PackedEqBytes(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

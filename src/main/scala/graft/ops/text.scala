@@ -852,11 +852,96 @@ object Text {
     * MEMORY_AND_DISK degrades to a disk-backed materialization — the same
     * shape as a checkpoint before a reused subtree.
     */
+  /** All 128 byte-quantized minhash positions packed into 16 longs —
+    * the 128 B/doc payload the packed coarse prune carries through the
+    * band join (vs the 1 KB full signature the carry docstring
+    * forbids; an 8× cut). ALL positions, deliberately: every candidate
+    * row exists because SOME band's 8 positions agree, and with the
+    * full signature packed that conditioning is a uniform +8 on every
+    * row's byte count — [[packedCut]] subtracts it exactly, leaving
+    * 120 unconditioned positions of clean Jaccard evidence. (A 64-
+    * position half-pack was built first and measured useless on the
+    * organic fixture: collisions from bands inside the half got +8 of
+    * 64 conditioned positions — est inflation (1−J)/8 — and organic
+    * noise at J ≈ 0.47 passed its cut at ~20 %.) Computed once on the
+    * persisted signature relation.
+    */
+  private def packedSigCol(sig: Column): Column =
+    array((0 until 16).map { w =>
+      (0 until 8).map(b =>
+        shiftleft(get(sig, lit(w * 8 + b)).bitwiseAND(lit(0xFFL)), 8 * b))
+        .reduce(_.bitwiseOR(_))
+    }: _*)
+
+  /** `spark.graft.lsh.packedSigma` (default 4.5; 0 disables the packed
+    * prune entirely — the plan reverts to the exact r13 shape): how
+    * many σ₆₄ below the threshold the packed cut sits. Parsed here so
+    * a bad value fails with the key named (the fractionConf
+    * discipline); ≤ 20 because past that the cut is vacuous at any
+    * threshold.
+    */
+  private def packedSigmaConf(df: DataFrame): Double = {
+    val key = "spark.graft.lsh.packedSigma"
+    val raw = df.sparkSession.conf.get(key, "4.5")
+    val v = try raw.toDouble catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a number in [0, 20], got '$raw'")
+    }
+    require(v >= 0.0 && v <= 20.0, s"$key must be in [0, 20], got $v")
+    v
+  }
+
+  /** The packed prune's byte-count cut for `threshold`: every
+    * candidate row has its agreeing band's 8 positions equal by
+    * construction (a uniform +8 — all 16 bands live inside the
+    * 128-position pack), so the cut scores the 120 UNCONDITIONED
+    * positions, which estimate Jaccard with σ_t = sqrt(t(1−t)/120);
+    * the cut sits `packedSigma` (default 4.5) σ BELOW the threshold,
+    * so a true pair AT the threshold clears it with P ≈ 1 − 3e-6
+    * (normal approx; planted fixture pairs sit ≥ 0.13 above, ≥ 10σ) —
+    * the same "lossless in practice" contract class as the
+    * 128-position estimate margin. Byte truncation inflates the
+    * estimate by +(1−J)/256, which only helps recall. Measured
+    * separation on the organic fixture (J ≈ 0.47 noise tail, t = 0.8):
+    * noise mean 64.7 bytes vs cut 85 — 3.7σ, pass ≈ 1e-4.
+    */
+  private def packedCut(sets: DataFrame, threshold: Double): Int =
+    8 + math.ceil(120.0 * (threshold - packedSigmaConf(sets) *
+      math.sqrt(threshold * (1 - threshold) / 120.0))).toInt
+
+  /** Engagement floor for the packed prune: below this threshold the
+    * cut (threshold − 4.5σ) sits at or under the band-conditioned
+    * noise floor — a band collision fixes 8 of the 64 packed positions
+    * equal, inflating a noise pair's expected score by (1−J)/8 — so
+    * the filter would pay its 64 B/doc band-shuffle carry for ~no
+    * kill. At 0.5 (the word-shingle keys, whose organic-corpus noise
+    * mass MEASURES near zero — BASELINE.md r14 organic ladder) the
+    * prune stays out and those plans are byte-identical to r13; at 0.8
+    * (char 4-grams, whose organic-density candidate mass measured
+    * 1.36e-3 of ALL pairs — the r14 organic sf10 disk death) the cut
+    * clears the conditioned noise floor by ≥ 3.5σ and kills the mass
+    * in-stage.
+    */
+  private val PackedPruneMinThreshold = 0.7
+
   private def lshJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val packed = threshold >= PackedPruneMinThreshold &&
+      packedSigmaConf(sets) > 0
+    // the persisted relation is IDENTICAL with the prune on or off; pk
+    // derives DOWNSTREAM of the cache boundary, deliberately — derived
+    // inside the cached projection, CollapseProject substituted the
+    // 128-hash signature expression into each of packedSigCol's 128
+    // get() references (a 128× per-row signature recompute, jstack-
+    // caught at 629 s/task on the organic sf10 probe); against the
+    // cached attribute the gets are array reads
     val sig = graft.InternalCaches.persistTracked(
       sets.select(col("doc_id"), col("s"),
         graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK).as("sig")))
-    val bands = bandKeys(sig)
+    val bands =
+      if (!packed) bandKeys(sig)
+      else bandKeys(sig.withColumn("pk", packedSigCol(col("sig"))),
+        keep = Seq("pk"))
     // Signature-estimate prefilter: band collisions overshoot badly on a
     // real corpus (measured 29,665 candidates for 25 true pairs at sf0.1 —
     // boilerplate-heavy buckets), and every candidate would otherwise pay
@@ -871,9 +956,32 @@ object Text {
     // threshold where the miss probability vanishes (< 1e-15). Strictly
     // lossless mode: conf the margin to 1.0 and the prefilter drops out
     // of the plan entirely (see EstMarginDefault).
+    //
+    // PACKED COARSE PRUNE (r14, high-threshold representations only —
+    // see PackedPruneMinThreshold): at organic gram density the
+    // estimate prefilter is too LATE — it runs after the candidate
+    // stream's distinct shuffle and attaches a 1 KB signature per
+    // survivor candidate, and the char-gram banding admits 1.36e-3 of
+    // ALL pairs on an organic corpus (measured: 1.7e8 candidates at
+    // organic sf10; the est join-back intermediates outran the probe
+    // box's disk). The packed 64-position estimate rides the band join
+    // as a 64 B carry and cuts IN-STAGE in the prune slot — before the
+    // distinct, before any exchange — at threshold − 4.5σ₆₄
+    // (packedCut), so the noise mass dies where the simhash pipeline's
+    // hamming cut does. The 128-position margin filter stays as the
+    // precision backstop on the survivors.
     val margin = fractionConf(sets, "spark.graft.lsh.estMargin",
       EstMarginDefault)
-    estimateAndVerify(saltedBandPairs(bands), sig, sig, threshold, margin)
+    val cand =
+      if (!packed) saltedBandPairs(bands)
+      else {
+        val cut = packedCut(sets, threshold)
+        saltedBandPairs(bands, carry = Seq("pk"),
+          prune = _.filter(graft.expr.MinHashExprs.packedEqBytes(
+              col("pk_a"), col("pk_b")) >= cut)
+            .select(col("a"), col("b")))
+      }
+    estimateAndVerify(cand, sig, sig, threshold, margin)
   }
 
   /** Shared tail of both LSH pipelines: the signature-estimate prefilter
@@ -971,7 +1079,8 @@ object Text {
     * must tile the 128-minimum signature.
     */
   private def bandKeys(sig: DataFrame, bands: Int = Bands,
-                       rows: Int = Rows): DataFrame =
+                       rows: Int = Rows,
+                       keep: Seq[String] = Nil): DataFrame =
     // band hash = xxhash64 over the band's `rows` signature positions,
     // read via `get` (0-based, dynamic index) rather than slice(): the
     // Slice expression inside this generator evaluates INTERPRETED and
@@ -983,10 +1092,13 @@ object Text {
     // — two docs share a band hash iff their `rows` positions agree —
     // but the hash VALUES differ from the slice() form (different arg
     // shape), which is invisible outside this relation.
-    sig.select(col("doc_id"),
+    // `keep` columns ride along per posting row (the packed prune's
+    // 64 B carry — keep payloads small, the saltedBandPairs carry
+    // doctrine).
+    sig.select(col("doc_id") +: keep.map(col) :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(
-            (j +: (0 until rows).map(k => get(col("sig"), j * rows + k))): _*))))
+            (j +: (0 until rows).map(k => get(col("sig"), j * rows + k))): _*))): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bhash")
 

@@ -210,6 +210,39 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("PackedEqBytes counts equal bytes exactly (SWAR vs naive)") {
+    import org.apache.spark.sql.functions._
+    // the comparator under the packed coarse prune: sweep structured
+    // and adversarial word pairs (all-equal, all-different, single-byte
+    // agreements at every lane, sign bits, zeros) against a naive
+    // byte-loop — eval and codegen paths both covered via a DataFrame
+    val words = Seq(0L, -1L, 0x8080808080808080L, 0x0102030405060708L,
+      0x01020304050607FFL, 0xFF00000000000000L, 42L, Long.MinValue,
+      Long.MaxValue, 0x0100010001000100L)
+    val pairs = for (a <- words; b <- words) yield (Array(a), Array(b))
+    def naive(a: Long, b: Long): Int =
+      (0 until 8).count(i => ((a >>> (8 * i)) & 0xFF) == ((b >>> (8 * i)) & 0xFF))
+    pairs.foreach { case (a, b) =>
+      assert(graft.expr.PackedEqBytes.eqBytes(a(0), b(0)) ==
+        naive(a(0), b(0)), s"scalar eqBytes(${a(0)}, ${b(0)})")
+    }
+    import spark.implicits._
+    val df = pairs.toDF("a", "b").select(
+      graft.expr.MinHashExprs.packedEqBytes(col("a"), col("b")).as("eq"),
+      col("a"), col("b"))
+    df.collect().foreach { r =>
+      val (a, b) = (r.getSeq[Long](1).head, r.getSeq[Long](2).head)
+      assert(r.getInt(0) == naive(a, b), s"codegen eqBytes($a, $b)")
+    }
+    // multi-word arrays: counts add across words; mismatched lengths
+    // score the common prefix
+    val m = Seq((Array(1L, 2L, 3L), Array(1L, 2L, 4L)),
+      (Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(graft.expr.MinHashExprs.packedEqBytes(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(m == Seq(8 + 8 + 7, 8 + 8), s"multi-word counts: $m")
+  }
+
   test("char_gram_counts is SQL-callable like its siblings") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT char_gram_counts('abab', 2) AS g")

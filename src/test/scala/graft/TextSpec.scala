@@ -83,6 +83,25 @@ class TextSpec extends SparkSpec {
       s"char-gram/word-shingle disagree: only-ngram=${ng -- mh} only-minhash=${mh -- ng}")
   }
 
+  test("packed coarse prune is output-invariant on the fixture " +
+    "(prune on == prune off)") {
+    // the r14 in-stage 64-position cut only KILLS candidates; the exact
+    // verify decides the output, so disabling the prune (sigma = 0 —
+    // the exact r13 plan) must return identical rows. This is the
+    // recall law at the fixture's planted-pair margins (≥ 7σ above the
+    // cut); the threshold-adjacent 3e-6 miss class is documented at
+    // packedCut.
+    val withPrune = pairs("dedup_ngram_jaccard")
+    spark.conf.set("spark.graft.lsh.packedSigma", "0")
+    try {
+      val without = pairs("dedup_ngram_jaccard")
+      assert(withPrune == without,
+        s"packed prune changed output: only-pruned=${withPrune -- without} " +
+          s"only-unpruned=${without -- withPrune}")
+    } finally spark.conf.unset("spark.graft.lsh.packedSigma")
+    assert(withPrune.nonEmpty, "fixture must contain planted pairs")
+  }
+
   test("determinism: sketch/window queries return identical results on re-run") {
     // the class of queries where nondeterminism hides (float ranking ties,
     // hash candidate sets, window frames) — two plans, two executions,
