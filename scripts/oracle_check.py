@@ -14,6 +14,14 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Declared ±tolerance sketch keys (r15): the oracle pairs each estimate
+# with DuckDB's own sketch so the gate checks group keys + row shape —
+# the estimate VALUES legitimately differ across engines (the error
+# bound vs exact lives in AccuracySpec). For these, columns + row count
+# must match; the value compare is skipped (the driver's decomposed
+# gate records the same thing as rows+schema=true, hash=false).
+PARTIAL = {"agg_approx_distinct", "agg_approx_quantile", "agg_sketch_union"}
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -60,6 +68,11 @@ def main():
         if len(got_rows) != len(want_rows):
             print(f"FAIL {name}: rows {len(got_rows)} != {len(want_rows)}")
             n_fail += 1
+            continue
+        if name in PARTIAL:
+            print(f"PASS {name} (partial: rows+schema, {len(got_rows)} rows; "
+                  "estimate values not value-compared by design)")
+            n_pass += 1
             continue
         bad = None
         for i, (g, w) in enumerate(zip(got_rows, want_rows)):

@@ -628,8 +628,10 @@ object Relational {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
-    // HLL sketch — no exact oracle (approximate by design); the driver
-    // records a rows-only check and the spec bounds the error vs exact.
+    // HLL sketch — approximate by design: the oracle (r15) pairs it with
+    // DuckDB's own HLL so the gate verifies group keys + row shape
+    // (rows+schema; the estimate hash legitimately differs across
+    // engines), and AccuracySpec bounds the error vs exact.
     "agg_approx_distinct" -> ((s, d) =>
       orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -647,7 +649,8 @@ object Relational {
     // equals the state of sketching the whole corpus directly — a law
     // AccuracySpec pins, alongside a ±5% bound vs exact), which is what
     // makes the estimate safe to roll up, unlike re-sketching samples.
-    // Rows-only driver check (sketch internals aren't oracle-expressible).
+    // Oracle (r15): DuckDB's HLL replays the same per-group + global
+    // rollup SHAPE (rows+schema gate; estimate values differ by engine).
     "agg_sketch_union" -> ((s, d) => {
       val sk = graft.InternalCaches.persistTracked(
         orders(s, d).groupBy(col("o_orderstatus"))
@@ -1158,8 +1161,9 @@ object Relational {
           round(element_at(col("ps"), 4), 4).as("p95"))
         .orderBy("l_returnflag")),
 
-    // Sketch percentile (KLL/GK class): approximate by design — rows-only
-    // driver check; AccuracySpec bounds the RANK error of the returned
+    // Sketch percentile (KLL/GK class): approximate by design — the
+    // oracle (r15) stands in DuckDB's approx_quantile so the gate checks
+    // rows+schema; AccuracySpec bounds the RANK error of the returned
     // value against the declared 1/accuracy guarantee.
     "agg_approx_quantile" -> ((s, d) =>
       lineitem(s, d)
@@ -1507,6 +1511,29 @@ object Relational {
     "agg_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // PARTIAL-COLUMN oracles for the three ±tolerance sketch keys (r14
+    // verdict item 3): the GROUP keys and row counts are deterministic
+    // even though the estimates aren't bit-replayable across engines —
+    // DuckDB's own sketch stands in for the estimate column, so the
+    // driver gate now verifies rows+schema (the estimate VALUE hash is
+    // expected to differ; the error-vs-exact bound lives in
+    // AccuracySpec, unchanged). This retires the no_oracle class: every
+    // key now has a gate that can fail on shape regressions.
+    "agg_approx_distinct" ->
+      """SELECT o_orderstatus, approx_count_distinct(o_custkey) AS approx_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag, approx_quantile(l_extendedprice, 0.5) AS ap50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_sketch_union" ->
+      """SELECT o_orderstatus,
+        |  CAST(approx_count_distinct(o_custkey) AS BIGINT) AS est_custs
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'ALL' AS o_orderstatus,
+        |  CAST(approx_count_distinct(o_custkey) AS BIGINT) AS est_custs
+        |FROM orders
+        |ORDER BY o_orderstatus""".stripMargin,
     "agg_multi_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_part,

@@ -374,6 +374,52 @@ object Text {
     */
   private val SaltBlocksDefault = 8
 
+  /** Degenerate band-bucket DF cap (session conf
+    * `spark.graft.lsh.bucketDfCap`; 0 disables — the exact r14 plan).
+    * The `text_containment` maxDf doctrine applied to LSH band buckets
+    * (r14 verdict item 2): a bucket wider than the cap is dropped from
+    * pair generation ENTIRELY — its posting rows never enter the salted
+    * self-join, so neither the hot-salt replication of its rows nor the
+    * O(width²) enumeration of its pairs ever happens. Why it must
+    * exist: at organic gram density the band minima concentrate on the
+    * handful of highest-DF grams, so bucket widths grow ∝ N — at the
+    * organic-sf100 rung (5 M docs over a 985-gram universe) the widest
+    * buckets reach 10⁵⁺ docs, their salted postings replicate into a
+    * ~50 GB/side merge-join sort, and enumerating one such bucket is
+    * CPU-quadratic wherever the in-stage prune sits (BASELINE.md r14:
+    * the ladder's honest ✗). A bucket that wide carries ~no pair
+    * signal: its members agree on 8 positions BECAUSE those positions
+    * are the corpus-wide high-DF minima, which is exactly the
+    * banding-noise class the packed prune kills row-by-row — the cap
+    * kills it bucket-at-a-time, before any exchange.
+    *
+    * QUANTIFIED RECALL TRADE (the law in TextSpec): a true pair at
+    * Jaccard J collides in a given band with probability J^8, so with
+    * all 16 bands live P(miss) = (1−J⁸)¹⁶. Each band whose shared
+    * bucket is dropped removes one (1−J⁸) factor: with d dropped
+    * bands, P(miss) = (1−J⁸)^(16−d) — the miss bound grows by
+    * 1/(1−J⁸) per dropped band (at the char-gram threshold 0.8 that
+    * is 1.20× per band; at the planted-pair J ≥ 0.93 the 16-band miss
+    * is ≈ 2·10⁻⁶ and stays < 2·10⁻³ even with 8 of 16 bands dropped),
+    * and a pair ALL of whose bands land in dropped buckets is lost —
+    * the honest worst case, reachable only by a pair whose every band
+    * minimum is corpus-boilerplate, i.e. a pair that LOOKS like the
+    * background. Detection reuses the sampled-width gate ([[hotKeys]]:
+    * content-keyed doc-hash sample, deterministic for a given corpus),
+    * so flagging a width-W bucket at cap C fails with probability
+    * Binomial(W, 2⁻ˢ) ≤ C·2⁻ˢ — exponentially small for W ≫ C.
+    *
+    * The 65536 default cannot engage on any committed fixture (the
+    * widest sf ≤ 1 / copied-fixture bucket is orders of magnitude
+    * under it — vocabularies are disjoint across copies, so bucket
+    * width is bounded by one copy's corpus), so fixture output is
+    * byte-identical to dfCap = 0 (TextSpec pins this) and the
+    * brute-force oracle stays exact. A production run sizes the cap to
+    * its recall budget; buckets it drops are individually loggable by
+    * re-running the width aggregate.
+    */
+  private val BucketDfCapDefault = 65536
+
   private[ops] def intConf(df: DataFrame, key: String, dflt: Int): Int =
     df.sparkSession.conf.get(key, dflt.toString).toInt
 
@@ -504,10 +550,27 @@ object Text {
       HotBucketDefault)
     val blocks = blockCountConf(bands, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
-    val hot = hotKeys(bands, Seq("band", "bhash"), hotWidth)
+    // Degenerate-bucket DF cap (see [[BucketDfCapDefault]]): postings of
+    // over-cap buckets are anti-joined out BEFORE hot detection and the
+    // self-join — a dropped bucket must neither replicate under the salt
+    // nor enumerate its width² pairs. The flagged list is tiny by the
+    // same argument as the hot list (strictly over-width keys), so the
+    // anti-join is a broadcast probe, not a shuffle; with the default
+    // cap it is empty on every committed fixture and the output is
+    // byte-identical to dfCap = 0.
+    val dfCap = intConf(bands, "spark.graft.lsh.bucketDfCap",
+      BucketDfCapDefault)
+    require(dfCap >= 0, s"spark.graft.lsh.bucketDfCap must be >= 0, got $dfCap")
+    val live =
+      if (dfCap == 0) bands
+      else bands.join(
+        broadcast(hotKeys(bands, Seq("band", "bhash"), dfCap)
+          .select(col("band"), col("bhash"))),
+        Seq("band", "bhash"), "left_anti")
+    val hot = hotKeys(live, Seq("band", "bhash"), hotWidth)
     // hot-bucket list is tiny by construction (distinct over-width keys) —
     // broadcast, so tagging never shuffles the bands relation
-    val tagged = bands.join(broadcast(hot), Seq("band", "bhash"), "left")
+    val tagged = live.join(broadcast(hot), Seq("band", "bhash"), "left")
       .withColumn("blk",
         when(col("is_hot").isNotNull,
           xxhash64(col("doc_id")).bitwiseAND(lit(blocks - 1)).cast("int"))

@@ -102,6 +102,72 @@ class TextSpec extends SparkSpec {
     assert(withPrune.nonEmpty, "fixture must contain planted pairs")
   }
 
+  test("bucket DF cap law: over-cap buckets drop from pair generation, " +
+    "pairs with an undropped band survive, default is a fixture no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Planted corpus for the r15 degenerate-bucket cap (the
+    // text_containment maxDf doctrine applied to band buckets —
+    // ops/text.scala BucketDfCapDefault):
+    //  - 40 VERBATIM copies of one boilerplate doc: every band bucket
+    //    they form has width ≥ 40, so at dfCap = 8 ALL their buckets
+    //    drop and their C(40,2) J=1.0 pairs must vanish — the
+    //    documented worst case (a pair whose every band minimum is
+    //    corpus boilerplate is lost).
+    //  - one near-dup pair (x, y): boilerplate + a long unique tail,
+    //    differing in one tail char. The tail keeps J(x, boiler) ≈ 0.62
+    //    < 0.8 (x never TRUE-pairs with the cluster) and pushes ~all of
+    //    x/y's band minima into tail grams, so the pair owns width-2
+    //    buckets the cap cannot touch — it must survive capping even
+    //    though the corpus' dominant buckets all dropped.
+    val boiler = "the same boilerplate header text repeated verbatim in " +
+      "every crawl snapshot of this synthetic corpus fixture block"
+    val tail = "zq7 unique payload stanza written once: quartz sphinx " +
+      "vexed jumbled glyphs bright down the wharf at midnight kj9x"
+    val mk = (id: Long, text: String) =>
+      (id, text, "en", "crawl", text.length.toLong)
+    val docs = (0 until 40).map(i => mk(100L + i, boiler)) ++
+      Seq(mk(900L, boiler + " " + tail),
+          mk(901L, boiler + " " + tail.replace('9', '8')))
+    val dir = SparkSpec.scratchDir("graft_lsh_dfcap")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // exact widths (shift 0) — the law pins deterministic engagement;
+    // sampled-detector noise is SaltLawSpec's dial-sweep territory
+    spark.conf.set("spark.graft.lsh.hotSampleShift", "0")
+    def run(): Set[(Long, Long)] =
+      SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set("spark.graft.lsh.bucketDfCap", "0")
+      val uncapped = run()
+      val clusterPairs = (for {
+        a <- 100L until 140L; b <- (a + 1) until 140L
+      } yield (a, b)).toSet
+      assert(uncapped == clusterPairs + ((900L, 901L)),
+        s"uncapped baseline wrong: missing=${(clusterPairs + ((900L,
+          901L))) -- uncapped} extra=${uncapped -- clusterPairs - ((900L,
+          901L))}")
+      spark.conf.set("spark.graft.lsh.bucketDfCap", "8")
+      val capped = run()
+      assert(capped.subsetOf(uncapped),
+        s"cap may only DROP pairs, never mint them: ${capped -- uncapped}")
+      assert(capped == Set((900L, 901L)),
+        s"cap must drop the width-40 boilerplate buckets' pairs and keep " +
+          s"the tail pair's width-2 buckets: got ${capped.take(5)}")
+      spark.conf.unset("spark.graft.lsh.bucketDfCap")
+      // default no-op: 65536 can't flag any bucket this corpus (or any
+      // committed fixture) forms — output byte-identical to cap-off
+      assert(run() == uncapped,
+        "default bucketDfCap must be a no-op on fixture-scale corpora")
+    } finally {
+      spark.conf.unset("spark.graft.lsh.bucketDfCap")
+      spark.conf.unset("spark.graft.lsh.hotSampleShift")
+      InternalCaches.unpersistAll()
+    }
+  }
+
   test("determinism: sketch/window queries return identical results on re-run") {
     // the class of queries where nondeterminism hides (float ranking ties,
     // hash candidate sets, window frames) — two plans, two executions,
