@@ -404,10 +404,12 @@ object Text {
     * and a pair ALL of whose bands land in dropped buckets is lost —
     * the honest worst case, reachable only by a pair whose every band
     * minimum is corpus-boilerplate, i.e. a pair that LOOKS like the
-    * background. Detection reuses the sampled-width gate ([[hotKeys]]:
-    * content-keyed doc-hash sample, deterministic for a given corpus),
-    * so flagging a width-W bucket at cap C fails with probability
-    * Binomial(W, 2⁻ˢ) ≤ C·2⁻ˢ — exponentially small for W ≫ C.
+    * background. Detection rides the hot-salt boundary's own sampled
+    * width pass ([[flaggedBuckets]]: content-keyed doc-hash sample,
+    * deterministic for a given corpus — ONE aggregation serves both
+    * decisions), so flagging a width-W bucket at cap C fails with
+    * probability Binomial(W, 2⁻ˢ) under its threshold — exponentially
+    * small for W ≫ C.
     *
     * The 65536 default cannot engage on any committed fixture (the
     * widest sf ≤ 1 / copied-fixture bucket is orders of magnitude
@@ -524,22 +526,43 @@ object Text {
     * engagement at its 64-doc width).
     */
   private def hotKeys(postings: DataFrame, keys: Seq[String],
-                      hotWidth: Int): DataFrame = {
+                      hotWidth: Int): DataFrame =
+    flaggedBuckets(postings, keys, hotWidth, dfCap = 0)
+      .select(keys.map(col) :+ col("is_hot"): _*)
+
+  /** The sampled width pass behind BOTH bucket decisions — the hot-salt
+    * boundary ([[hotKeys]]) and, when `dfCap` > 0, the degenerate drop
+    * boundary ([[BucketDfCapDefault]]) — in ONE aggregation. A first
+    * r15 cut detected the two boundaries with two separate [[hotKeys]]
+    * passes; on a natural corpus the detection aggregate's cost is the
+    * per-posting partial-map work (the fourth-wall class), so the
+    * second pass measurably cost ~the first's price again (org-sf30
+    * solo A/B: 170–208 s vs 130 s with one pass). Output rows are
+    * strictly over-min-width keys — tiny by the [[hotKeys]] argument —
+    * flagged per boundary; the shift clamp keys on the SMALLER engaged
+    * width so both sampled thresholds stay ≥ 2.
+    */
+  private def flaggedBuckets(postings: DataFrame, keys: Seq[String],
+                             hotWidth: Int, dfCap: Int): DataFrame = {
     val shift = intConf(postings, "spark.graft.lsh.hotSampleShift", 4)
     require(shift >= 0 && shift <= 16,
       s"spark.graft.lsh.hotSampleShift must be in [0, 16], got $shift")
-    // clamp so hotWidth >> s stays ≥ 2: s ≤ log2(hotWidth) − 1
+    val minW = if (dfCap > 0) math.min(hotWidth, dfCap) else hotWidth
+    // clamp so minW >> s stays ≥ 2: s ≤ log2(minW) − 1
     val s = math.min(shift,
-      math.max(0, 31 - Integer.numberOfLeadingZeros(math.max(hotWidth, 1))
+      math.max(0, 31 - Integer.numberOfLeadingZeros(math.max(minW, 1))
         - 1))
     val sampled =
       if (s == 0) postings
       else postings.filter(
         xxhash64(col("doc_id")).bitwiseAND(lit((1L << s) - 1)) === 0L)
+    val flags = (col("bw") > (hotWidth >> s)).as("is_hot") +:
+      (if (dfCap > 0) Seq((col("bw") > (dfCap >> s)).as("is_degen"))
+       else Nil)
     sampled.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bw"))
-      .filter(col("bw") > (hotWidth >> s))
-      .select(keys.map(col) :+ lit(true).as("is_hot"): _*)
+      .filter(col("bw") > (minW >> s))
+      .select(keys.map(col) ++ flags: _*)
   }
 
   private[graft] def saltedBandPairs(bands: DataFrame,
@@ -551,41 +574,42 @@ object Text {
     val blocks = blockCountConf(bands, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
     // Degenerate-bucket DF cap (see [[BucketDfCapDefault]]): postings of
-    // over-cap buckets are anti-joined out BEFORE hot detection and the
-    // self-join — a dropped bucket must neither replicate under the salt
-    // nor enumerate its width² pairs. The flagged list is tiny by the
-    // same argument as the hot list (strictly over-width keys), so the
-    // anti-join is a broadcast probe, not a shuffle; with the default
-    // cap it is empty on every committed fixture and the output is
-    // byte-identical to dfCap = 0.
+    // over-cap buckets are dropped BEFORE the self-join — a dropped
+    // bucket must neither replicate under the salt nor enumerate its
+    // width² pairs. Both bucket decisions (hot-salt, degenerate drop)
+    // ride ONE sampled width pass ([[flaggedBuckets]]) and the ONE
+    // broadcast left join the hot tag always used; the drop is a filter
+    // on the joined row, so the cap's plan cost is ~nothing (a second
+    // detection pass measured ~+60 % on the org-sf30 solo). With the
+    // default cap the degen flag is false on every committed fixture
+    // and the output is byte-identical to dfCap = 0.
     val dfCap = intConf(bands, "spark.graft.lsh.bucketDfCap",
       BucketDfCapDefault)
     require(dfCap >= 0, s"spark.graft.lsh.bucketDfCap must be >= 0, got $dfCap")
-    val live =
-      if (dfCap == 0) bands
-      else bands.join(
-        broadcast(hotKeys(bands, Seq("band", "bhash"), dfCap)
-          .select(col("band"), col("bhash"))),
-        Seq("band", "bhash"), "left_anti")
-    val hot = hotKeys(live, Seq("band", "bhash"), hotWidth)
-    // hot-bucket list is tiny by construction (distinct over-width keys) —
+    val flagged = flaggedBuckets(bands, Seq("band", "bhash"), hotWidth, dfCap)
+    // flagged list is tiny by construction (distinct over-width keys) —
     // broadcast, so tagging never shuffles the bands relation
-    val tagged = live.join(broadcast(hot), Seq("band", "bhash"), "left")
+    val joined0 = bands.join(broadcast(flagged), Seq("band", "bhash"), "left")
+    val live =
+      if (dfCap == 0) joined0
+      else joined0.filter(!coalesce(col("is_degen"), lit(false)))
+        .drop("is_degen")
+    val tagged = live
       .withColumn("blk",
-        when(col("is_hot").isNotNull,
+        when(coalesce(col("is_hot"), lit(false)),
           xxhash64(col("doc_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
           .otherwise(lit(0)))
     val x = tagged.select(col("doc_id").as("xid") +: col("band") +:
       col("bhash") +: col("blk").as("pi") +:
       explode(
-        when(col("is_hot").isNotNull,
+        when(coalesce(col("is_hot"), lit(false)),
           sequence(col("blk"), lit(blocks - 1)))
           .otherwise(array(lit(0)))).as("pj") +:
       carry.map(c => col(c).as(c + "_x")): _*)
     val y = tagged.select(col("doc_id").as("yid") +: col("band") +:
       col("bhash") +:
       explode(
-        when(col("is_hot").isNotNull, sequence(lit(0), col("blk")))
+        when(coalesce(col("is_hot"), lit(false)), sequence(lit(0), col("blk")))
           .otherwise(array(lit(0)))).as("pi") +:
       col("blk").as("pj") +:
       carry.map(c => col(c).as(c + "_y")): _*)
