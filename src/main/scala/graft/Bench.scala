@@ -36,9 +36,18 @@ object Bench {
     // partitions ("Can't acquire … to build hash relation") and passes
     // at 128 — see BASELINE.md round 13.
     val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // bytes-derived INITIAL shuffle width (r16): AQE coalesces a wide
+    // initial exchange down for free but can never raise a narrow one —
+    // see InternalCaches.adaptiveInitialShuffleParts. The env override,
+    // when set, pins both confs (manual full control, the r13 protocol).
+    val initP = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .getOrElse(InternalCaches
+        .adaptiveInitialShuffleParts(sfDir, shufP.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initP)
       // 128-group default silently converts TopKByScore into an input-
       // stream external sort (expr/topk.scala scaladoc — the r13 sf100
       // disk-death)
@@ -181,8 +190,28 @@ object Bench {
       s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"load_per_key":$loadJson,$contention,"sf":"$sfDir"}"""
     // the detail file is a convenience artifact — a reporting side
     // effect must never lose the run (an unwritable cwd would otherwise
-    // throw AFTER all queries completed, before either stdout line)
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    // throw AFTER all queries completed, before either stdout line).
+    // ROUND-STAMPED since r16 (the r13/r14/r15 verdicts' recurring
+    // working-tree-drift flag): the committed BENCH_DETAIL.json pin is
+    // updated only by a deliberate copy; each run writes
+    // BENCH_DETAIL_r{NN}.json, NN inferred as one past the newest
+    // driver-committed BENCH_r{NN}.json (at round-close time the
+    // current round's file does not exist yet), so a driver round-close
+    // run never dirties the committed pin again.
+    val round = scala.util.Try {
+      val cwd = java.nio.file.Paths.get(".")
+      val re = "BENCH_r(\\d+)\\.json".r
+      val it = java.nio.file.Files.list(cwd)
+      val max = try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).maxOption.getOrElse(0)
+      } finally it.close()
+      max + 1
+    }.getOrElse(0)
+    val detailPath =
+      java.nio.file.Paths.get(f"BENCH_DETAIL_r$round%02d.json")
     val detailNote = scala.util.Try {
       java.nio.file.Files.write(detailPath,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

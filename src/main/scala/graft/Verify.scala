@@ -7,9 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // bytes-derived INITIAL shuffle width — see Bench.scala / the
+    // InternalCaches.adaptiveInitialShuffleParts scaladoc
+    val initP = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .getOrElse(InternalCaches
+        .adaptiveInitialShuffleParts(sfDir, shufP.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufP)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initP)
       // see expr/topk.scala — the 128-group ObjectHashAggregate default
       .config(graft.expr.TopKByScore.AggFallbackKey,
         graft.expr.TopKByScore.AggFallbackValue)

@@ -133,4 +133,36 @@ object InternalCaches {
     math.max(s.sparkContext.defaultParallelism,
       math.ceil(bytes.toDouble / bytesPerPart).toInt)
   }
+
+  /** AQE initial shuffle-partition count, derived from the whole
+    * fixture directory's bytes — the [[adaptiveParts]] doctrine applied
+    * to `spark.sql.adaptive.coalescePartitions.initialPartitionNum`
+    * (r16, the r15 verdict's item 4: `join_inner`'s sf30 spill onset at
+    * 32 shuffle partitions, exponent 1.29 — AQE can COALESCE a too-wide
+    * shuffle down to its advisory size for free, but can never RAISE a
+    * too-narrow one, so the initial count is the one number that must
+    * scale with the data). 64 MB of source per initial partition — the
+    * standard maxPartitionBytes sizing, so a shuffle stage's
+    * per-partition input stays ~one scan split whatever the corpus —
+    * floored at `floor` (the session's task-slot count: every committed
+    * sf ≤ 10 fixture derives ≤ 27 and keeps today's exact 32-partition
+    * layouts) and capped at [[ShuffleBypassValue]] so every derived
+    * exchange stays on the zero-execution-memory bypass writer (the
+    * r13 graph_triangles death one partition past that boundary).
+    * Small shuffles at high initial counts coalesce back down at
+    * runtime (AQE advisory 64 MB), so the cost of a generous initial
+    * width is ~nothing; the benefit at sf30 is build/sort partitions
+    * that fit. `SPARK_GRAFT_SHUFFLE_PARTITIONS` remains the manual
+    * override at the call sites (Bench/Verify), taking both confs.
+    */
+  private[graft] def adaptiveInitialShuffleParts(dir: String,
+                                                 floor: Int): Int = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: java.io.IOException => 0L }
+    math.min(ShuffleBypassValue.toInt,
+      math.max(floor, math.ceil(bytes / (64.0 * (1L << 20))).toInt))
+  }
 }

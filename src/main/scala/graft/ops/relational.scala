@@ -192,6 +192,19 @@ object Relational {
     // other. (The unbounded-reachability twin is `dedup_clusters`'
     // alternating min-label propagation, which converges by value, not
     // by depth.)
+    //
+    // SCALE ENVELOPE (measured, r15 sweeps): per-round PATH
+    // materialization is this key's class — each recursion step
+    // re-joins the full frontier against the edge relation and UNION
+    // ALL keeps every path, so on a graph whose density grows with sf
+    // the frontier mass grows superlinearly (sf10→sf30 exponent 1.82,
+    // the surface's worst; the node-enumerating BFS dual
+    // `graph_shortest_path` reads 0.62 on the same span). The key
+    // exists precisely to cover ANSI WITH RECURSIVE; a path-enumeration
+    // user at scale should reach for `graph_shortest_path`'s frontier
+    // form (ops/graph.scala: per-node min-distance state, each round
+    // shuffles NODES not paths) and keep recursive CTEs for bounded,
+    // selective walks.
     "sql_recursive" -> ((s, d) => {
       // The edge relation (shared derivation: Graph.partSupplierEdges)
       // goes in as a PERSISTED temp view, not an inline CTE: the
@@ -629,9 +642,12 @@ object Relational {
         .orderBy("l_returnflag")),
 
     // HLL sketch — approximate by design: the oracle (r15) pairs it with
-    // DuckDB's own HLL so the gate verifies group keys + row shape
+    // DuckDB's own HLL so the driver gate verifies row shape
     // (rows+schema; the estimate hash legitimately differs across
-    // engines), and AccuracySpec bounds the error vs exact.
+    // engines), the local gate (scripts/oracle_check.py, r16)
+    // additionally value-compares every non-estimate column — here the
+    // o_orderstatus group keys — and AccuracySpec bounds the error vs
+    // exact.
     "agg_approx_distinct" -> ((s, d) =>
       orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -651,6 +667,11 @@ object Relational {
     // makes the estimate safe to roll up, unlike re-sketching samples.
     // Oracle (r15): DuckDB's HLL replays the same per-group + global
     // rollup SHAPE (rows+schema gate; estimate values differ by engine).
+    // The 'ALL' rollup sentinel rides the o_orderstatus column; since
+    // r16 the local gate value-compares that key column (estimate col
+    // excluded), so a fixture minting a literal 'ALL' status — or any
+    // key collision with the sentinel — fails the compare instead of
+    // silently merging with the rollup row.
     "agg_sketch_union" -> ((s, d) => {
       val sk = graft.InternalCaches.persistTracked(
         orders(s, d).groupBy(col("o_orderstatus"))

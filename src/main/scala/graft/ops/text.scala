@@ -361,11 +361,70 @@ object Text {
     * concentrates boilerplate (headers, licence blocks, empty-ish docs)
     * into a handful of mega-buckets; without salting every pair in such a
     * bucket lands in ONE join task — the O(n²) serial hotspot inside an
-    * otherwise-bucketed plan. The default is sized to the test corpus so
-    * the planted-skew law exercises the salted path; a production run
-    * dials the conf to ~10⁴.
+    * otherwise-bucketed plan.
+    *
+    * Since r16 the conf's DEFAULT is data-adaptive ([[adaptiveHotWidth]],
+    * floored at this constant); an explicit conf always wins. This
+    * constant remains the floor and the width every sub-128 KB corpus
+    * (all committed sf ≤ 0.01 fixtures, every spec scratch corpus)
+    * resolves to.
     */
   private val HotBucketDefault = 32
+
+  /** Data-adaptive DEFAULT for `spark.graft.lsh.hotBucketWidth` — the
+    * [[graft.InternalCaches.adaptiveParts]] doctrine (source-bytes
+    * derived, an O(1) filesystem listing, no job) applied to the salt
+    * boundary: `max(32, ceil(sqrt(docBytes / 32)))`, from the operator's
+    * `documents.parquet` source.
+    *
+    * Why sqrt: the boundary trades two costs that cross at W ~ sqrt(n).
+    * Buckets WIDER than W salt-replicate (≤ (saltBlocks+1)× row cost on
+    * their posting mass); buckets AT the boundary enumerate W²/2 pairs
+    * in one task. sqrt keeps the widest cold bucket's enumeration
+    * (W²/2 ≈ docBytes/64 packed compares, ~one corpus-linear pass) a
+    * bounded multiple of a task's fair share at ANY corpus size, while
+    * the salted mass shrinks as the boundary rises with n.
+    *
+    * Why it must be adaptive (r15 verdict, the repo's last `weak`): at
+    * the organic-sf100 rung (5 M docs, 602 MB source) the fixed
+    * test-corpus default of 32 hot-salts ~25 % of posting mass ×~4.5
+    * into a ~26 GB/side merge-join sort — disk death on this box —
+    * while the hand-set production dial 4096 completed clean in 1108 s
+    * with only ~3 % of mass salted (BASELINE.md r15). This formula
+    * resolves that same fixture to 4338 — the measured-clean operating
+    * point — with no conf. Calibration: 602 MB → 4338; copied sf30
+    * 178 MB → 2357; sf1 5.9 MB → 430; sf0.1 595 KB → 137; every ≤128 KB
+    * corpus → the 32 floor (65 KB parquet metadata floor → 45 → still
+    * under the planted-skew law's width-64 bucket, and that law pins
+    * the conf explicitly anyway). Output is IDENTICAL at any width —
+    * salting redistributes work, never candidates (SaltLawSpec's
+    * equality law sweeps the dial) — so every committed fixture hash is
+    * byte-identical by construction; only the plan's balance changes.
+    *
+    * Why not the sampled width histogram: deciding the boundary from
+    * [[flaggedBuckets]]' own output needs the aggregation to run BEFORE
+    * the threshold is known — a second detection pass over the posting
+    * stream, the exact shape r15 A/B-measured at ~+60 % on the org-sf30
+    * solo and rejected. Bytes-derived is free and lands within 6 % of
+    * the measured-clean dial.
+    *
+    * The missing-path fallback (→ floor) covers callers probing a
+    * relation with no documents.parquet beside it (none of the shipped
+    * query entry points — all read the documents table they derive
+    * widths for; `sim_ann_lsh`'s vector-sketch probe deliberately keeps
+    * the fixed default: its 65 536-way 16-bit keys self-spread and its
+    * organic exponent measured 1.09, BASELINE.md r15).
+    */
+  private def adaptiveHotWidth(s: SparkSession, d: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val bytes =
+      try {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case _: java.io.IOException => 0L }
+    math.max(HotBucketDefault,
+      math.ceil(math.sqrt(bytes / 32.0)).toInt)
+  }
   /** Sub-blocks a hot bucket is split into (session conf
     * `spark.graft.lsh.saltBlocks`, POWER OF TWO — the block id is a
     * bitmask of xxhash64): pair work spreads across
@@ -486,10 +545,12 @@ object Text {
     * shuffle instead; those verifications join the persisted signature
     * relation AFTER the distinct.
     */
-  /** Posting keys wider than `hotWidth` → a broadcastable
-    * (keys..., is_hot = true) list. ONE definition of "hot" for every
-    * salted decomposition (triangular self-join, asymmetric multi-index
-    * probe, combo-block index) — the hot-width semantics and the
+  /** Posting keys wider than `hotWidth` (and, when `dfCap` > 0, than the
+    * cap) → a broadcastable (keys..., is_hot, is_degen?) list. ONE
+    * definition of "hot"/"degenerate" for every salted decomposition
+    * (triangular self-join, asymmetric multi-index probe, combo-block
+    * index, cross-relation ingest probe — since r16 all four read BOTH
+    * flags from this one pass) — the width semantics and the
     * tiny-list/broadcast invariant must not drift between them.
     *
     * Detection SAMPLES the posting stream (r13, the fourth capacity
@@ -524,23 +585,17 @@ object Text {
     * tiny. `spark.graft.lsh.hotSampleShift` = 0 restores the exact
     * count (the dial the planted-skew law uses to pin deterministic
     * engagement at its 64-doc width).
-    */
-  private def hotKeys(postings: DataFrame, keys: Seq[String],
-                      hotWidth: Int): DataFrame =
-    flaggedBuckets(postings, keys, hotWidth, dfCap = 0)
-      .select(keys.map(col) :+ col("is_hot"): _*)
-
-  /** The sampled width pass behind BOTH bucket decisions — the hot-salt
-    * boundary ([[hotKeys]]) and, when `dfCap` > 0, the degenerate drop
-    * boundary ([[BucketDfCapDefault]]) — in ONE aggregation. A first
-    * r15 cut detected the two boundaries with two separate [[hotKeys]]
-    * passes; on a natural corpus the detection aggregate's cost is the
-    * per-posting partial-map work (the fourth-wall class), so the
-    * second pass measurably cost ~the first's price again (org-sf30
-    * solo A/B: 170–208 s vs 130 s with one pass). Output rows are
-    * strictly over-min-width keys — tiny by the [[hotKeys]] argument —
-    * flagged per boundary; the shift clamp keys on the SMALLER engaged
-    * width so both sampled thresholds stay ≥ 2.
+    *
+    * This one aggregation serves BOTH bucket decisions — the hot-salt
+    * boundary and, when `dfCap` > 0, the degenerate drop boundary
+    * ([[BucketDfCapDefault]]). A first r15 cut detected the two
+    * boundaries with two separate passes; on a natural corpus the
+    * detection aggregate's cost is the per-posting partial-map work
+    * (the fourth-wall class), so the second pass measurably cost ~the
+    * first's price again (org-sf30 solo A/B: 170–208 s vs 130 s with
+    * one pass). Output rows are strictly over-min-width keys — tiny by
+    * the argument above — flagged per boundary; the shift clamp keys
+    * on the SMALLER engaged width so both sampled thresholds stay ≥ 2.
     */
   private def flaggedBuckets(postings: DataFrame, keys: Seq[String],
                              hotWidth: Int, dfCap: Int): DataFrame = {
@@ -567,10 +622,11 @@ object Text {
 
   private[graft] def saltedBandPairs(bands: DataFrame,
                                    carry: Seq[String] = Nil,
-                                   prune: DataFrame => DataFrame = identity)
+                                   prune: DataFrame => DataFrame = identity,
+                                   hotDflt: Int = HotBucketDefault)
       : DataFrame = {
     val hotWidth = intConf(bands, "spark.graft.lsh.hotBucketWidth",
-      HotBucketDefault)
+      hotDflt)
     val blocks = blockCountConf(bands, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
     // Degenerate-bucket DF cap (see [[BucketDfCapDefault]]): postings of
@@ -686,7 +742,8 @@ object Text {
     * symmetric directions) and the hamming cut runs BEFORE the distinct,
     * so the wide shuffle sees survivors, not the candidate stream.
     */
-  private[graft] def hammingBlockPairs(fp: DataFrame, maxDist: Int)
+  private[graft] def hammingBlockPairs(fp: DataFrame, maxDist: Int,
+                                       hotDflt: Int = HotBucketDefault)
       : DataFrame = {
     require(maxDist <= 14, "5-block/2-error enumeration is recall-" +
       s"complete only up to hamming 14, got $maxDist")
@@ -696,8 +753,9 @@ object Text {
     // (maxDist ≤ 4, Manku's k ≤ 3) the PAIR-BLOCK index applies — 21-bit
     // keys instead of 13-bit, an ~85× candidate cut (see
     // [[pairBlockPairs]] for the sf10 evidence that forced it)
-    if (maxDist <= 4) pairBlockPairs(fp, maxDist)
-    else multiIndexCandidates(fp, Seq(13, 13, 13, 13, 12), maxDist / 5)
+    if (maxDist <= 4) pairBlockPairs(fp, maxDist, hotDflt)
+    else multiIndexCandidates(fp, Seq(13, 13, 13, 13, 12), maxDist / 5,
+        hotDflt = hotDflt)
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
@@ -739,11 +797,13 @@ object Text {
       .bitwiseAND(lit((1L << widths(i)) - 1))
   }
 
-  private[graft] def pairBlockPairs(fp: DataFrame, maxDist: Int)
+  private[graft] def pairBlockPairs(fp: DataFrame, maxDist: Int,
+                                    hotDflt: Int = HotBucketDefault)
       : DataFrame =
     comboBlockPairs(fp, maxDist,
       nBlocks = intConf(fp, "spark.graft.simhash.comboBlocks", 6),
-      clean = intConf(fp, "spark.graft.simhash.comboClean", 2))
+      clean = intConf(fp, "spark.graft.simhash.comboClean", 2),
+      hotDflt = hotDflt)
 
   /** The combo-block generalization behind [[pairBlockPairs]] (r13
     * session 2): split the 64-bit fingerprint into `nBlocks` blocks and
@@ -777,7 +837,8 @@ object Text {
     * setting carries the same recall guarantee.
     */
   private[graft] def comboBlockPairs(fp: DataFrame, maxDist: Int,
-      nBlocks: Int, clean: Int): DataFrame = {
+      nBlocks: Int, clean: Int,
+      hotDflt: Int = HotBucketDefault): DataFrame = {
     require(clean >= 1 && clean < nBlocks && nBlocks <= 16,
       s"combo geometry out of range: blocks=$nBlocks clean=$clean")
     require(maxDist <= nBlocks - clean,
@@ -802,7 +863,8 @@ object Text {
     // closing distinct, so the wide shuffle sees survivors only
     saltedBandPairs(bands, carry = Seq("fp"),
         prune = _.filter(
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist))
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist),
+        hotDflt = hotDflt)
       .select(col("a"), col("b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
   }
@@ -826,12 +888,24 @@ object Text {
     * after a join-back that would shuffle the raw candidate stream.
     */
   private[graft] def multiIndexCandidates(fp: DataFrame, widths: Seq[Int],
-      radius: Int, carry: Seq[String] = Nil): DataFrame = {
+      radius: Int, carry: Seq[String] = Nil,
+      hotDflt: Int = HotBucketDefault): DataFrame = {
     val blockVal = fpBlockVal(widths)
     val hotWidth = intConf(fp, "spark.graft.lsh.hotBucketWidth",
-      HotBucketDefault)
+      hotDflt)
     val saltBlocks = blockCountConf(fp, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
+    // degenerate-bucket DF cap (r16, closing the r15 ADVICE asymmetry):
+    // the cap guards THIS salted decomposition too — a template corpus
+    // minting one block value for 10⁵⁺ docs would otherwise replicate
+    // that bucket's query rows ×saltBlocks and enumerate its width²
+    // candidates exactly like the self-join case the cap was built for.
+    // Same one-pass detector, same recall contract (an over-cap bucket
+    // drops from candidate generation; a pair loses that band's
+    // pigeonhole factor), same fixture no-op at the 65536 default.
+    val dfCap = intConf(fp, "spark.graft.lsh.bucketDfCap",
+      BucketDfCapDefault)
+    require(dfCap >= 0, s"spark.graft.lsh.bucketDfCap must be >= 0, got $dfCap")
     // NOT persisted, deliberately: the posting projection feeds both the
     // hot-key aggregate and the index side of the candidate join, but it
     // is a codegen shift/mask explode over the ALREADY-CACHED fp relation
@@ -844,9 +918,11 @@ object Text {
         posexplode(array((0 until widths.size).map(blockVal): _*)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
-    // hot-key list is tiny by construction (distinct over-width keys) —
-    // broadcast, so salt tagging never shuffles either posting relation
-    val hot = hotKeys(exact, Seq("band", "key"), hotWidth)
+    // flagged list is tiny by construction (distinct over-width keys) —
+    // broadcast, so salt tagging never shuffles either posting relation.
+    // Widths are measured on the INDEX-side postings (exact block
+    // values), the side that accumulates template mass.
+    val hot = flaggedBuckets(exact, Seq("band", "key"), hotWidth, dfCap)
     def flips(w: Int): Seq[Long] =
       Seq(0L) ++
         (if (radius >= 1) (0 until w).map(b => 1L << b) else Nil) ++
@@ -882,17 +958,25 @@ object Text {
         coalesce(col("bm._2"), lit(0L)).as("m")): _*)
       .select(Seq(col("doc_id"), col("fp")) ++ cc ++
         Seq(col("band"), keyExpr.as("key")): _*)
-    val exactS = exact.join(broadcast(hot), Seq("band", "key"), "left")
+    // degen drop rides the same broadcast join on BOTH sides: a dropped
+    // index posting can never meet a candidate, and dropping the query
+    // side too skips its salt replication of rows that would join nothing
+    def live(side: DataFrame): DataFrame = {
+      val j = side.join(broadcast(hot), Seq("band", "key"), "left")
+      if (dfCap == 0) j
+      else j.filter(!coalesce(col("is_degen"), lit(false))).drop("is_degen")
+    }
+    val exactS = live(exact)
       .select(Seq(col("doc_id"), col("fp")) ++ cc ++
         Seq(col("band"), col("key"),
-          when(col("is_hot").isNotNull,
+          when(coalesce(col("is_hot"), lit(false)),
             xxhash64(col("doc_id")).bitwiseAND(lit(saltBlocks - 1))
               .cast("int"))
             .otherwise(lit(0)).as("salt")): _*)
-    val varS = variants.join(broadcast(hot), Seq("band", "key"), "left")
+    val varS = live(variants)
       .select(Seq(col("doc_id"), col("fp")) ++ cc ++
         Seq(col("band"), col("key"),
-          explode(when(col("is_hot").isNotNull,
+          explode(when(coalesce(col("is_hot"), lit(false)),
               sequence(lit(0), lit(saltBlocks - 1)))
             .otherwise(array(lit(0)))).as("salt")): _*)
     // SHUFFLE-STRATEGY PIN (r12): both posting relations grow with the
@@ -1012,7 +1096,8 @@ object Text {
     */
   private val PackedPruneMinThreshold = 0.7
 
-  private def lshJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+  private def lshJaccardPairs(sets: DataFrame, threshold: Double,
+                              hotDflt: Int = HotBucketDefault): DataFrame = {
     val packed = threshold >= PackedPruneMinThreshold &&
       packedSigmaConf(sets) > 0
     // the persisted relation is IDENTICAL with the prune on or off; pk
@@ -1060,13 +1145,14 @@ object Text {
     val margin = fractionConf(sets, "spark.graft.lsh.estMargin",
       EstMarginDefault)
     val cand =
-      if (!packed) saltedBandPairs(bands)
+      if (!packed) saltedBandPairs(bands, hotDflt = hotDflt)
       else {
         val cut = packedCut(sets, threshold)
         saltedBandPairs(bands, carry = Seq("pk"),
           prune = _.filter(graft.expr.MinHashExprs.packedEqBytes(
               col("pk_a"), col("pk_b")) >= cut)
-            .select(col("a"), col("b")))
+            .select(col("a"), col("b")),
+          hotDflt = hotDflt)
       }
     estimateAndVerify(cand, sig, sig, threshold, margin)
   }
@@ -1214,7 +1300,8 @@ object Text {
     * self-join pipeline).
     */
   private def lshProbePairs(index: DataFrame, batch: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            hotDflt: Int = HotBucketDefault): DataFrame = {
     def sigOf(sets: DataFrame) = graft.InternalCaches.persistTracked(
       sets.select(col("doc_id"), col("s"),
         graft.expr.MinHashExprs.minhashSignature(col("s"), MinhashK)
@@ -1222,7 +1309,7 @@ object Text {
     val isig = sigOf(index)
     val bsig = sigOf(batch)
     val cand = saltedProbePairs(bandKeys(isig, bands = 32, rows = 4),
-      bandKeys(bsig, bands = 32, rows = 4))
+      bandKeys(bsig, bands = 32, rows = 4), hotDflt)
     val margin = fractionConf(index, "spark.graft.lsh.estMargin",
       EstMarginDefault)
     estimateAndVerify(cand, bsig, isig, threshold, margin)
@@ -1239,23 +1326,40 @@ object Text {
     * bucket shrinks by the block factor.
     */
   private[graft] def saltedProbePairs(ib: DataFrame,
-                                      bb: DataFrame): DataFrame = {
+                                      bb: DataFrame,
+                                      hotDflt: Int = HotBucketDefault)
+      : DataFrame = {
     val hotWidth = intConf(ib, "spark.graft.lsh.hotBucketWidth",
-      HotBucketDefault)
+      hotDflt)
     val blocks = blockCountConf(ib, "spark.graft.lsh.saltBlocks",
       SaltBlocksDefault)
+    // degenerate-bucket DF cap (r16, closing the r15 ADVICE asymmetry:
+    // the cap guarded only the self-join): an over-cap INDEX bucket is
+    // dropped from BOTH sides of the probe join — its index postings
+    // never replicate under the salt, and batch rows keyed to it skip
+    // their blocks-× replication of rows that could join nothing. Same
+    // one-pass detector, same 1/(1−J^rows)-per-band recall trade, same
+    // fixture no-op at the 65536 default.
+    val dfCap = intConf(ib, "spark.graft.lsh.bucketDfCap",
+      BucketDfCapDefault)
+    require(dfCap >= 0, s"spark.graft.lsh.bucketDfCap must be >= 0, got $dfCap")
     // shared sampled detector: the probe's standing-index side is
     // corpus-sized too, so it hits the same partial-agg wall (doc_id
     // here is the index-side id the sample gate hashes)
-    val hot = hotKeys(ib, Seq("band", "bhash"), hotWidth)
-    val iTagged = ib.join(broadcast(hot), Seq("band", "bhash"), "left")
+    val hot = flaggedBuckets(ib, Seq("band", "bhash"), hotWidth, dfCap)
+    def live(side: DataFrame): DataFrame = {
+      val j = side.join(broadcast(hot), Seq("band", "bhash"), "left")
+      if (dfCap == 0) j
+      else j.filter(!coalesce(col("is_degen"), lit(false))).drop("is_degen")
+    }
+    val iTagged = live(ib)
       .select(col("doc_id").as("b"), col("band"), col("bhash"),
-        when(col("is_hot").isNotNull,
+        when(coalesce(col("is_hot"), lit(false)),
           xxhash64(col("doc_id")).bitwiseAND(lit(blocks - 1)).cast("int"))
           .otherwise(lit(0)).as("blk"))
-    val bTagged = bb.join(broadcast(hot), Seq("band", "bhash"), "left")
+    val bTagged = live(bb)
       .select(col("doc_id").as("a"), col("band"), col("bhash"),
-        explode(when(col("is_hot").isNotNull,
+        explode(when(coalesce(col("is_hot"), lit(false)),
             sequence(lit(0), lit(blocks - 1)))
           .otherwise(array(lit(0)))).as("blk"))
     // batch×index probe: both posting sides scale with their corpora —
@@ -1275,7 +1379,7 @@ object Text {
       .repartition(p, col("doc_id"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingleCol(col("t")).as("s"))
-    lshJaccardPairs(sh, 0.5)
+    lshJaccardPairs(sh, 0.5, adaptiveHotWidth(s, d))
   }
 
   /** Cache partition count for the KB-per-row LSH relations (shingle /
@@ -1415,7 +1519,7 @@ object Text {
         .repartition(p, col("doc_id"))
         .filter(length(col("text")) >= 4) // cheap proxy: ≥4 chars ⟺ ≥1 gram
         .select(col("doc_id"), charGramCol(col("text"), 4).as("s"))
-      lshJaccardPairs(g, 0.8).orderBy("a", "b")
+      lshJaccardPairs(g, 0.8, adaptiveHotWidth(s, d)).orderBy("a", "b")
     }),
 
     // SimHash near-dup: one 64-bit fingerprint per document (codegen'd
@@ -1464,7 +1568,8 @@ object Text {
       // (measured r13; 25 at the loose dial) — a pinned positive
       // rows-only check at any fixture with planted clones.
       hammingBlockPairs(fp,
-        maxDist = intConf(fp, "spark.graft.simhash.maxDist", 4))
+        maxDist = intConf(fp, "spark.graft.simhash.maxDist", 4),
+        hotDflt = adaptiveHotWidth(s, d))
         .orderBy("a", "b")
     }),
 
@@ -2510,7 +2615,8 @@ object Text {
           reverse(col("t")).as("t"))
       val batch = mutated.unionByName(reversed)
         .select(col("doc_id"), shingleCol(col("t")).as("s"))
-      lshProbePairs(index, batch, 0.5).orderBy("a", "b")
+      lshProbePairs(index, batch, 0.5, adaptiveHotWidth(s, d))
+        .orderBy("a", "b")
     }),
 
     // Benchmark decontamination — the test-set leakage check every

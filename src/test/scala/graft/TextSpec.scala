@@ -361,12 +361,20 @@ class TextSpec extends SparkSpec {
     // bucket is flagged only with high probability, and this test's
     // INTENT is to deterministically route through the salted join
     // (the sampled detector's own noise is covered by SaltLawSpec's
-    // dial sweep, where the law holds whichever way a flag falls)
+    // dial sweep, where the law holds whichever way a flag falls).
+    // The width is pinned too (r16): the DEFAULT is now bytes-adaptive
+    // (ops/text.scala adaptiveHotWidth — this scratch corpus resolves
+    // ~45, still under 64, but the law's subject is salted-path
+    // engagement and must not ride a parquet-size coincidence)
     spark.conf.set("spark.graft.lsh.hotSampleShift", "0")
+    spark.conf.set("spark.graft.lsh.hotBucketWidth", "32")
     val got =
       try SparkEntry.queries("dedup_near_minhash")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      finally spark.conf.unset("spark.graft.lsh.hotSampleShift")
+      finally {
+        spark.conf.unset("spark.graft.lsh.hotSampleShift")
+        spark.conf.unset("spark.graft.lsh.hotBucketWidth")
+      }
     val ids = (0 until n).map(_ + 90000L)
     val wanted = (for {
       a <- ids; b <- ids if a < b
