@@ -67,8 +67,15 @@ similarity sits at the organic background instead of the rotation
 fixture's structured decorrelation. The operator's own clone probe
 view (annlsh.probeEvery) supplies the planted-positive mass, so no
 twins are planted here. All OTHER tables keep the copy construction
-byte-for-byte - organic mode is a documents/embeddings-family probe,
-and the TPC-H/events keys keep their committed fixtures.
+byte-for-byte. With GRAFT_ONLY_TABLES=documents,embeddings this is
+the docs/embeddings-family LADDER probe (r14); with no subset filter
+(r16, the r15 verdict's item 7) it is a FULL-SURFACE organic fixture:
+the text/similarity families run on synthesized corpora while the
+TPC-H/events keys keep the adjudicated copy construction (the join
+graph genuinely gains identical components; see the per-table notes
+above) - the whole-surface sweep's anti-flattery check, since only
+the doc/embedding families ever showed copied-fixture artifacts
+(same-copy J ~ 0.5 bulk, isometry-copied geometry).
 
 copies > 25 (r11 ran 30 copies for the sf3 probe; r12 runs 100 for the
 sf10 decade probe) switch the per-copy text bijection from a rotation
