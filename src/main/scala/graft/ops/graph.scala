@@ -138,8 +138,12 @@ object Graph {
     // adaptive width (never fused with the upstream distinct's final
     // aggregate — the same-stage unroll+agg pile-up is the fourth-wall
     // signature) and co-partitions the u-side degree-attach join.
+    // LAZY (r16): deg's eager materialization below is e's single-branch
+    // first reader, so that one job populates BOTH caches — the old
+    // eager e paid a standalone count job for the same cache write. The
+    // later readers (both degree-attach joins) hit the populated entry.
     val e = InternalCaches.persistTracked(
-      edges.repartition(p, col("u")), eager = true)
+      edges.repartition(p, col("u")))
     // explode(array(u,v)) counts both endpoints in ONE pass over the
     // cache — unionAll would scan it twice. Persisted: BOTH degree-attach
     // joins read it (un-cached, the full aggregation over the edge cache
@@ -385,12 +389,29 @@ object Graph {
     // exchange-free on the cached hash(src) layout, and the per-
     // iteration contribution join keeps its zero-edge-movement contract
     // at the same width.
-    val e = InternalCaches.persistTracked(
-      edges.repartition(p, col("src")), eager = true)
-    val deg = InternalCaches.persistTracked(
-      e.groupBy("src").agg(count(lit(1)).as("d")), eager = true)
+    // ONE edge-sized cache (r16, guide §2.4): the out-degree is attached
+    // as a count-over-window on the SAME hash(src) layout the cache
+    // needs anyway — the old three-relation form (e cached, deg =
+    // groupBy over it, ce = e ⋈ deg re-repartitioned) paid a SECOND
+    // edge-sized exchange (the user repartition under ce is not elided
+    // by the planner) plus a second edge-sized cache and its
+    // materialization job, to compute a column the window derives in
+    // place. The window's per-partition sort is spillable and
+    // co-partitioned; rank values are identical (same d per row; the
+    // sum's float order jitter is ~1e-13, absorbed by the caller's
+    // round(,4) — the adjudication the output column has always
+    // carried). EAGER stays: the 3 iteration joins read ce from three
+    // branches of the one final action.
     val ce = InternalCaches.persistTracked(
-      e.join(deg, "src").repartition(p, col("src")), eager = true)
+      edges.repartition(p, col("src"))
+        .withColumn("d", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src")))),
+      eager = true)
+    // full source-node set, read per iteration (the re-key join) and by
+    // the seed — node-sized, distinct over the cached hash(src) layout
+    // (no exchange), eager for the same multi-branch reason
+    val deg = InternalCaches.persistTracked(
+      ce.select(col("src")).distinct(), eager = true)
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
       val contribs = ce.join(ranks.hint("shuffle_hash"),
@@ -439,14 +460,23 @@ object Graph {
                     maxHops: Int, parts: Int = -1): DataFrame = {
     val p = if (parts > 0) parts
       else edges.sparkSession.sparkContext.defaultParallelism
+    // LAZY (r16): hop 1's materializing count is the single-branch first
+    // reader of the edge cache — that one job populates it; later hops
+    // hit the populated entry. The old eager form paid a standalone
+    // count job for the same write.
     val e = InternalCaches.persistTracked(
-      edges.repartition(p, col("src")), eager = true)
+      edges.repartition(p, col("src")))
     // distinct(): duplicate seed rows would flow into `visited` and the
     // result as duplicate (node, 0) rows (review finding r10 — the doc
     // invites arbitrary callers' seed relations)
+    // Lazy too: hop 1 reads it from two branches (expansion + anti), but
+    // its upstream is the caller's seed relation — for the declared
+    // query a 3-row LocalRelation, where a worst-case double compute is
+    // strictly cheaper than the eager count job it replaces. (A caller
+    // with an expensive seed derivation should persist it before
+    // calling, per the scaladoc's arbitrary-seed invitation.)
     var visited = InternalCaches.persistTracked(
-      seeds.select(col("node"), lit(0).as("hops")).distinct(),
-      eager = true)
+      seeds.select(col("node"), lit(0).as("hops")).distinct())
     var frontier = visited
     var h = 1
     var exhausted = false

@@ -219,10 +219,20 @@ object Similarity {
     // correctly on dense 0-based ids (review finding r10: a planted
     // relation starting at 1000 would train on zero seeds and silently
     // return an empty index)
+    // LAZY round chain (r16, guide §1.2 — control-plane job count): each
+    // round's K-row centroid relation persists lazily; the whole chain
+    // materializes in ONE final count, each generation's cache written as
+    // the next round's broadcast subtree pulls it through. The old eager
+    // rotation ran a standalone count job per round. Peak live state is
+    // `iters` K-row relations (K ∝ √n — a few MB even at 10⁹ vectors), so
+    // the rotation's memory argument doesn't apply at centroid size;
+    // intermediates drop right after the final materialization, through
+    // their handles.
     var cents = graft.InternalCaches.persistTracked(
       v.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("c")),
-      eager = true)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c")))
+    val stale = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.DataFrame]
     (1 to iters).foreach { _ =>
       val upd = assignCells(v, cents)
         .select(col("cell").as("cid"), posexplode(col("v")))
@@ -231,10 +241,13 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), x => x.getField("m")).as("c"))
-      val next = graft.InternalCaches.persistTracked(upd, eager = true)
-      cents.unpersist()
-      cents = next
+      stale += cents
+      cents = graft.InternalCaches.persistTracked(upd)
     }
+    // one materializing action for all rounds; consumers then read a
+    // populated final relation from every task (the return contract)
+    cents.count()
+    stale.foreach(_.unpersist())
     cents
   }
 

@@ -216,16 +216,16 @@ object Streaming {
       // Pinned band 2–7 s at sf0.1, steady state 1.6 s (BASELINE.md
       // r14); the eager persists are acquitted on cost (warm total
       // 1.6 s) and keep the scan count at 1 instead of 4.
-      // ev persists EAGER and FIRST: the midpoint aggregate and the
-      // join input both read it, and refB/cur below each materialize
-      // eagerly — uncached, every one of those reads was its own
-      // parquet scan (4 full scans at build; review finding). One scan
-      // populates the cache; everything downstream reads it.
+      // ev persists FIRST (uncached, every downstream read was its own
+      // parquet scan — 4 full scans at build; review finding) but LAZY
+      // since r16: its single-branch first reader is the `mid` broadcast
+      // build inside refB's eager materialization, which populates the
+      // cache for every later branch — the old eager form paid a
+      // standalone count job for the same write.
       val ev = graft.InternalCaches.persistTracked(
         events(s, d)
           .select(col("ts"), unix_micros(col("ts")).as("us"),
-            col("value")),
-        eager = true)
+            col("value")))
       val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
       val withMid = ev.join(broadcast(mid))
       // both persists EAGER: each relation is read from several

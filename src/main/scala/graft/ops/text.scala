@@ -137,18 +137,32 @@ object Text {
   private def bpeTrainUncached(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long)] = {
     val k = 8
+    // ONE Spark job per training round (r16, guide §1.2 "remove
+    // unnecessary passes" applied to the control plane): each round's
+    // rewritten vocabulary persists LAZILY and is materialized by the
+    // NEXT round's argmax job — the old eager persist ran a standalone
+    // count job per round (2 jobs/round), and the final round's rewrite
+    // (which nothing reads — `merges` is the training output) paid a
+    // whole materialization for a relation that was immediately dropped.
+    // Rotation discipline: a generation may only unpersist AFTER its
+    // successor is materialized (unpersisting earlier would force the
+    // successor's lineage to recompute the whole merge chain from the
+    // corpus), so `prev` trails one round behind. Peak live generations:
+    // 2 — identical to the eager rotation.
     var seqs = graft.InternalCaches.persistTracked(
       tokenizedDocs(s, d)
         .select(explode(col("t")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(col("freq"), split(col("w"), "").as("seq")),
-      eager = true)
+        .select(col("freq"), split(col("w"), "").as("seq")))
+    var prev = seqs
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
     while (rank < k && !exhausted) {
+      // this argmax job materializes `seqs` (single-branch first reader,
+      // the lazy-persist contract in InternalCaches.persistTracked)...
       val top = seqs.filter(size(col("seq")) >= 2)
         .select(col("freq"),
           explode(transform(sequence(lit(0), size(col("seq")) - 2),
@@ -158,27 +172,28 @@ object Text {
         .agg(sum(col("freq")).as("n"))
         .orderBy(desc("n"), col("a"), col("b"))
         .limit(1).collect()
+      // ... so the PREVIOUS generation (fully consumed by that
+      // materialization) can drop now
+      if (prev ne seqs) { prev.unpersist(); prev = seqs }
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rank += 1
         merges += ((rank, a, b, n))
-        val prev = seqs
-        seqs = graft.InternalCaches.persistTracked(
-          prev.select(col("freq"),
+        if (rank < k) seqs = graft.InternalCaches.persistTracked(
+          seqs.select(col("freq"),
             aggregate(col("seq"), array().cast("array<string>"),
               (acc, x) =>
                 when(size(acc) === 0, concat(acc, array(x)))
                   .when(element_at(acc, -1) === lit(a) && x === lit(b),
                     concat(slice(acc, lit(1), size(acc) - 1),
                       array(lit(a + b))))
-                  .otherwise(concat(acc, array(x)))).as("seq")),
-          eager = true)
-        prev.unpersist()
+                  .otherwise(concat(acc, array(x)))).as("seq")))
       }
     }
     seqs.unpersist()
+    prev.unpersist()
     merges.toSeq
   }
 
