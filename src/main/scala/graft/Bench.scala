@@ -57,11 +57,37 @@ object Bench {
       // on the zero-execution-memory bypass writer
       .config(graft.InternalCaches.ShuffleBypassKey,
         graft.InternalCaches.ShuffleBypassValue)
+      // IVF k-means trains as a LAZY round chain (similarity.scala,
+      // ivfCentroidsOf): one BroadcastExchange build can nest up to
+      // `spark.graft.ivf.chainDepth` rounds of corpus compute, and the
+      // default 300 s broadcastTimeout would time that whole nest at
+      // large corpora. No effect on timings at any committed sf (every
+      // local broadcast builds in milliseconds); this is the
+      // scale-safety raise the chain's scaladoc asks of every session.
+      .config("spark.sql.broadcastTimeout", "3600")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // JOBS-PER-KEY counter (r17, verdict item 2): the r16 round's dominant
+    // technique — eager→lazy persists that delete standalone cache-
+    // materialization jobs — is invisible in both plan dumps (identical by
+    // construction) and wall-clock on a contended box. Counting Spark jobs
+    // per key makes "3 jobs → 1 job" a printed number in the detail JSON
+    // instead of a comment claim. onJobStart is posted async on the
+    // listener bus, but every action in `materialize` is blocking and the
+    // snapshot is taken after the post-key unpersist+GC (tens of ms), so
+    // attribution lag is not a practical concern at per-key granularity.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(): Unit
+        }
+      })
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -126,10 +152,12 @@ object Bench {
     // self-adjudicating: a slow key with ambient load ≈ cpu-count is
     // contention; a slow key at idle load is a regression.
     var loadPerKey = List.empty[(String, Double)]
+    var jobsPerKey = List.empty[(String, Int)]
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map { name =>
       loadPerKey ::= (name -> loadAvg)
+      val jobs0 = jobCounter.get()
       val t0 = System.nanoTime()
       val ok = try { materialize(name); true } catch {
         case e: Throwable =>
@@ -155,6 +183,10 @@ object Bench {
       // SPARK_GRAFT_KEYGC=0 disables the inter-key GC for A/B probes of
       // the protocol itself (the call sits OUTSIDE the timer either way)
       if (sys.env.get("SPARK_GRAFT_KEYGC").forall(_ != "0")) System.gc()
+      // snapshot AFTER unpersist+GC: the blocking unpersist and the full
+      // GC give the async listener bus ample time to drain this key's
+      // job-start events before the count is attributed
+      jobsPerKey ::= (name -> (jobCounter.get() - jobs0))
       // failed queries keep a visibly negative marker even at ms precision
       // (an instant analysis failure would otherwise print "-0.000")
       name -> (if (ok) sec else -math.max(sec, 0.001))
@@ -186,21 +218,33 @@ object Bench {
     val loadJson = loadPerKey.reverse
       .map { case (k, v) => "\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
+    // Spark jobs launched per key (detail-file only, like load_per_key):
+    // the control-plane evidence channel — an eager persist deleted from
+    // an operator shows up here as a jobs drop even when the plan dump is
+    // unchanged and wall-clock is contended.
+    val jobsJson = jobsPerKey.reverse
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"load_per_key":$loadJson,$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"load_per_key":$loadJson,"jobs_per_key":$jobsJson,$contention,"sf":"$sfDir"}"""
     // the detail file is a convenience artifact — a reporting side
     // effect must never lose the run (an unwritable cwd would otherwise
     // throw AFTER all queries completed, before either stdout line).
     // ROUND-STAMPED since r16 (the r13/r14/r15 verdicts' recurring
     // working-tree-drift flag): the committed BENCH_DETAIL.json pin is
     // updated only by a deliberate copy; each run writes
-    // BENCH_DETAIL_r{NN}.json, NN inferred as one past the newest
-    // driver-committed BENCH_r{NN}.json (at round-close time the
-    // current round's file does not exist yet), so a driver round-close
-    // run never dirties the committed pin again.
+    // BENCH_DETAIL_r{NN}.json with NN one past the newest existing
+    // BENCH_r{NN}.json OR BENCH_DETAIL_r{NN}.json (r17 fix: inferring
+    // from BENCH_r* alone collided — the driver's r16 round-close bench
+    // ran before BENCH_r16.json existed, stamped its detail r16, and
+    // overwrote the builder's committed BENCH_DETAIL_r16.json; its 8-core
+    // companion then wrote BENCH_DETAIL_r17.json, which the next round's
+    // inference would overwrite again. Scanning both patterns means a
+    // fresh run never reuses ANY existing stamp — it always writes a new
+    // file, so a committed detail pin can never be dirtied by a later run).
     val round = scala.util.Try {
       val cwd = java.nio.file.Paths.get(".")
-      val re = "BENCH_r(\\d+)\\.json".r
+      val re = "BENCH(?:_DETAIL)?_r(\\d+)\\.json".r
       val it = java.nio.file.Files.list(cwd)
       val max = try {
         import scala.jdk.CollectionConverters._

@@ -24,6 +24,10 @@ object DevProbe {
       // on the zero-execution-memory bypass writer
       .config(graft.InternalCaches.ShuffleBypassKey,
         graft.InternalCaches.ShuffleBypassValue)
+      // see Bench.scala: the IVF lazy round chain nests earlier rounds'
+      // compute inside one BroadcastExchange build; 300 s would time the
+      // whole nest at large corpora
+      .config("spark.sql.broadcastTimeout", "3600")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

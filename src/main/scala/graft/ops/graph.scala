@@ -469,14 +469,17 @@ object Graph {
     // distinct(): duplicate seed rows would flow into `visited` and the
     // result as duplicate (node, 0) rows (review finding r10 — the doc
     // invites arbitrary callers' seed relations)
-    // Lazy too: hop 1 reads it from two branches (expansion + anti), but
-    // its upstream is the caller's seed relation — for the declared
-    // query a 3-row LocalRelation, where a worst-case double compute is
-    // strictly cheaper than the eager count job it replaces. (A caller
-    // with an expensive seed derivation should persist it before
-    // calling, per the scaladoc's arbitrary-seed invitation.)
+    // EAGER (r17, reverting the r16 lazy form on advice): hop 1 reads the
+    // seed cache from TWO branches (expansion + anti-join) — exactly the
+    // multi-branch case persistTracked's contract says requires eager. A
+    // NONDETERMINISTIC caller seed relation computed independently per
+    // branch can diverge, letting a seed node re-enter the hop-1 frontier
+    // as (node, 1) beside its (node, 0) row. The cost is one count of a
+    // seed-sized relation (3 rows in the declared query — measured noise
+    // against the correctness-for-arbitrary-callers guarantee).
     var visited = InternalCaches.persistTracked(
-      seeds.select(col("node"), lit(0).as("hops")).distinct())
+      seeds.select(col("node"), lit(0).as("hops")).distinct(),
+      eager = true)
     var frontier = visited
     var h = 1
     var exhausted = false

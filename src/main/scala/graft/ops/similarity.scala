@@ -233,7 +233,23 @@ object Similarity {
         .select(col("vec_id").cast("int").as("cid"), col("v").as("c")))
     val stale = scala.collection.mutable.ArrayBuffer.empty[
       org.apache.spark.sql.DataFrame]
-    (1 to iters).foreach { _ =>
+    // CHAIN-DEPTH BOUND (r17, advice): in the lazy chain, round i's
+    // BroadcastExchange build recursively computes every unmaterialized
+    // earlier round — a full corpus scan + K·dim shuffle each — and
+    // `spark.sql.broadcastTimeout` (default 300 s) times the WHOLE nest.
+    // A mid-chain count() every `chainDepth` rounds materializes that
+    // generation's cache, so no single broadcast build ever covers more
+    // than chainDepth rounds of compute. The per-generation persists
+    // below are what make this effective (and retries cheap): each K-row
+    // cache write costs ~nothing, but is the checkpoint a mid-count (or
+    // a task retry) lands on — that is why intermediates stay persisted
+    // even though each is read exactly once on the happy path. The
+    // engine's own session builders also raise broadcastTimeout;
+    // library callers with huge corpora should do one or the other.
+    // Default 4 keeps the declared iters=3 chain mid-count-free — job
+    // count and fixture plans unchanged from r16.
+    val chainDepth = math.max(1, Text.intConf(v, "spark.graft.ivf.chainDepth", 4))
+    (1 to iters).foreach { i =>
       val upd = assignCells(v, cents)
         .select(col("cell").as("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
@@ -243,8 +259,9 @@ object Similarity {
           col("m")))), x => x.getField("m")).as("c"))
       stale += cents
       cents = graft.InternalCaches.persistTracked(upd)
+      if (i % chainDepth == 0 && i < iters) cents.count(): Unit
     }
-    // one materializing action for all rounds; consumers then read a
+    // one materializing action for the chain tail; consumers then read a
     // populated final relation from every task (the return contract)
     cents.count()
     stale.foreach(_.unpersist())

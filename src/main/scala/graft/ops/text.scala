@@ -2319,35 +2319,58 @@ object Text {
     // (the cliff rule). `maxDf <= 0` restores the lossless exact sweep
     // for corpora where the O(ΣL²) cost is affordable.
     "text_containment" -> ((s, d) => {
-      val shAll = graft.InternalCaches.persistTracked(
-        tokenizedDocs(s, d)
-          .select(col("doc_id"), explode(shingleCol(col("t"))).as("sh")),
+      // r17 plan shape (guide §2.3/§2.4 — carry metadata, remove
+      // shuffles). Three structural changes vs the r16 form, all
+      // value-identical (the oracle replays the same cap + formula):
+      //  1. The true set size `n` (the containment DENOMINATOR, always
+      //     measured on the UNCAPPED set) is computed per row BEFORE the
+      //     explode (size of the shingle array) and carried through the
+      //     posting rows — the old per-doc size aggregation and BOTH
+      //     size join-backs (two shuffles + two hash builds over the
+      //     pair stream) disappear; the carry costs 8 bytes per posting
+      //     row and rides the pair groupBy as extra (functionally
+      //     dependent) grouping keys.
+      //  2. The hub-shingle DF cap is a count-over-window partitioned by
+      //     `sh` instead of a groupBy+anti-join: one pass over the
+      //     posting stream instead of two, and the window's hash(sh)
+      //     exchange + partition sort are EXACTLY the distribution and
+      //     order the posting self-join requires, so the join adds
+      //     neither an exchange nor a sort (§2.4 "window functions
+      //     partitioned by the same key ... do not need a second
+      //     shuffle" — here the join reuses the window's).
+      //  3. The cache boundary moves AFTER the window+filter, so the
+      //     cached relation is the hash(sh)-partitioned, sh-sorted LIVE
+      //     posting list both self-join branches read (eager: two
+      //     branches of one stage — the persistTracked contract).
+      // Measured at sf0.1: the final plan drops from 20 Exchange
+      // mentions to 4, the job's own exchanges 8 → 2 past the cache.
+      // Hub skew exposure is unchanged: the old anti-join shuffled the
+      // full posting stream by `sh` too; a degenerate hub makes one
+      // window partition wide, exactly as it made one anti-join
+      // partition wide.
+      val maxDf = intConf(documents(s, d),
+        "spark.graft.containment.maxDf", 128)
+      val exploded = tokenizedDocs(s, d)
+        .select(col("doc_id"), shingleCol(col("t")).as("ss"))
+        .select(col("doc_id"), size(col("ss")).cast("long").as("n"),
+          explode(col("ss")).as("sh"))
+      val sh = graft.InternalCaches.persistTracked(
+        if (maxDf <= 0) exploded
+        else exploded
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+          .filter(col("df") <= maxDf)
+          .select(col("doc_id"), col("n"), col("sh")),
         eager = true)
-      val maxDf = intConf(shAll, "spark.graft.containment.maxDf", 128)
-      val sh =
-        if (maxDf <= 0) shAll
-        else shAll.join(
-          shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-            .filter(col("df") > maxDf).select("sh")
-            .hint("shuffle_hash"),
-          Seq("sh"), "left_anti")
-      // sizes from the UNCAPPED relation: the denominator is the true
-      // |set|, so the capped estimate can only under-count
-      val sz = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // posting self-join + size join-backs: every side corpus-sized —
-      // shuffle pin (see hammingBlockPairs on the broadcast cliff)
-      val pi = sh.as("x").hint("shuffle_merge").join(sh.as("y"),
+      // posting self-join: both sides corpus-sized — shuffle pin (see
+      // hammingBlockPairs on the broadcast cliff); sort-merge is free
+      // here, both inputs arrive partitioned+sorted by sh from the cache
+      sh.as("x").hint("shuffle_merge").join(sh.as("y"),
           col("x.sh") === col("y.sh")
             && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.n").as("na"), col("y.n").as("nb"))
         .agg(count(lit(1)).as("ni"))
-      // size join-backs: shuffle_hash, build on the 1-row/doc size side
-      // (sort-merge would sort the wide pair stream — see
-      // estimateAndVerify)
-      pi.join(sz.select(col("doc_id").as("a"), col("n").as("na"))
-          .hint("shuffle_hash"), "a")
-        .join(sz.select(col("doc_id").as("b"), col("n").as("nb"))
-          .hint("shuffle_hash"), "b")
         .withColumn("containment",
           round(col("ni").cast("double")
             / least(col("na"), col("nb")), 4))
@@ -2418,14 +2441,20 @@ object Text {
     // and cluster size. Oracle: recursive CTE reachability over the
     // brute-force pair graph.
     "dedup_clusters" -> ((s, d) => {
-      // eager: both edge orientations scan `pairs` within one stage of
-      // the first CC job, and an unpopulated cache entry makes each leg
-      // compute the whole LSH pipeline independently. Measured: the
-      // clusters bench line drops by the cost of a second full LSH pass.
-      val pairs = graft.InternalCaches.persistTracked(
-        minhashPairs(s, d).select(col("a"), col("b")), eager = true)
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      // Single-scan symmetrization (r17): the old pairs-cache + two-leg
+      // union read the pair relation from two branches of the first CC
+      // job, which forced an eager (standalone-job) materialization of
+      // the pairs cache. Explode emits both orientations in ONE pass, so
+      // the edge relation is a single-branch map over the LSH pipeline
+      // and can persist LAZILY — the seed count below is its first
+      // reader and populates both caches in one job. Each round's nbrMin
+      // now also scans one cached relation instead of a two-leg union.
+      val edges = graft.InternalCaches.persistTracked(
+        minhashPairs(s, d)
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst")))
       // ONLY docs with at least one near-dup edge iterate — everything
       // else is a converged singleton by definition and joins back after
       // the loop. At 100 TB this is the difference between iterating over
@@ -2433,19 +2462,13 @@ object Text {
       // every round. Seed = min(id, min neighbor): the first propagation
       // round fused into initialization, so disjoint pairs (the common
       // case) converge with a single verification round.
-      // `cached` is the persisted handle for the current round; `labels`
-      // may be a projection over it. unpersist must go through the handle:
-      // Dataset.unpersist only drops a cache entry whose plan sameResults
-      // the cached one, so unpersisting a Project over it is a no-op and
-      // every round's copy would accumulate.
       // eager: the round-1 job reads the seed from four branches (nbrMin,
       // both jump sides, next) — an unpopulated entry would recompute the
       // seed's full edge shuffle once per branch
-      var cached = graft.InternalCaches.persistTracked(
+      var labels: DataFrame = graft.InternalCaches.persistTracked(
         edges.groupBy(col("src").as("id"))
           .agg(least(first(col("src")), min(col("dst"))).as("lbl")),
         eager = true)
-      var labels = cached
       val maxRounds = intConf(labels, "spark.graft.cc.maxRounds", 50)
       var converged = false
       var rounds = 0
@@ -2460,23 +2483,34 @@ object Text {
           .select(col("via").as("id"), col("j_lbl"))
         // the new label is carried WITH its changed flag (labels only
         // ever decrease), so convergence needs no extra comparison join
-        val next = graft.InternalCaches.persistTracked(
-          labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-            .join(jump, Seq("id"), "left")
-            .select(col("id"),
-              least(col("lbl"),
-                least(coalesce(col("nbr_lbl"), col("lbl")),
-                  coalesce(col("j_lbl"), col("lbl")))).as("new_lbl"),
-              col("lbl"))
-            .select(col("id"), col("new_lbl").as("lbl"),
-              (col("new_lbl") < col("lbl")).as("chg")))
+        // LINEAGE TRUNCATION (r17, guide §3.3/§7.3 — planning time): the
+        // round plan references `labels` from FOUR branches (nbrMin, both
+        // jump sides, the base), so building round r+1 over round r's
+        // DataFrame grows the logical tree ~4× PER ROUND — Catalyst
+        // transforms re-walk shared subtrees per path, so analyzer cost
+        // and the final plan dump are exponential in rounds (measured:
+        // the sf0.1 final plan was 31,295 formatted lines / 3,685
+        // Exchange reprints after only a handful of rounds; a
+        // 10-round chain would be ~4¹⁰ subtree copies — a dead driver
+        // long before any task launches). localCheckpoint cuts each
+        // round to a constant-size LogicalRDD scan; the lazy form fuses
+        // checkpoint materialization into the SAME job as the
+        // convergence count (1 control job per round, as before).
+        // Block lifecycle: checkpoint blocks (MEMORY_AND_DISK) are freed
+        // by the ContextCleaner once the round's Dataset is unreachable
+        // — the explicit per-round cache unpersist this replaces had the
+        // same goal; rows per round are duplicate-graph-sized, ≪ corpus.
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .join(jump, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"),
+              least(coalesce(col("nbr_lbl"), col("lbl")),
+                coalesce(col("j_lbl"), col("lbl")))).as("new_lbl"),
+            col("lbl"))
+          .select(col("id"), col("new_lbl").as("lbl"),
+            (col("new_lbl") < col("lbl")).as("chg"))
+          .localCheckpoint(false)
         val changed = next.filter(col("chg")).count()
-        // the count materialized `next` into its cache entry, so the
-        // previous round's labels (duplicate-graph-sized at scale) can
-        // drop NOW rather than accumulate one copy per round; at 100 TB
-        // this is a checkpoint-per-round to also truncate the lineage
-        cached.unpersist()
-        cached = next
         labels = next.select(col("id"), col("lbl"))
         converged = changed == 0
         rounds += 1
@@ -2611,9 +2645,22 @@ object Text {
     // batch × index Jaccard over the same derived batch.
     "dedup_lsh_ingest" -> ((s, d) => {
       val p = docParts(s, d) // two set+sig caches: the KB/row class ×2
-      val base = tokenizedDocs(s, d)
-        .repartition(p, col("doc_id"))
-        .filter(size(col("t")) >= 3)
+      // SHARED BASE CACHE (r17, guide §6 — don't recompute what a cache
+      // holds): the index derivation and BOTH synthetic batch branches
+      // (mutated + reversed) consume the same tokenized, repartitioned,
+      // length-filtered relation. Uncached, each ran its own parquet
+      // scan + tokenize + repartition — three full passes per call (the
+      // batch's two branches sit in ONE union, so they cannot share a
+      // scan). Eager: the probe pipeline's first job reads the batch
+      // side's two branches within one stage, and an unpopulated entry
+      // would recompute the scan+shuffle per branch. Cost: a third
+      // corpus-sized cache of the KB/row class, laid out at the same
+      // adaptive docParts width as the two signature caches.
+      val base = graft.InternalCaches.persistTracked(
+        tokenizedDocs(s, d)
+          .repartition(p, col("doc_id"))
+          .filter(size(col("t")) >= 3),
+        eager = true)
       val index = base.select(col("doc_id"), shingleCol(col("t")).as("s"))
       // ≥25-token floor: a 1-token mutation of an n-token doc sits at
       // jac ≈ (n−5)/(n+1) ≥ 0.77, where the 32×4 band-miss probability

@@ -649,6 +649,55 @@ class PlanSpec extends SparkSpec {
     } finally InternalCaches.unpersistAll()
   }
 
+  test("global-window audit: every partition-less window is input-bounded") {
+    // r16 verdict item 6: a single-partition WindowExec in a declared
+    // query path is a 100 TB scale-killer unless the windowed relation is
+    // provably bounded. The full-surface audit (r17) found exactly two
+    // bounded shapes, pinned here for the three keys not already covered
+    // by their own laws (text_pack_sequences / mm_shard_manifest_global
+    // pin the same contract above):
+    //  (a) prefix/rank over the PARTITION-COUNT-sized pid-totals relation
+    //      (TwoPass.sumOffsets and its inlined twins in agg_ks_test /
+    //      stream_watermark_late): a pid-grouped aggregate sits between
+    //      the global window and any corpus-sized input;
+    //  (b) rank-stitching over an ALREADY-REDUCED top-K relation
+    //      (sim_hybrid_rrf): a limit sits between the window and the scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec,
+      GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def deep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collectWithSubqueries {
+        case q if pf.isDefinedAt(q) => Seq(pf(q))
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)(pf)
+        case q: QueryStageExec => deep(q.plan)(pf)
+      }.flatten
+    for (key <- Seq("agg_ks_test", "stream_watermark_late",
+        "sim_hybrid_rrf")) {
+      try {
+        val plan = finalPlan(key)
+        val globals = deep(plan) {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(globals.nonEmpty,
+          s"$key: audit expects a (bounded) global window in this plan — " +
+            s"if it was restructured away, drop it from this list:\n$plan")
+        globals.foreach { w =>
+          val bounded = deep(w.child) {
+            case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => ()
+            case _: GlobalLimitExec => ()
+            case _: TakeOrderedAndProjectExec => ()
+          }.nonEmpty ||
+            deep(w.child) { case f: FileSourceScanExec => f }.isEmpty
+          assert(bounded,
+            s"$key: global window with an unbounded (corpus-sized) " +
+              s"input:\n$w")
+        }
+      } finally InternalCaches.unpersistAll()
+    }
+  }
+
   test("graph_triangles: no cartesian/BNLJ; oriented edges read from cache on all three branches") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
