@@ -487,9 +487,8 @@ object Graph {
       // Aliases, not Dataset column refs: after the first step every
       // relation here shares lineage with `e`, and unqualified refs trip
       // the ambiguous-self-join detector.
-      // persistTrackedCounted: the materializing count IS the loop
-      // condition — eager + a separate isEmpty probe was two jobs per
-      // hop for one number
+      // The materializing count IS the loop condition — eager + a
+      // separate isEmpty probe was two jobs per hop for one number.
       // Both the frontier and the visited set GROW WITH THE GRAPH (on a
       // dense graph the 2nd frontier is already most nodes) — shuffle
       // pins on both joins, same broadcast-cliff rule as pagerank above.
@@ -497,7 +496,18 @@ object Graph {
       // frontier/visited relations, 87.6 s vs 44.9 s with shuffle plans.
       // Build sides: the frontier against the cached hash(src) edge
       // partitioning (edges never move), the visited set for the anti.
-      val (next, n) = InternalCaches.persistTrackedCounted(
+      // LINEAGE TRUNCATION (r17, the dedup_clusters fix — guide
+      // §3.3/§7.3): hop h's plan embeds BOTH frontier(h−1) and the
+      // whole visited(h−1) union, so |plan(hop h)| ≈ 2^h — fine at the
+      // declared maxHops=3 (measured 4,608 formatted lines), a dead
+      // driver at a caller's maxHops=20. localCheckpoint cuts each hop
+      // to a constant-size LogicalRDD; the lazy form materializes in
+      // the SAME count job as before (jobs/hop unchanged), and `visited`
+      // stays a shallow union over constant-size checkpoint scans.
+      // Blocks are freed by the ContextCleaner when the hop's Dataset
+      // becomes unreachable (the registry cannot track RDD checkpoints);
+      // they are frontier-sized, the same space the old cache held.
+      val next =
         frontier.as("f").hint("shuffle_hash")
           .join(e.as("g"), col("f.node") === col("g.src"))
           .select(col("g.dst").as("node")).distinct()
@@ -505,7 +515,9 @@ object Graph {
           .join(visited.as("v").hint("shuffle_hash"),
             col("x.node") === col("v.node"),
             "left_anti")
-          .withColumn("hops", lit(h)))
+          .withColumn("hops", lit(h))
+          .localCheckpoint(false)
+      val n = next.count()
       // Early exit on an exhausted frontier: the remaining hops would
       // each still launch the full expansion pipeline over zero rows.
       if (n == 0) exhausted = true

@@ -779,9 +779,11 @@ class PlanSpec extends SparkSpec {
     } finally InternalCaches.unpersistAll()
   }
 
-  test("text_containment: posting-list equi-join, no cartesian; shingles cached on all three branches") {
+  test("text_containment: posting-list equi-join, no cartesian; the " +
+    "windowed posting cache feeds both join sides exchange-free") {
+    import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
     try {
       val plan = finalPlan("text_containment")
       val bad = collectAll(plan) {
@@ -790,10 +792,25 @@ class PlanSpec extends SparkSpec {
       }
       assert(bad.isEmpty,
         s"pair generation must be the shingle equi-join, never a product:\n$plan")
+      // r17 shape: the cached posting relation is built hash(sh)-
+      // partitioned and sh-sorted by the DF-cap window, so the self-join
+      // reads the cache on BOTH sides with NO exchange and NO sort
+      // between cache and join — the §2.4 reuse this operator's rewrite
+      // bought. A shuffle or sort sneaking back in (e.g. the cache
+      // boundary moving above/below the window) is the regression.
       val imts = collectAll(plan) { case s: InMemoryTableScanExec => s }
-      assert(imts.size >= 3,
-        s"expected >=3 InMemoryTableScans (sizes + both join sides from " +
-          s"the shingle cache), got ${imts.size}:\n$plan")
+      assert(imts.size >= 2,
+        s"expected >=2 InMemoryTableScans (both join sides from the " +
+          s"posting cache), got ${imts.size}:\n$plan")
+      val smjs = collectAll(plan) { case j: SortMergeJoinExec => j }
+      assert(smjs.size == 1, s"expected the posting self-join:\n$plan")
+      val under = smjs.flatMap(j => collectAll(j) {
+        case e: ShuffleExchangeLike => e: SparkPlan
+        case s: SortExec => s: SparkPlan
+      })
+      assert(under.isEmpty,
+        s"self-join must reuse the cache's window partitioning+order — " +
+          s"found exchange/sort under the join:\n$plan")
     } finally InternalCaches.unpersistAll()
   }
 
