@@ -2717,11 +2717,20 @@ object Text {
       // yields zero rows, the same as the empty set — and a
       // typedLit(Array.empty[String]) fallback would re-taint the type
       // (Scala String element → containsNull = true).
-      val grams = graft.InternalCaches.persistTracked(
-        docs.select(col("doc_id"),
-          explode(graft.expr.TextSetExprs.wordShingles(col("tf"), 8))
-            .as("g")),
-        eager = true)
+      // UNCACHED on purpose (r17, found by the sf100 full-surface
+      // sweep): the exploded gram relation is ~8× corpus bytes of
+      // verbatim strings — an eager persist of it (the pre-r17 form,
+      // laid out at the raw scan's handful of splits) is the r13
+      // unroll-storm wall verbatim: GB-scale unevictable chunk builds
+      // zero the execution pool and the materializing count dies at its
+      // first page ask (UNABLE_TO_ACQUIRE_MEMORY at sf100). Both
+      // readers are map-only re-derivations of a columnar scan, so
+      // recompute-twice is strictly cheaper than an 8×-corpus string
+      // cache at every scale past toy (guide §5's cache rule) — and the
+      // 100 TB contract never caches the corpus gram stream anyway.
+      val grams = docs.select(col("doc_id"),
+        explode(graft.expr.TextSetExprs.wordShingles(col("tf"), 8))
+          .as("g"))
       val bench = grams.filter(col("doc_id") % 53 === 0)
         .select(col("g")).distinct()
       grams.filter(col("doc_id") % 53 =!= 0)
